@@ -1,0 +1,381 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.Compat._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational / ETL core — the reference's BigQuery SQL surface
+  * re-expressed as declarative Spark plans (SURVEY.md §2 block A).
+  *
+  * Shapes mirrored from the reference
+  * (sql_queries/data_extraction_queries_automated_script.sql):
+  *  - multi-way star joins + IN-subquery semi-joins (lines 296-354)
+  *  - NOT-IN zone exclusion (py_scripts/automated_..._script.py:108-109)
+  *  - DENSE_RANK TG naming (line 36), ARRAY_AGG→string (line 61)
+  *  - UNNEST/split explode (py script step 3.4), REGEXP extraction
+  *    (py script step 3.2), CASE normalization (lines 68-90)
+  *  - date_diff/even-odd/dow switchback fields (lines 205-208)
+  *
+  * Scale notes: dimension sides are explicitly broadcast; fact-side
+  * aggregations are partial (map-side combine) by construction; every
+  * filter is expressed on scan columns so it pushes into the parquet
+  * reader.
+  */
+object Relational {
+
+  /** TPC-H-Q1-shaped multi-aggregate groupBy (the reference's per-group
+    * KPI aggregation, py script step 5). Money sums run through exact
+    * decimals — see [[graft.functions.Compat]]. */
+  def aggGroupBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(9, 6)))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val aggGroupByOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** 4-way star join (orders⋈customer⋈nation⋈region) + revenue rollup —
+    * the reference's dims-onto-orders join (automated_script.sql:296-333).
+    * nation/region are broadcast; orders⋈customer shuffles on custkey. */
+  def joinStar(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "c_mktsegment")
+      .agg(
+        count(lit(1)).as("num_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"),
+        avgMoney(col("o_totalprice")).as("avg_order_value"),
+      )
+      .orderBy("r_name", "c_mktsegment")
+
+  private val joinStarOracle =
+    """SELECT r_name, c_mktsegment,
+      |  COUNT(*) AS num_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_order_value
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, c_mktsegment
+      |ORDER BY r_name, c_mktsegment""".stripMargin
+
+  /** IN-(SELECT …) semi-join filter — the reference filters orders to
+    * configured tests this way (automated_script.sql:337-352). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000).select("c_custkey")
+    Tables.orders(spark, dir)
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("num_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val semiJoinOracle =
+    """SELECT o_orderpriority, COUNT(*) AS num_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** NOT-IN exclusion (anti join) — the reference's excluded-zone filter
+    * (py script lines 108-109). Customers with no orders, per segment. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("num_customers"),
+        avgMoney(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy("c_mktsegment")
+
+  private val antiJoinOracle =
+    """SELECT c_mktsegment, COUNT(*) AS num_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** SELECT DISTINCT projection (used throughout the reference, e.g.
+    * automated_script.sql:8,98,116). */
+  def distinctProj(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private val distinctProjOracle =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** DENSE_RANK target-group naming — CONCAT('TG', DENSE_RANK() OVER
+    * (PARTITION BY … ORDER BY …)) (automated_script.sql:36). Top-5
+    * account balances per nation, labelled TG<rank>. */
+  def denseRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        concat(lit("TG"), col("rk")).as("tg_name"))
+      .orderBy("c_nationkey", "tg_name", "c_custkey")
+  }
+
+  private val denseRankOracle =
+    """SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal,
+      |  'TG' || rk AS tg_name
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer)
+      |WHERE rk <= 5
+      |ORDER BY c_nationkey, tg_name, c_custkey""".stripMargin
+
+  /** Ordered ARRAY_AGG → delimited string per group
+    * (automated_script.sql:61,140,395). Distinct segments per nation. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(concat_ws(", ", array_sort(collect_set(col("c_mktsegment"))))
+        .as("segments"))
+      .orderBy("n_name")
+
+  private val stringAggOracle =
+    """SELECT n_name,
+      |  string_agg(DISTINCT c_mktsegment, ', ' ORDER BY c_mktsegment) AS segments
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** split + explode (CROSS JOIN UNNEST / py script step 3.4 list
+    * splitting): word frequencies of part names. */
+  def explodeSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+
+  private val explodeSplitOracle =
+    """SELECT word, COUNT(*) AS freq
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word ORDER BY freq DESC, word""".stripMargin
+
+  /** Regex capture-group extraction — the reference pulls scheme ids out
+    * of '{…}' (py script step 3.2). Extracts k from props JSON, buckets
+    * it, aggregates. */
+  def regexpExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+        .cast("int").as("k"), col("value"))
+      .withColumn("k_bucket", floor(col("k") / 10) * 10)
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("k_bucket")
+
+  private val regexpExtractOracle =
+    """SELECT CAST(FLOOR(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) / 10) AS BIGINT) * 10 AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  /** CASE-based category normalization (automated_script.sql:68-90
+    * parent-vertical cleanup). */
+  def caseNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("type_class",
+        when(lower(col("p_type")).isin("economy", "standard"), "basic")
+          .when(lower(col("p_type")).isin("small", "medium"), "compact")
+          .otherwise("premium"))
+      .groupBy("type_class")
+      .agg(count(lit(1)).as("n_parts"),
+        avgMoney(col("p_retailprice")).as("avg_price"))
+      .orderBy("type_class")
+
+  private val caseNormOracle =
+    """SELECT CASE
+      |    WHEN lower(p_type) IN ('economy','standard') THEN 'basic'
+      |    WHEN lower(p_type) IN ('small','medium') THEN 'compact'
+      |    ELSE 'premium' END AS type_class,
+      |  COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM part GROUP BY 1 ORDER BY type_class""".stripMargin
+
+  /** Switchback date bookkeeping: day number in test, even/odd day, dow
+    * name (automated_script.sql:205-208). */
+  def dateLogic(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("day_num_in_test",
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")) + 1)
+      .withColumn("even_or_odd_day",
+        when(col("day_num_in_test") % 2 === 0, "even").otherwise("odd"))
+      .withColumn("dow", date_format(col("o_orderdate"), "EEEE"))
+      .groupBy("dow", "even_or_odd_day")
+      .agg(count(lit(1)).as("num_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy("dow", "even_or_odd_day")
+
+  private val dateLogicOracle =
+    """SELECT dayname(o_orderdate) AS dow,
+      |  CASE WHEN (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 1) % 2 = 0
+      |       THEN 'even' ELSE 'odd' END AS even_or_odd_day,
+      |  COUNT(*) AS num_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY dow, even_or_odd_day""".stripMargin
+
+  /** Conditional aggregation (CASE inside agg — the reference's
+    * keep/drop and On/Off splits): per-priority order mix. */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_totalprice") > 1000,
+          col("o_totalprice").cast(DecimalType(18, 4)))
+          .otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast(DoubleType).as("big_revenue"),
+      )
+      .orderBy("o_orderpriority")
+
+  private val conditionalAggOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  CAST(SUM(CASE WHEN o_totalprice > 1000 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS big_revenue
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** COALESCE/NULLIF fallback chain — the reference's actual-DF-paid
+    * logic (automated_script.sql:266-274). */
+  def coalesceFallback(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("effective_rate",
+        coalesce(nullif(col("l_discount"), lit(0.0)),
+          nullif(col("l_tax"), lit(0.0)), lit(0.01)))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 4)) *
+          col("effective_rate").cast(DecimalType(9, 6))))
+          .cast(DoubleType).as("fee_total"),
+      )
+      .orderBy("l_returnflag")
+
+  private val coalesceFallbackOracle =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           CAST(COALESCE(NULLIF(l_discount, 0.0), NULLIF(l_tax, 0.0), 0.01) AS DECIMAL(9,6))) AS DOUBLE) AS fee_total
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** row_number top-N per group (reference uses ranked TG selection). */
+  def topNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  private val topNPerGroupOracle =
+    """SELECT c_mktsegment, rn, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Cumulative sum per key ordered by time (running KPI totals).
+    * Decimal accumulation keeps the window sum association-order
+    * independent — identical on any partitioning. */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast(DoubleType))
+      .select("event_id", "user_id", "running_value")
+      .orderBy("event_id")
+  }
+
+  private val runningSumOracle =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Pivot to wide format (the analysis script's per-order/total metric
+    * tables are On/Off-pivoted): order counts per dow × status. */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("dow", date_format(col("o_orderdate"), "EEEE"))
+      .groupBy("dow")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("dow")
+
+  private val pivotWideOracle =
+    """SELECT dayname(o_orderdate) AS dow,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders GROUP BY 1 ORDER BY dow""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q_agg_groupby", aggGroupBy, Some(aggGroupByOracle), headline = true),
+    Op("q_join_star", joinStar, Some(joinStarOracle), headline = true),
+    Op("q_semi_join", semiJoin, Some(semiJoinOracle)),
+    Op("q_anti_join", antiJoin, Some(antiJoinOracle)),
+    Op("q_distinct", distinctProj, Some(distinctProjOracle)),
+    Op("q_dense_rank", denseRank, Some(denseRankOracle)),
+    Op("q_string_agg", stringAgg, Some(stringAggOracle)),
+    Op("q_explode_split", explodeSplit, Some(explodeSplitOracle)),
+    Op("q_regexp_extract", regexpExtract, Some(regexpExtractOracle)),
+    Op("q_case_norm", caseNorm, Some(caseNormOracle)),
+    Op("q_date_logic", dateLogic, Some(dateLogicOracle)),
+    Op("q_conditional_agg", conditionalAgg, Some(conditionalAggOracle)),
+    Op("q_coalesce_fallback", coalesceFallback, Some(coalesceFallbackOracle)),
+    Op("q_topn_per_group", topNPerGroup, Some(topNPerGroupOracle)),
+    Op("q_running_sum", runningSum, Some(runningSumOracle)),
+    Op("q_pivot", pivotWide, Some(pivotWideOracle)),
+  )
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.Compat._
+import graft.functions.StatFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Statistical significance tests (SURVEY.md §2 block B, part 2) — the
+  * analysis layer of the reference:
+  *  - Mann-Whitney U (…analysis_script.py:141, scipy.stats.mannwhitneyu
+  *    two-sided, tie-corrected normal approximation)
+  *  - Welch t-test / CIs / percentiles (notebooks: ttest_ind,
+  *    weightstats, np.percentile usage)
+  *
+  * Determinism: every moment (Σx, Σx²) is accumulated in exact DECIMAL,
+  * and rank statistics are sums of exact half-integers, so results are
+  * independent of partitioning/accumulation order — then rounded.
+  *
+  * Scale: the MWU rank table is built per DISTINCT value (groupBy first),
+  * so the ordered pass runs over |distinct values| rows per event_type,
+  * not raw rows — no global sort of the fact table.
+  */
+object Stats {
+
+  private def onOff: Column =
+    when((expr("unix_micros(date_trunc('hour', ts)) div 3600000000") +
+      col("user_id") % 10) % 2 === 0, "On").otherwise("Off")
+
+  private val onOffSql =
+    "CASE WHEN ((epoch_us(date_trunc('hour', ts)) // 3600000000) + (user_id % 10)) % 2 = 0 THEN 'On' ELSE 'Off' END"
+
+  /** Welch's unequal-variance t-test per event_type, On vs Off. */
+  def ttestWelch(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val moments = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On", col("value").cast(d))).cast(DoubleType).as("s1"),
+        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
+        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
+      )
+    val m1 = col("s1") / col("n1"); val m2 = col("s2") / col("n2")
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val se2 = v1 / col("n1") + v2 / col("n2")
+    val t = (m1 - m2) / sqrt(se2)
+    val df = se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
+      (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+    moments.select(
+      col("event_type"), col("n1"), col("n2"),
+      r4(m1).as("mean_on"), r4(m2).as("mean_off"),
+      r4(t).as("t_stat"), r4(df).as("df"),
+      round(pTwoSidedNormal(t), 6).as("p_normal"),
+    ).orderBy("event_type")
+  }
+
+  private val ttestWelchOracle = {
+    val m1 = "(s1 / n1)"; val m2 = "(s2 / n2)"
+    val v1 = "((ss1 - s1 * s1 / n1) / (n1 - 1))"
+    val v2 = "((ss2 - s2 * s2 / n2) / (n2 - 1))"
+    val se2 = s"($v1 / n1 + $v2 / n2)"
+    val t = s"(($m1 - $m2) / sqrt($se2))"
+    val df = s"($se2 * $se2 / (($v1/n1)*($v1/n1)/(n1-1) + ($v2/n2)*($v2/n2)/(n2-1)))"
+    s"""WITH moments AS (
+       |  SELECT event_type,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS ss1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n1, n2,
+       |  ROUND($m1, 4) AS mean_on, ROUND($m2, 4) AS mean_off,
+       |  ROUND($t, 4) AS t_stat, ROUND($df, 4) AS df,
+       |  ROUND(${pTwoSidedNormalSql(t)}, 6) AS p_normal
+       |FROM moments ORDER BY event_type""".stripMargin
+  }
+
+  /** Mann-Whitney U, two-sided, tie-corrected + continuity-corrected
+    * normal approximation — matches scipy.stats.mannwhitneyu(method=
+    * 'asymptotic', use_continuity=True) to ~1e-7
+    * (…analysis_script.py:141). */
+  def mwu(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("cnt_on"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+      // average rank of a tied value-block: exact half-integer
+      .withColumn("avg_rank", col("cum_before") + (col("cnt") + 1) / 2.0)
+    val agg = ranked.groupBy("event_type").agg(
+      sum(col("avg_rank") * col("cnt_on")).as("r_on"), // exact: sum of halves
+      sum("cnt_on").as("n1"),
+      sum("cnt").as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"),
+    )
+    val n1 = col("n1"); val n2 = col("n") - col("n1"); val n = col("n")
+    val u1 = col("r_on") - n1 * (n1 + 1) / 2.0
+    val mu = n1 * n2 / 2.0
+    val sd = sqrt(n1 * n2 / 12.0 *
+      ((n + 1) - col("tie_t") / (n * (n - 1.0))))
+    val z = (u1 - mu - signum(u1 - mu) * 0.5) / sd
+    agg.select(
+      col("event_type"), n1.as("n_on"), n2.cast("long").as("n_off"),
+      u1.as("u_stat"), r4(z).as("z"),
+      round(pTwoSidedNormal(z), 6).as("p_value"),
+    ).orderBy("event_type")
+  }
+
+  private val mwuOracle = {
+    val n2 = "(n - n1)"
+    val u1 = "(r_on - n1 * (n1 + 1) / 2.0)"
+    val mu = s"(n1 * $n2 / 2.0)"
+    val sd = s"sqrt(n1 * $n2 / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0))))"
+    val z = s"(($u1 - $mu - sign($u1 - $mu) * 0.5) / $sd)"
+    s"""WITH counts AS (
+       |  SELECT event_type, "value" AS v, COUNT(*) AS cnt,
+       |    SUM(CASE WHEN $onOffSql = 'On' THEN 1 ELSE 0 END) AS cnt_on
+       |  FROM events GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT event_type, cnt, cnt_on,
+       |    COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (cnt + 1) / 2.0 AS avg_rank
+       |  FROM counts),
+       |agg AS (
+       |  SELECT event_type,
+       |    SUM(avg_rank * cnt_on) AS r_on,
+       |    CAST(SUM(cnt_on) AS BIGINT) AS n1,
+       |    CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_t
+       |  FROM ranked GROUP BY 1)
+       |SELECT event_type, n1 AS n_on, $n2 AS n_off,
+       |  $u1 AS u_stat, ROUND($z, 4) AS z,
+       |  ROUND(${pTwoSidedNormalSql(z)}, 6) AS p_value
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
+  /** Normal-approximation confidence intervals per group (the notebooks'
+    * CI_per_country_and_city / weightstats usage). */
+  def ciNormal(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val m = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy("event_type", "g")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(d)).cast(DoubleType).as("s"),
+        sum((col("value") * col("value")).cast(d)).cast(DoubleType).as("ss"),
+      )
+    val mean = col("s") / col("n")
+    val sd = sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+    val half = lit(1.959963984540054) * sd / sqrt(col("n"))
+    m.select(col("event_type"), col("g").as("grp"), col("n"),
+      r4(mean).as("mean"), r4(sd).as("sd"),
+      r4(mean - half).as("ci_lo"), r4(mean + half).as("ci_hi"))
+      .orderBy("event_type", "grp")
+  }
+
+  private val ciNormalOracle = {
+    val mean = "(s / n)"
+    val sd = "sqrt((ss - s * s / n) / (n - 1))"
+    val half = s"(1.959963984540054 * $sd / sqrt(n))"
+    s"""WITH m AS (
+       |  SELECT event_type, $onOffSql AS grp, COUNT(*) AS n,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) AS DOUBLE) AS ss
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, grp, n, ROUND($mean, 4) AS mean, ROUND($sd, 4) AS sd,
+       |  ROUND($mean - $half, 4) AS ci_lo, ROUND($mean + $half, 4) AS ci_hi
+       |FROM m ORDER BY event_type, grp""".stripMargin
+  }
+
+  /** Exact linear-interpolation percentiles per group (np.percentile /
+    * pd.quantile in the notebooks). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(expr("percentile(value, 0.5)")).as("p50"),
+        r4(expr("percentile(value, 0.9)")).as("p90"),
+        r4(expr("percentile(value, 0.99)")).as("p99"),
+      )
+      .orderBy("event_type")
+
+  private val quantilesOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(quantile_cont("value", 0.5), 4) AS p50,
+      |  ROUND(quantile_cont("value", 0.9), 4) AS p90,
+      |  ROUND(quantile_cont("value", 0.99), 4) AS p99
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q_ttest_welch", ttestWelch, Some(ttestWelchOracle)),
+    Op("q_mwu", mwu, Some(mwuOracle), headline = true),
+    Op("q_ci_normal", ciNormal, Some(ciNormalOracle)),
+    Op("q_quantiles", quantiles, Some(quantilesOracle)),
+  )
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.Compat._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Switchback-experiment analytics (SURVEY.md §2 block B, part 1).
+  *
+  * The reference assigns treatment by time slice ("even/odd day",
+  * automated_script.sql:208) and aggregates KPIs per test × On/Off group
+  * (py_scripts/automated_switchback_test_analysis_script.py:104-133).
+  * Here the switchback window is 1 hour (the repo's README §4 finding)
+  * and assignment is the parity of (hour index + zone), i.e. randomized
+  * by time-of-day AND geographical zone exactly as the reference's
+  * research concluded (README §4 point 1).
+  *
+  * Scale: assignment is a pure per-row expression (no shuffle);
+  * aggregations are partial-agg friendly; window-level rollups shuffle
+  * once on (event_type, window).
+  */
+object Switchback {
+
+  /** Hour-index of the switchback window an event falls into. */
+  private def hourIdx: Column =
+    expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+
+  private def zoneId: Column = col("user_id") % 10
+
+  /** 'On'/'Off' switchback assignment: parity of hour-index + zone. */
+  private def onOff: Column =
+    when((hourIdx + zoneId) % 2 === 0, "On").otherwise("Off")
+
+  private val onOffSql =
+    "CASE WHEN ((epoch_us(date_trunc('hour', ts)) // 3600000000) + (user_id % 10)) % 2 = 0 THEN 'On' ELSE 'Off' END"
+
+  /** Per-event switchback window assignment (window start, zone, group). */
+  def sbAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        date_trunc("hour", col("ts")).as("window_start"),
+        zoneId.as("zone_id"),
+        onOff.as("on_off"),
+      )
+      .orderBy("event_id")
+
+  private val sbAssignOracle =
+    s"""SELECT event_id, date_trunc('hour', ts) AS window_start,
+       |  user_id % 10 AS zone_id, $onOffSql AS on_off
+       |FROM events ORDER BY event_id""".stripMargin
+
+  /** Per-group per-order means and totals of the KPIs — the analysis
+    * script's step 5 (…analysis_script.py:124-129), with `value` and the
+    * props `k` playing the role of the money/logistics KPI columns. */
+  def sbMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("on_off", onOff)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .groupBy("event_type", "on_off")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        r2(avgMoney(col("value"))).as("value_per_order"),
+        sumMoney(col("value")).as("value_total"),
+        r2(sum(col("k")).cast(DoubleType) / count(lit(1))).as("k_per_order"),
+        sum(col("k")).cast("long").as("k_total"),
+      )
+      .orderBy("event_type", "on_off")
+
+  private val sbMetricsOracle =
+    s"""SELECT event_type, $onOffSql AS on_off,
+       |  COUNT(*) AS n_orders,
+       |  ROUND(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2) AS value_per_order,
+       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS value_total,
+       |  ROUND(CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS DOUBLE) / COUNT(*), 2) AS k_per_order,
+       |  CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS BIGINT) AS k_total
+       |FROM events GROUP BY 1, 2 ORDER BY event_type, on_off""".stripMargin
+
+  /** Counterpart method (notebooks/switchback_analysis/counterpart_method
+    * .ipynb): pair each On window with the next Off window of the same
+    * stream and emit the per-window mean delta. */
+  def counterpart(spark: SparkSession, dir: String): DataFrame = {
+    // pair within (event_type, zone): a zone's consecutive hourly windows
+    // alternate On/Off, so the next window is always the counterpart.
+    val perWindow = Tables.events(spark, dir)
+      .withColumn("on_off", onOff)
+      .groupBy(col("event_type"), zoneId.as("zone_id"),
+        date_trunc("hour", col("ts")).as("window_start"), col("on_off"))
+      .agg((sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) /
+        count(lit(1))).as("wmean"))
+    val w = Window.partitionBy("event_type", "zone_id").orderBy("window_start")
+    perWindow
+      .withColumn("next_on_off", lead("on_off", 1).over(w))
+      .withColumn("next_wmean", lead("wmean", 1).over(w))
+      .filter(col("on_off") === "On" && col("next_on_off") === "Off")
+      .select(col("event_type"), col("zone_id"), col("window_start"),
+        r4(col("wmean")).as("on_mean"),
+        r4(col("next_wmean")).as("off_mean"),
+        r4(col("wmean") - col("next_wmean")).as("delta"))
+      .orderBy("event_type", "zone_id", "window_start")
+  }
+
+  private val counterpartOracle =
+    s"""WITH per_window AS (
+       |  SELECT event_type, user_id % 10 AS zone_id, date_trunc('hour', ts) AS window_start, $onOffSql AS on_off,
+       |    CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS wmean
+       |  FROM events GROUP BY 1, 2, 3, 4),
+       |paired AS (
+       |  SELECT event_type, zone_id, window_start, on_off, wmean,
+       |    LEAD(on_off) OVER (PARTITION BY event_type, zone_id ORDER BY window_start) AS next_on_off,
+       |    LEAD(wmean) OVER (PARTITION BY event_type, zone_id ORDER BY window_start) AS next_wmean
+       |  FROM per_window)
+       |SELECT event_type, zone_id, window_start, ROUND(wmean, 4) AS on_mean,
+       |  ROUND(next_wmean, 4) AS off_mean, ROUND(wmean - next_wmean, 4) AS delta
+       |FROM paired WHERE on_off = 'On' AND next_on_off = 'Off'
+       |ORDER BY event_type, zone_id, window_start""".stripMargin
+
+  /** Sample-ratio-mismatch chi-square: is the On/Off split 50/50?
+    * (The A/A sanity checks in data_extraction_queries_aa_tests….sql.) */
+  def srmChisq(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("on_off", onOff)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("on_off") === "On", 1L).otherwise(0L)).as("n_on"),
+      )
+      .withColumn("n_off", col("n") - col("n_on"))
+      .withColumn("chisq", r4(
+        (col("n_on") - col("n") / 2.0) * (col("n_on") - col("n") / 2.0) / (col("n") / 2.0) +
+          (col("n_off") - col("n") / 2.0) * (col("n_off") - col("n") / 2.0) / (col("n") / 2.0)))
+      .select("event_type", "n", "n_on", "n_off", "chisq")
+      .orderBy("event_type")
+
+  private val srmChisqOracle =
+    s"""WITH counts AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    SUM(CASE WHEN $onOffSql = 'On' THEN 1 ELSE 0 END) AS n_on
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n, CAST(n_on AS BIGINT) AS n_on, CAST(n - n_on AS BIGINT) AS n_off,
+       |  ROUND((n_on - n/2.0)*(n_on - n/2.0)/(n/2.0) + ((n - n_on) - n/2.0)*((n - n_on) - n/2.0)/(n/2.0), 4) AS chisq
+       |FROM counts ORDER BY event_type""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q_sb_assign", sbAssign, Some(sbAssignOracle)),
+    Op("q_sb_metrics", sbMetrics, Some(sbMetricsOracle), headline = true),
+    Op("q_counterpart", counterpart, Some(counterpartOracle)),
+    Op("q_srm_chisq", srmChisq, Some(srmChisqOracle)),
+  )
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.Compat._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-time operators (SURVEY.md §2 block B, part 3): EWM smoothing
+  * (notebooks use pandas .ewm for propagation-effect analysis),
+  * sessionization, as-of joins, tumbling windows (batch twin of the
+  * streaming path in graft.streaming).
+  *
+  * Scale: everything is Window.partitionBy(user) — parallelism scales
+  * with #users; no global sorts. The as-of join is the union-then-
+  * last_value formulation: one shuffle on user_id, no range-join blowup.
+  */
+object TimeSeries {
+
+  /** Exponentially-weighted mean (pandas ewm(alpha=0.2, adjust=True))
+    * over each user's latest 20 events. The truncation keeps the weights
+    * exactly computable in both engines (tail weight 0.8^20 ≈ 1e-2 of
+    * the oldest retained term); the untruncated streaming path is
+    * mapGroupsWithState in graft.streaming. */
+  def ewm(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val d = DecimalType(28, 14)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .withColumn("wt", pow(lit(0.8), col("rn") - 1))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_used"),
+        (sum((col("wt") * col("value")).cast(d)).cast(DoubleType) /
+          sum(col("wt").cast(d)).cast(DoubleType)).as("ewm_raw"),
+      )
+      .select(col("user_id"), col("n_used"), r4(col("ewm_raw")).as("ewm_value"))
+      .orderBy("user_id")
+  }
+
+  private val ewmOracle =
+    """WITH latest AS (
+      |  SELECT user_id, "value",
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |weighted AS (
+      |  SELECT user_id, pow(0.8, rn - 1) AS wt, "value"
+      |  FROM latest WHERE rn <= 20)
+      |SELECT user_id, COUNT(*) AS n_used,
+      |  ROUND(CAST(SUM(CAST(wt * "value" AS DECIMAL(28,14))) AS DOUBLE) /
+      |        CAST(SUM(CAST(wt AS DECIMAL(28,14))) AS DOUBLE), 4) AS ewm_value
+      |FROM weighted GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity gap): lag + cumulative
+    * new-session flags, then per-user session stats. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("new_session").as("n_sessions"))
+      .withColumn("events_per_session",
+        r4(col("n_events").cast(DoubleType) / col("n_sessions")))
+      .orderBy("user_id")
+  }
+
+  private val sessionizeOracle =
+    """WITH flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(new_session), 4) AS events_per_session
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** As-of join: each purchase matched to the user's latest click at or
+    * before it. Implemented as union + last_value-over-ordered-stream —
+    * a single shuffle on user_id (contrast with an exploding range
+    * join); DuckDB oracle uses a correlated max subquery. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    // clicks sort before purchases at the same timestamp: "<=" semantics
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), when(col("event_type") === "click", 0).otherwise(1))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_click_us"),
+        (col("us") - col("last_click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinOracle =
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT MAX(epoch_us(c.ts)) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts) AS last_click_us,
+      |  epoch_us(e.ts) - (SELECT MAX(epoch_us(c.ts)) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts) AS gap_us
+      |FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin
+
+  /** Tumbling 1-hour window aggregation — batch twin of the structured
+    * streaming pipeline (graft.streaming.EventStream). */
+  def windowTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  private val windowTumblingOracle =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q_ewm", ewm, Some(ewmOracle)),
+    Op("q_sessionize", sessionize, Some(sessionizeOracle), headline = true),
+    Op("q_asof_join", asofJoin, Some(asofJoinOracle), headline = true),
+    Op("q_window_tumbling", windowTumbling, Some(windowTumblingOracle)),
+  )
+}
