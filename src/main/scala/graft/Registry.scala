@@ -4,9 +4,14 @@ package graft
 object Registry {
   def ops: Seq[Op] =
     operators.Relational.ops ++
+      operators.Geo.ops ++
       operators.Switchback.ops ++
       operators.Stats.ops ++
-      operators.TimeSeries.ops
+      operators.TimeSeries.ops ++
+      operators.Dedup.ops ++
+      operators.Similarity.ops ++
+      operators.TextAnalysis.ops ++
+      operators.Multimodal.ops
 
   def byName: Map[String, Op] = ops.map(o => o.name -> o).toMap
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines (SURVEY.md §2
+  * block C): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every variant is candidate-generation-first — an
+  * inverted index (shingle/band/bucket → doc list) bounds the pair
+  * space, so cost scales with Σ|bucket|², never |docs|². Exact dedup is
+  * a single hash-groupBy (one shuffle). At 100 TB the LSH paths are the
+  * production ones; the all-pairs Jaccard runs only on a keyed sample.
+  */
+object Dedup {
+
+  /** The test corpus has no verbatim duplicates, so the exact/near-dup
+    * operators are exercised on `documents ∪ re-keyed copies of every
+    * 10th document` — deterministic, and reproducible in the oracle. */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private val corpusSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Exact dedup: md5(text) → keep the lowest doc_id per content hash.
+    * One hash-partitioned groupBy; at 100 TB use the same plan (the
+    * shuffle key is the 128-bit digest, perfectly spread). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("keep_id")
+
+  private val dedupExactOracle =
+    s"""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM $corpusSql GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin
+
+  /** Word-bigram Jaccard near-dup pairs over a keyed sample
+    * (doc_id % 20 = 0): explode shingles → inverted index → pair
+    * intersection counts → |A∩B| / (|A|+|B|-|A∩B|). */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // distinct word-bigram shingles per doc
+    val shingles = docs.select(col("doc_id"), explode(
+      expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+      .as("shingle")).distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = shingles.as("a")
+      .join(shingles.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.06)
+      .select("id_a", "id_b", "inter", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupNgramOracle =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0),
+      |shingles AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS shingle
+      |  FROM docs),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter,
+      |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+      |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+      |           JOIN sizes sb ON pairs.id_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.06
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash + LSH banding near-dup candidates (the 100 TB path).
+    * 16 permutations h_i(s) = (a_i·murmur3(s) + b_i) mod p, banded 4×4;
+    * docs sharing any band bucket are candidates, then verified by true
+    * Jaccard. murmur3 (Spark `hash`) isn't portable SQL → rows-only. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val p = 2147483647L
+    val perms = (0 until 16).map(i => (1L + 2L * i, 7L + 13L * i))
+    val docs = corpus(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val shingles = docs.select(col("doc_id"), explode(
+      expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+      .as("shingle")).distinct()
+      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(p)))
+    val mhCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(p))).as(s"mh$i")
+    }
+    val sig = shingles.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // 4 bands of 4 rows: band key = struct of its 4 minhashes
+    val bands = (0 until 4).map { bnd =>
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*).as("bucket"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    // verify candidates with true Jaccard
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand.join(shingles.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(shingles.as("sb"), col("id_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash near-dup: per-token murmur3-derived bit votes →
+    * signature; candidates via 4×16-bit band buckets; emit pairs with
+    * Hamming distance ≤ 6. Rows-only (murmur3 basis). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = corpus(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h64",
+        hash(col("tok")).cast("long") * 2654435761L + hash(col("tok"), lit(1)).cast("long"))
+    // bit votes: for each of 64 bits, +1 if set else -1; sign of sum
+    val bitCols = (0 until 64).map { i =>
+      sum(when(expr(s"shiftright(h64, $i) % 2 != 0"), 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = docs.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0,
+          expr(s"shiftleft(1L, $i)")).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        expr(s"shiftright(simhash, ${b * 16}) & 65535").as("bucket"))
+    }.reduce(_ unionAll _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming")).distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup: sign-LSH bucket on 8 deterministic
+    * pseudo-hyperplanes, then exact cosine ≥ 0.9 within buckets.
+    * Rows-only (hyperplanes derive from murmur3). */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    // random embeddings have no natural near-dups: exercise the operator
+    // on base ∪ re-keyed copies of every 20th vector (cosine exactly 1)
+    val emb = base.unionAll(base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    // pseudo-hyperplane component j of plane k: ±1 from murmur3(k, j)
+    val bucketBits = (0 until 8).map { k =>
+      val dot = expr(
+        s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+           |  (v, j) -> CAST(v AS DOUBLE) * (CASE WHEN pmod(hash($k, j), 2) = 0 THEN 1.0 ELSE -1.0 END)),
+           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+      when(dot >= 0, expr(s"shiftleft(1L, $k)")).otherwise(0L)
+    }
+    val bucketed = emb.withColumn("bucket", bucketBits.reduce(_ + _))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(expr(
+        """aggregate(zip_with(a.embedding, b.embedding,
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+        (col("a.norm") * col("b.norm")), 4))
+      .filter(col("cos") >= 0.9)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("q_dedup_exact", dedupExact, Some(dedupExactOracle), headline = true),
+    Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
+    Op("q_dedup_minhash", dedupMinhash, None, headline = true),
+    Op("q_dedup_simhash", dedupSimhash, None),
+    Op("q_dedup_embed", dedupEmbed, None),
+  )
+}

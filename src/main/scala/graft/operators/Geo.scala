@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.Compat._
+import graft.functions.PointInPolygon
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geo zone tagging (SURVEY.md §2 block A) — the reference's
+  * ST_CONTAINS point-in-polygon order→zone join
+  * (data_extraction_queries_automated_script.sql:144-165, 354).
+  *
+  * Events are points in (value, k) space; zones are polygons held in a
+  * small broadcast dimension. The polygons here are rectangles so the
+  * DuckDB oracle can express membership as range predicates, but the
+  * engine side runs the general ray-casting expression
+  * ([[graft.functions.PointInPolygon]]) — non-convex polygons are
+  * covered by its unit spec.
+  *
+  * Scale: zones broadcast (they are O(cities)); the fact side is a
+  * single codegen'd filter pass, no shuffle before the rollup.
+  */
+object Geo {
+
+  /** (zone, xmin, xmax, ymin, ymax) — gaps left on purpose so some
+    * points fall in no zone. */
+  private val zones: Seq[(String, Double, Double, Double, Double)] = Seq(
+    ("z_low_small", 0.0, 4.0, 0.0, 45.0),
+    ("z_low_big", 0.0, 4.0, 55.0, 100.0),
+    ("z_mid", 4.0, 9.0, 10.0, 90.0),
+    ("z_high", 9.0, 30.0, 0.0, 100.0),
+  )
+
+  def geoContains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zoneDf = zones.map { case (z, x0, x1, y0, y1) =>
+      // rectangle as an explicit polygon ring for the ray-caster
+      (z, Seq(x0, x1, x1, x0), Seq(y0, y0, y1, y1))
+    }.toDF("zone", "xs", "ys")
+    val pts = Tables.events(spark, dir)
+      .select(col("event_id"), col("value").as("x"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("double").as("y"))
+    pts.join(broadcast(zoneDf),
+        PointInPolygon(col("x"), col("y"), col("xs"), col("ys")))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_points"), sumMoney(col("x")).as("sum_x"))
+      .orderBy("zone")
+  }
+
+  /** Oracle: the same rectangles as half-open range predicates. The ray
+    * caster counts a point on the left/bottom edge as inside and on the
+    * right/top edge as outside (strict `<` on the crossing), matching
+    * xmin <= x < xmax ∧ ymin <= y < ymax for axis-aligned rectangles. */
+  private val geoContainsOracle = {
+    val zoneRows = zones.map { case (z, x0, x1, y0, y1) =>
+      s"('$z', $x0, $x1, $y0, $y1)"
+    }.mkString(", ")
+    s"""WITH zones(zone, x0, x1, y0, y1) AS (VALUES $zoneRows),
+       |pts AS (
+       |  SELECT event_id, "value" AS x,
+       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE) AS y
+       |  FROM events)
+       |SELECT zone, COUNT(*) AS n_points,
+       |  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sum_x
+       |FROM pts JOIN zones ON x >= x0 AND x < x1 AND y >= y0 AND y < y1
+       |GROUP BY 1 ORDER BY zone""".stripMargin
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("q_geo_contains", geoContains, Some(geoContainsOracle)),
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PointInPolygon
+import graft.operators.Multimodal
+
+/** Dedup / similarity / text / geo / multimodal blocks. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest doc_id and counts copies") {
+    val df = operators.Dedup.dedupExact(spark, sfDir).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      assert(r.getLong(2) === 2) // every injected dup appears exactly twice
+      assert(r.getLong(1) % 10 === 0) // keeper is the original (low id)
+    }
+  }
+
+  test("minhash LSH finds the injected exact duplicates") {
+    val pairs = operators.Dedup.dedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every every-10th doc has an exact copy at id+1000000 → jaccard 1.0
+    val exact = pairs.filter(_._3 == 1.0)
+    assert(exact.nonEmpty)
+    assert(exact.exists { case (a, b, _) => b - a == 1000000 })
+  }
+
+  test("knn: identical vector ranks first with cosine 1") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val top = broadcast(q).join(emb)
+      .withColumn("cos", expr(
+        """aggregate(zip_with(q_emb, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+        (sqrt(expr("aggregate(q_emb, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")) *
+          sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))"))))
+      .orderBy(col("cos").desc).select("vec_id", "cos").head()
+    assert(top.getLong(0) === 0L)
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("point-in-polygon: non-convex polygon (ray casting)") {
+    // U-shaped polygon: (0,0)(6,0)(6,5)(4,5)(4,2)(2,2)(2,5)(0,5)
+    val xs = Seq(0.0, 6.0, 6.0, 4.0, 4.0, 2.0, 2.0, 0.0)
+    val ys = Seq(0.0, 0.0, 5.0, 5.0, 2.0, 2.0, 5.0, 5.0)
+    val pts = Seq(
+      (1.0, 4.0, true),   // left arm
+      (5.0, 4.0, true),   // right arm
+      (3.0, 4.0, false),  // the notch
+      (3.0, 1.0, true),   // base
+      (7.0, 1.0, false),  // outside
+    ).toDF("x", "y", "expected")
+    val out = pts.withColumn("got",
+        PointInPolygon(col("x"), col("y"),
+          typedLit(xs), typedLit(ys)))
+      .collect()
+    out.foreach(r => assert(r.getBoolean(2) === r.getBoolean(3),
+      s"point (${r.getDouble(0)}, ${r.getDouble(1)})"))
+  }
+
+  test("language id covers all labels and is deterministic") {
+    val m = operators.TextAnalysis.langId(spark, sfDir)
+      .groupBy("lang").agg(sum("n")).collect()
+    assert(m.length === 5)
+  }
+
+  test("multimodal decode stub produces stable features") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === media.count())
+    feats.foreach { f =>
+      assert(f.n_bytes === 16) // md5 payload
+      assert(f.f0 >= 0 && f.f0 <= 255) // mean byte
+      assert(f.f2 > 0) // pixels
+    }
+    // determinism of the stub
+    val (a, b, c, d) = Multimodal.decodeStub(Array[Byte](1, 2, 3), 4, 5)
+    assert(a === 2.0)
+    assert(math.abs(b - 2.0 / 3) < 1e-12)
+    assert((c, d) === ((20.0, 3.0)))
+  }
+}

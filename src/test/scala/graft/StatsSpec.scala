@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.functions.StatFunctions
+
+/** Stat aggregators vs independently-computed reference values
+  * (rank/tie/continuity definitions as scipy.stats.mannwhitneyu
+  * asymptotic + Welch ttest_ind(equal_var=False)). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mwuOf(x: Seq[Double], y: Seq[Double]): (Double, Double, Double) = {
+    // same pipeline as operators.Stats.mwu, on explicit groups
+    val df = (x.map(("x", _)) ++ y.map(("y", _))).toDF("g", "value")
+    val counts = df.groupBy("value")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("g") === "x", 1L).otherwise(0L)).as("cnt_on"))
+    val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("avg_rank", col("cum_before") + (col("cnt") + 1) / 2.0)
+    val agg = ranked.agg(
+      sum(col("avg_rank") * col("cnt_on")).as("r_on"),
+      sum("cnt_on").as("n1"), sum("cnt").as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
+    val n1c = col("n1"); val n2c = col("n") - col("n1"); val nc = col("n")
+    val u1 = col("r_on") - n1c * (n1c + 1) / 2.0
+    val mu = n1c * n2c / 2.0
+    val sd = sqrt(n1c * n2c / 12.0 * ((nc + 1) - col("tie_t") / (nc * (nc - 1.0))))
+    val z = (u1 - mu - signum(u1 - mu) * 0.5) / sd
+    val row = agg.select(u1.as("u"), z.as("z"),
+      StatFunctions.pTwoSidedNormal(z).as("p")).head()
+    (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+  }
+
+  test("Mann-Whitney U matches reference (no ties)") {
+    val (u, z, p) = mwuOf(Seq(1.1, 2.3, 3.5, 4.1, 5.0, 6.2),
+      Seq(2.0, 3.1, 4.4, 5.5, 6.6, 7.0, 8.1))
+    assert(u === 12.0)
+    assert(math.abs(z - -1.2142857142857142) < 1e-9)
+    assert(math.abs(p - 0.2246386389237804) < 1e-6) // A&S erf ≈ 1.5e-7
+  }
+
+  test("Mann-Whitney U matches reference (ties, tie-corrected)") {
+    val (u, z, p) = mwuOf(Seq(1.0, 2.0, 2.0, 3.0), Seq(2.0, 3.0, 4.0, 4.0))
+    assert(u === 2.5)
+    assert(math.abs(z - -1.4978617237881953) < 1e-9)
+    assert(math.abs(p - 0.13416918012812581) < 1e-6)
+  }
+
+  test("Welch t-test matches reference") {
+    val x = Seq(1.1, 2.3, 3.5, 4.1, 5.0, 6.2); val y = Seq(2.0, 3.1, 4.4, 5.5, 6.6, 7.0, 8.1)
+    val d = DecimalType(28, 6)
+    val df = (x.map(("x", _)) ++ y.map(("y", _))).toDF("g", "value")
+    val m = df.agg(
+      sum(when(col("g") === "x", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g") === "x", col("value").cast(d))).cast(DoubleType).as("s1"),
+      sum(when(col("g") === "x", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
+      sum(when(col("g") === "y", 1L).otherwise(0L)).as("n2"),
+      sum(when(col("g") === "y", col("value").cast(d))).cast(DoubleType).as("s2"),
+      sum(when(col("g") === "y", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"))
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val se2 = v1 / col("n1") + v2 / col("n2")
+    val t = (col("s1") / col("n1") - col("s2") / col("n2")) / sqrt(se2)
+    val dfree = se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
+      (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+    val row = m.select(t.as("t"), dfree.as("df")).head()
+    assert(math.abs(row.getDouble(0) - -1.3789081865879802) < 1e-9)
+    assert(math.abs(row.getDouble(1) - 10.99858925825451) < 1e-7)
+  }
+
+  test("operator-level stats queries run and are sane") {
+    val tt = operators.Stats.ttestWelch(spark, sfDir).collect()
+    assert(tt.length === 5) // one row per event_type
+    tt.foreach { r =>
+      val p = r.getAs[Double]("p_normal")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    val mw = operators.Stats.mwu(spark, sfDir).collect()
+    assert(mw.length === 5)
+    mw.foreach(r => assert(r.getAs[Double]("p_value") >= 0.0))
+  }
+}
