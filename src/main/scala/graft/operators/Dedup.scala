@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import graft.functions.Compat._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,8 +67,8 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .withColumn("jaccard", r4(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter"))))
       .filter(col("jaccard") >= 0.06)
       .select("id_a", "id_b", "inter", "jaccard")
       .orderBy("id_a", "id_b")
@@ -87,10 +88,10 @@ object Dedup {
       |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b, inter,
-      |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+      |  (sign(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * floor(abs(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * 1e4 + 0.5) / 1e4) AS jaccard
       |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
       |           JOIN sizes sb ON pairs.id_b = sb.doc_id
-      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.06
+      |WHERE (sign(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * floor(abs(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * 1e4 + 0.5) / 1e4) >= 0.06
       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash + LSH banding near-dup candidates (the 100 TB path).
@@ -130,8 +131,8 @@ object Dedup {
       .na.fill(0L, Seq("inter"))
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .withColumn("jaccard", r4(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter"))))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -190,11 +191,11 @@ object Dedup {
         "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(expr(
+      .withColumn("cos", r4(expr(
         """aggregate(zip_with(a.embedding, b.embedding,
           |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-        (col("a.norm") * col("b.norm")), 4))
+        (col("a.norm") * col("b.norm"))))
       .filter(col("cos") >= 0.9)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
       .orderBy("id_a", "id_b")

@@ -36,9 +36,11 @@ object Relational {
       .agg(
         sumMoney(col("l_quantity")).as("sum_qty"),
         sumMoney(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        // DuckDB's high-scale decimal→double cast is 1 ulp off the
+        // correctly-rounded value, so scale-10 sums get r4'd both sides
+        r4(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
           (lit(1) - col("l_discount")).cast(DecimalType(9, 6)))
-          .cast(DoubleType).as("sum_disc_price"),
+          .cast(DoubleType)).as("sum_disc_price"),
         (sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType) /
           count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"),
@@ -49,7 +51,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS DOUBLE) AS sum_disc_price,
+      |  (sign(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS DOUBLE)) * floor(abs(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS DOUBLE)) * 1e4 + 0.5) / 1e4) AS sum_disc_price,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
@@ -149,13 +151,13 @@ object Relational {
       .withColumn("rk", dense_rank().over(w))
       .filter(col("rk") <= 5)
       .select(col("c_nationkey"), col("c_custkey"),
-        round(col("c_acctbal"), 2).as("c_acctbal"),
+        r2(col("c_acctbal")).as("c_acctbal"),
         concat(lit("TG"), col("rk")).as("tg_name"))
       .orderBy("c_nationkey", "tg_name", "c_custkey")
   }
 
   private val denseRankOracle =
-    """SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal,
+    """SELECT c_nationkey, c_custkey, (sign(c_acctbal) * floor(abs(c_acctbal) * 1e2 + 0.5) / 1e2) AS c_acctbal,
       |  'TG' || rk AS tg_name
       |FROM (
       |  SELECT c_nationkey, c_custkey, c_acctbal,
@@ -289,16 +291,17 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum((col("l_extendedprice").cast(DecimalType(18, 4)) *
+        r4(sum((col("l_extendedprice").cast(DecimalType(18, 4)) *
           col("effective_rate").cast(DecimalType(9, 6))))
-          .cast(DoubleType).as("fee_total"),
+          .cast(DoubleType)).as("fee_total"),
       )
       .orderBy("l_returnflag")
 
   private val coalesceFallbackOracle =
     """SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |           CAST(COALESCE(NULLIF(l_discount, 0.0), NULLIF(l_tax, 0.0), 0.01) AS DECIMAL(9,6))) AS DOUBLE) AS fee_total
+      |  (sign(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           CAST(COALESCE(NULLIF(l_discount, 0.0), NULLIF(l_tax, 0.0), 0.01) AS DECIMAL(9,6))) AS DOUBLE)) * floor(abs(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           CAST(COALESCE(NULLIF(l_discount, 0.0), NULLIF(l_tax, 0.0), 0.01) AS DECIMAL(9,6))) AS DOUBLE)) * 1e4 + 0.5) / 1e4) AS fee_total
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** row_number top-N per group (reference uses ranked TG selection). */
@@ -309,12 +312,12 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
-        round(col("c_acctbal"), 2).as("c_acctbal"))
+        r2(col("c_acctbal")).as("c_acctbal"))
       .orderBy("c_mktsegment", "rn")
   }
 
   private val topNPerGroupOracle =
-    """SELECT c_mktsegment, rn, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+    """SELECT c_mktsegment, rn, c_custkey, (sign(c_acctbal) * floor(abs(c_acctbal) * 1e2 + 0.5) / 1e2) AS c_acctbal
       |FROM (
       |  SELECT c_mktsegment, c_custkey, c_acctbal,
       |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn

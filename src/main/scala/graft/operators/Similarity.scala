@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import graft.functions.Compat._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,8 +34,7 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < 10)
       .withColumnRenamed("vec_id", "q_id").withColumnRenamed("embedding", "q_emb")
     val scored = broadcast(queries).join(emb, col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(
-        dotD("q_emb", "embedding") / (normD("q_emb") * normD("embedding")), 6))
+      .withColumn("cos", r6(dotD("q_emb", "embedding") / (normD("q_emb") * normD("embedding"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -42,20 +42,21 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  private val knnCosineOracle =
-    """WITH scored AS (
+  private val knnCosineOracle = {
+    val rawCos =
+      "(list_sum(list_transform(list_zip(q.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    s"""WITH scored AS (
       |  SELECT q.vec_id AS q_id, e.vec_id,
-      |    ROUND(
-      |      list_sum(list_transform(list_zip(q.embedding, e.embedding),
-      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-      |      (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-      |       sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+      |    ${rSql(rawCos, 6)} AS cos
       |  FROM embeddings q JOIN embeddings e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
       |ranked AS (
       |  SELECT q_id, vec_id, cos,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
       |  FROM scored)
       |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
 
   /** Sign-LSH bucketed ANN: 6 deterministic pseudo-hyperplanes → 64
     * buckets; per query, search only its bucket and emit bucket-local
@@ -75,8 +76,7 @@ object Similarity {
     val scored = broadcast(queries)
       .join(bucketed, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(
-        dotD("q_emb", "embedding") / (normD("q_emb") * normD("embedding")), 6))
+      .withColumn("cos", r6(dotD("q_emb", "embedding") / (normD("q_emb") * normD("embedding"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

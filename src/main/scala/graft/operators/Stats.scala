@@ -57,7 +57,7 @@ object Stats {
       col("event_type"), col("n1"), col("n2"),
       r4(m1).as("mean_on"), r4(m2).as("mean_off"),
       r4(t).as("t_stat"), r4(df).as("df"),
-      round(pTwoSidedNormal(t), 6).as("p_normal"),
+      r6(pTwoSidedNormal(t)).as("p_normal"),
     ).orderBy("event_type")
   }
 
@@ -78,9 +78,9 @@ object Stats {
        |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
        |  FROM events GROUP BY 1)
        |SELECT event_type, n1, n2,
-       |  ROUND($m1, 4) AS mean_on, ROUND($m2, 4) AS mean_off,
-       |  ROUND($t, 4) AS t_stat, ROUND($df, 4) AS df,
-       |  ROUND(${pTwoSidedNormalSql(t)}, 6) AS p_normal
+       |  (sign($m1) * floor(abs($m1) * 1e4 + 0.5) / 1e4) AS mean_on, (sign($m2) * floor(abs($m2) * 1e4 + 0.5) / 1e4) AS mean_off,
+       |  (sign($t) * floor(abs($t) * 1e4 + 0.5) / 1e4) AS t_stat, (sign($df) * floor(abs($df) * 1e4 + 0.5) / 1e4) AS df,
+       |  (sign(${pTwoSidedNormalSql(t)}) * floor(abs(${pTwoSidedNormalSql(t)}) * 1e6 + 0.5) / 1e6) AS p_normal
        |FROM moments ORDER BY event_type""".stripMargin
   }
 
@@ -115,7 +115,7 @@ object Stats {
     agg.select(
       col("event_type"), n1.as("n_on"), n2.cast("long").as("n_off"),
       u1.as("u_stat"), r4(z).as("z"),
-      round(pTwoSidedNormal(z), 6).as("p_value"),
+      r6(pTwoSidedNormal(z)).as("p_value"),
     ).orderBy("event_type")
   }
 
@@ -142,8 +142,8 @@ object Stats {
        |    CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_t
        |  FROM ranked GROUP BY 1)
        |SELECT event_type, n1 AS n_on, $n2 AS n_off,
-       |  $u1 AS u_stat, ROUND($z, 4) AS z,
-       |  ROUND(${pTwoSidedNormalSql(z)}, 6) AS p_value
+       |  $u1 AS u_stat, (sign($z) * floor(abs($z) * 1e4 + 0.5) / 1e4) AS z,
+       |  (sign(${pTwoSidedNormalSql(z)}) * floor(abs(${pTwoSidedNormalSql(z)}) * 1e6 + 0.5) / 1e6) AS p_value
        |FROM agg ORDER BY event_type""".stripMargin
   }
 
@@ -177,8 +177,8 @@ object Stats {
        |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS s,
        |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) AS DOUBLE) AS ss
        |  FROM events GROUP BY 1, 2)
-       |SELECT event_type, grp, n, ROUND($mean, 4) AS mean, ROUND($sd, 4) AS sd,
-       |  ROUND($mean - $half, 4) AS ci_lo, ROUND($mean + $half, 4) AS ci_hi
+       |SELECT event_type, grp, n, (sign($mean) * floor(abs($mean) * 1e4 + 0.5) / 1e4) AS mean, (sign($sd) * floor(abs($sd) * 1e4 + 0.5) / 1e4) AS sd,
+       |  (sign($mean - $half) * floor(abs($mean - $half) * 1e4 + 0.5) / 1e4) AS ci_lo, (sign($mean + $half) * floor(abs($mean + $half) * 1e4 + 0.5) / 1e4) AS ci_hi
        |FROM m ORDER BY event_type, grp""".stripMargin
   }
 
@@ -197,9 +197,9 @@ object Stats {
 
   private val quantilesOracle =
     """SELECT event_type, COUNT(*) AS n,
-      |  ROUND(quantile_cont("value", 0.5), 4) AS p50,
-      |  ROUND(quantile_cont("value", 0.9), 4) AS p90,
-      |  ROUND(quantile_cont("value", 0.99), 4) AS p99
+      |  (sign(quantile_cont("value", 0.5)) * floor(abs(quantile_cont("value", 0.5)) * 1e4 + 0.5) / 1e4) AS p50,
+      |  (sign(quantile_cont("value", 0.9)) * floor(abs(quantile_cont("value", 0.9)) * 1e4 + 0.5) / 1e4) AS p90,
+      |  (sign(quantile_cont("value", 0.99)) * floor(abs(quantile_cont("value", 0.99)) * 1e4 + 0.5) / 1e4) AS p99
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   val ops: Seq[Op] = Seq(

@@ -73,9 +73,9 @@ object Switchback {
   private val sbMetricsOracle =
     s"""SELECT event_type, $onOffSql AS on_off,
        |  COUNT(*) AS n_orders,
-       |  ROUND(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2) AS value_per_order,
+       |  (sign(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * floor(abs(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 1e2 + 0.5) / 1e2) AS value_per_order,
        |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS value_total,
-       |  ROUND(CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS DOUBLE) / COUNT(*), 2) AS k_per_order,
+       |  (sign(CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS DOUBLE) / COUNT(*)) * floor(abs(CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS DOUBLE) / COUNT(*)) * 1e2 + 0.5) / 1e2) AS k_per_order,
        |  CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS BIGINT) AS k_total
        |FROM events GROUP BY 1, 2 ORDER BY event_type, on_off""".stripMargin
 
@@ -113,8 +113,8 @@ object Switchback {
        |    LEAD(on_off) OVER (PARTITION BY event_type, zone_id ORDER BY window_start) AS next_on_off,
        |    LEAD(wmean) OVER (PARTITION BY event_type, zone_id ORDER BY window_start) AS next_wmean
        |  FROM per_window)
-       |SELECT event_type, zone_id, window_start, ROUND(wmean, 4) AS on_mean,
-       |  ROUND(next_wmean, 4) AS off_mean, ROUND(wmean - next_wmean, 4) AS delta
+       |SELECT event_type, zone_id, window_start, (sign(wmean) * floor(abs(wmean) * 1e4 + 0.5) / 1e4) AS on_mean,
+       |  (sign(next_wmean) * floor(abs(next_wmean) * 1e4 + 0.5) / 1e4) AS off_mean, (sign(wmean - next_wmean) * floor(abs(wmean - next_wmean) * 1e4 + 0.5) / 1e4) AS delta
        |FROM paired WHERE on_off = 'On' AND next_on_off = 'Off'
        |ORDER BY event_type, zone_id, window_start""".stripMargin
 
@@ -141,7 +141,7 @@ object Switchback {
        |    SUM(CASE WHEN $onOffSql = 'On' THEN 1 ELSE 0 END) AS n_on
        |  FROM events GROUP BY 1)
        |SELECT event_type, n, CAST(n_on AS BIGINT) AS n_on, CAST(n - n_on AS BIGINT) AS n_off,
-       |  ROUND((n_on - n/2.0)*(n_on - n/2.0)/(n/2.0) + ((n - n_on) - n/2.0)*((n - n_on) - n/2.0)/(n/2.0), 4) AS chisq
+       |  (sign((n_on - n/2.0)*(n_on - n/2.0)/(n/2.0) + ((n - n_on) - n/2.0)*((n - n_on) - n/2.0)/(n/2.0)) * floor(abs((n_on - n/2.0)*(n_on - n/2.0)/(n/2.0) + ((n - n_on) - n/2.0)*((n - n_on) - n/2.0)/(n/2.0)) * 1e4 + 0.5) / 1e4) AS chisq
        |FROM counts ORDER BY event_type""".stripMargin
 
   val ops: Seq[Op] = Seq(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import graft.functions.Compat._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -75,16 +76,15 @@ object TextAnalysis {
     val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
     val stopRatio = hitScore("en").cast("double") / nTok
     val avgTokLen = (length(col("text")) - nTok + 1).cast("double") / nTok
-    val score = round(
-      lit(0.4) * least(uniqRatio * 3, lit(1.0)) +
+    val score = r4(lit(0.4) * least(uniqRatio * 3, lit(1.0)) +
         lit(0.3) * least(stopRatio * 10, lit(1.0)) +
-        lit(0.3) * least(avgTokLen / 8, lit(1.0)), 4)
+        lit(0.3) * least(avgTokLen / 8, lit(1.0)))
     Tables.documents(spark, dir)
       .select(floor(score * 10).as("score_decile"),
         col("n_chars"), nTok.as("n_tok"))
       .groupBy("score_decile")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("n_tok")), 2).as("avg_tokens"))
+        r2(avg(col("n_tok"))).as("avg_tokens"))
       .orderBy("score_decile")
   }
 
@@ -94,10 +94,10 @@ object TextAnalysis {
     val stop = s"CAST(${hitScoreSql("en")} AS DOUBLE) / $nTok"
     val avgLen = s"CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok"
     val score =
-      s"ROUND(0.4 * least($uniq * 3, 1.0) + 0.3 * least($stop * 10, 1.0) + 0.3 * least($avgLen / 8, 1.0), 4)"
+      s"(sign(0.4 * least($uniq * 3, 1.0) + 0.3 * least($stop * 10, 1.0) + 0.3 * least($avgLen / 8, 1.0)) * floor(abs(0.4 * least($uniq * 3, 1.0) + 0.3 * least($stop * 10, 1.0) + 0.3 * least($avgLen / 8, 1.0)) * 1e4 + 0.5) / 1e4)"
     s"""SELECT CAST(FLOOR($score * 10) AS BIGINT) AS score_decile,
        |  COUNT(*) AS n_docs,
-       |  ROUND(AVG($nTok), 2) AS avg_tokens
+       |  (sign(AVG($nTok)) * floor(abs(AVG($nTok)) * 1e2 + 0.5) / 1e2) AS avg_tokens
        |FROM documents GROUP BY 1 ORDER BY score_decile""".stripMargin
   }
 
@@ -112,7 +112,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("tokens"),
         sum("n_subtok").as("subtokens"),
-        round(avg(col("n_subtok").cast("double") / col("n_tok")), 4).as("subtok_per_tok"))
+        r4(avg(col("n_subtok").cast("double") / col("n_tok"))).as("subtok_per_tok"))
       .orderBy("lang")
 
   private val tokenCountOracle =
@@ -124,7 +124,7 @@ object TextAnalysis {
       |SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
       |  CAST(SUM(n_subtok) AS BIGINT) AS subtokens,
-      |  ROUND(AVG(CAST(n_subtok AS DOUBLE) / n_tok), 4) AS subtok_per_tok
+      |  (sign(AVG(CAST(n_subtok AS DOUBLE) / n_tok)) * floor(abs(AVG(CAST(n_subtok AS DOUBLE) / n_tok)) * 1e4 + 0.5) / 1e4) AS subtok_per_tok
       |FROM t GROUP BY 1 ORDER BY lang""".stripMargin
 
   /** Polynomial rolling-hash document fingerprint (Karp-Rabin style)

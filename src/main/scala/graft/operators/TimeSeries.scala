@@ -50,8 +50,9 @@ object TimeSeries {
       |  SELECT user_id, pow(0.8, rn - 1) AS wt, "value"
       |  FROM latest WHERE rn <= 20)
       |SELECT user_id, COUNT(*) AS n_used,
-      |  ROUND(CAST(SUM(CAST(wt * "value" AS DECIMAL(28,14))) AS DOUBLE) /
-      |        CAST(SUM(CAST(wt AS DECIMAL(28,14))) AS DOUBLE), 4) AS ewm_value
+      |  (sign(CAST(SUM(CAST(wt * "value" AS DECIMAL(28,14))) AS DOUBLE) /
+      |        CAST(SUM(CAST(wt AS DECIMAL(28,14))) AS DOUBLE)) * floor(abs(CAST(SUM(CAST(wt * "value" AS DECIMAL(28,14))) AS DOUBLE) /
+      |        CAST(SUM(CAST(wt AS DECIMAL(28,14))) AS DOUBLE)) * 1e4 + 0.5) / 1e4) AS ewm_value
       |FROM weighted GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Gap-based sessionization (30-min inactivity gap): lag + cumulative
@@ -81,7 +82,7 @@ object TimeSeries {
       |  FROM events)
       |SELECT user_id, COUNT(*) AS n_events,
       |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
-      |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(new_session), 4) AS events_per_session
+      |  (sign(CAST(COUNT(*) AS DOUBLE) / SUM(new_session)) * floor(abs(CAST(COUNT(*) AS DOUBLE) / SUM(new_session)) * 1e4 + 0.5) / 1e4) AS events_per_session
       |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** As-of join: each purchase matched to the user's latest click at or
