@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native vector kernels for the similarity operators.
+  *
+  * Semantically identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` —
+  * left-to-right double accumulation over float elements, so results
+  * (and the DuckDB oracle) are unchanged — but implemented as Catalyst
+  * expressions with `doGenCode`: Spark's higher-order functions are
+  * interpreted closures with per-element boxing, which dominates the
+  * brute-force KNN profile. The static evaluators below run inside
+  * whole-stage codegen as a tight primitive loop.
+  */
+object VectorFunctions {
+  /** Σ a_i·b_i over float arrays, accumulated in double, index order. */
+  def dotD(xs: ArrayData, ys: ArrayData): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** √(Σ a_i²), same accumulation discipline. */
+  def normD(xs: ArrayData): Double = {
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = xs.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def norm(a: Column): Column =
+    Bridge.column(NormExpr(Bridge.expression(a)))
+
+  /** cos(a, b) with a pre-computed norm column per side. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+}
+
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorFunctions.dotD($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class NormExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any): Any =
+    VectorFunctions.normD(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorFunctions.normD($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

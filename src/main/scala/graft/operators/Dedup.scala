@@ -99,38 +99,44 @@ object Dedup {
     * docs sharing any band bucket are candidates, then verified by true
     * Jaccard. murmur3 (Spark `hash`) isn't portable SQL → rows-only. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val p = 2147483647L
-    val perms = (0 until 16).map(i => (1L + 2L * i, 7L + 13L * i))
+    import graft.functions.HashFunctions
     val docs = corpus(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val shingles = docs.select(col("doc_id"), explode(
-      expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
-      .as("shingle")).distinct()
-      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(p)))
-    val mhCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(p))).as(s"mh$i")
+    // whole 16-perm signature + distinct-shingle count per row at scan
+    // time (native MinHashSketchExpr) — zero shuffles to build sketches.
+    // Persisted: 17 longs/doc (~140 B) feeds both band sides + sizes,
+    // so the sketch kernel runs exactly once per document.
+    val sig = docs.select(col("doc_id"),
+      HashFunctions.minhashSketch(col("toks")).as("sk")).persist()
+    // 4 bands of 4 rows via one explode
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(":", (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*).as("bucket"))
     }
-    val sig = shingles.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    // 4 bands of 4 rows: band key = struct of its 4 minhashes
-    val bands = (0 until 4).map { bnd =>
-      sig.select(col("doc_id"), lit(bnd).as("band"),
-        concat_ws(":", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*).as("bucket"))
-    }.reduce(_ unionAll _)
+    val bands = sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // candidate pairs are tiny (LSH prunes aggressively): broadcast
+    // everything derived from them so the verify path adds no shuffles
     val cand = bands.as("a")
-      .join(bands.as("b"),
+      .join(broadcast(bands.as("b")),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    // verify candidates with true Jaccard
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand.join(shingles.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(shingles.as("sb"), col("id_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
+      .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
+        col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
+    // verify candidates with true Jaccard — shingles exploded ONLY for
+    // candidate docs (semi-join pushdown), so the exact pass is tiny
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val candShingles = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(HashFunctions.shingleHashes(col("toks"))).as("sh"))
+    val inter = broadcast(cand.select("id_a", "id_b"))
+      .join(candShingles.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(candShingles.as("sb"), col("id_b") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("id_a", "id_b"), "left")
+    cand.join(broadcast(inter), Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard", r4(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter"))))
       .filter(col("jaccard") >= 0.5)
@@ -187,15 +193,12 @@ object Dedup {
       when(dot >= 0, expr(s"shiftleft(1L, $k)")).otherwise(0L)
     }
     val bucketed = emb.withColumn("bucket", bucketBits.reduce(_ + _))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("norm", graft.functions.VectorFunctions.norm(col("embedding")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", r4(expr(
-        """aggregate(zip_with(a.embedding, b.embedding,
-          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-        (col("a.norm") * col("b.norm"))))
+      .withColumn("cos", r4(
+        graft.functions.VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm"))))
       .filter(col("cos") >= 0.9)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
       .orderBy("id_a", "id_b")

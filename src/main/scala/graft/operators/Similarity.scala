@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Op, Tables}
 import graft.functions.Compat._
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,20 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dotD(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-
-  private def normD(a: String): Column =
-    sqrt(expr(s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
-
-  /** Brute-force cosine top-5 neighbors for the query set vec_id < 10. */
+  /** Brute-force cosine top-5 neighbors for the query set vec_id < 10.
+    * Norms are pre-computed per side (once per vector, not once per
+    * pair) and the dot product is the native codegen'd kernel. */
   def knnCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 10)
-      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("embedding", "q_emb")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = broadcast(queries).join(emb, col("q_id") =!= col("vec_id"))
-      .withColumn("cos", r6(dotD("q_emb", "embedding") / (normD("q_emb") * normD("embedding"))))
+      .withColumn("cos", r6(VectorFunctions.cosine(
+        col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -71,12 +70,15 @@ object Similarity {
       when(dot >= 0, expr(s"shiftleft(1L, $k)")).otherwise(0L)
     }
     val bucketed = emb.withColumn("bucket", bucketBits.reduce(_ + _))
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
     val queries = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
     val scored = broadcast(queries)
       .join(bucketed, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", r6(dotD("q_emb", "embedding") / (normD("q_emb") * normD("embedding"))))
+      .withColumn("cos", r6(VectorFunctions.cosine(
+        col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
