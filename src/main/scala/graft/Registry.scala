@@ -6,6 +6,7 @@ object Registry {
     operators.Relational.ops ++
       operators.Geo.ops ++
       operators.Switchback.ops ++
+      operators.SwitchbackPipeline.ops ++
       operators.Stats.ops ++
       operators.TimeSeries.ops ++
       operators.Dedup.ops ++

@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the [[Registry]] to the driver's expected shape.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's full switchback DAG end-to-end
+    * (extraction → cleaning → KPIs → Mann-Whitney p-values) on
+    * /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.aggGroupBy(spark, "/root/testdata/sf0.001")
+    operators.SwitchbackPipeline.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

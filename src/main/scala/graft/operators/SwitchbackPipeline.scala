@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.Compat._
+import graft.functions.StatFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The reference's full DAG, end to end (dags/switchback_test_dag.py:
+  * run_queries → run_analysis_script), re-expressed as composable
+  * DataFrame stages:
+  *
+  *  1. [[testConfigs]]   — experiment config dim (switchback_test_configs_bq)
+  *  2. [[extractOrders]] — orders joined to configs: zone/type/date
+  *     filters, day-number + even/odd bookkeeping, On/Off scheme
+  *     assignment, keep/drop flag
+  *     (data_extraction_queries_automated_script.sql steps 6-7)
+  *  3. [[cleanOrders]]   — keep_drop_flag = 'Keep' (step 8)
+  *  4. [[augment]]       — revenue / gross-profit formulas (step 7.1)
+  *  5. [[metricsAndPvals]] — per-test×group per-order means + totals +
+  *     Mann-Whitney U p-values (…analysis_script.py step 5)
+  *
+  * Each stage is a public DataFrame→DataFrame function — the Airflow
+  * task graph becomes ordinary composition, and any stage is reusable
+  * on its own.
+  *
+  * Scale: configs are a broadcast dim; every per-event computation is a
+  * scan-local expression; the only shuffles are the final per-test
+  * aggregations (keyed on test × value for the rank table — see
+  * [[Stats]] MWU notes).
+  */
+object SwitchbackPipeline {
+
+  /** Experiment configurations — two concurrent switchback tests over
+    * disjoint zone sets (the reference reads these from a BQ config
+    * table refreshed hourly; here they are a literal dim). */
+  def testConfigs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("test_sb_pricing", 0, 4, "click,view,purchase", "2024-01-05", "2024-01-25"),
+      ("test_sb_dispatch", 5, 9, "purchase,signup,error", "2024-01-10", "2024-01-28"),
+    ).toDF("test_name", "zone_lo", "zone_hi", "types", "test_start", "test_end")
+  }
+
+  private val configsSql =
+    """(VALUES
+      |  ('test_sb_pricing', 0, 4, 'click,view,purchase', '2024-01-05', '2024-01-25'),
+      |  ('test_sb_dispatch', 5, 9, 'purchase,signup,error', '2024-01-10', '2024-01-28'))
+      | AS cfg(test_name, zone_lo, zone_hi, types, test_start, test_end)""".stripMargin
+
+  /** Step 6/7 of the reference extraction: tag each order with its
+    * test, switchback window, On/Off scheme, day bookkeeping, and the
+    * keep/drop validity flag. */
+  def extractOrders(events: DataFrame, configs: DataFrame): DataFrame = {
+    val zone = col("user_id") % 10
+    val hourIdx = expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    events
+      .withColumn("zone_id", zone)
+      .join(broadcast(configs),
+        zone.between(col("zone_lo"), col("zone_hi")) &&
+          array_contains(split(col("types"), ","), col("event_type")) &&
+          col("ts").cast("date").between(
+            col("test_start").cast("date"), col("test_end").cast("date")))
+      .withColumn("day_num_in_test",
+        datediff(col("ts").cast("date"), col("test_start").cast("date")) + 1)
+      .withColumn("even_or_odd_day",
+        when(col("day_num_in_test") % 2 === 0, "even").otherwise("odd"))
+      .withColumn("dow", date_format(col("ts"), "EEEE"))
+      .withColumn("on_or_off", when((hourIdx + col("zone_id")) % 2 === 0, "On").otherwise("Off"))
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      // the reference drops orders whose scheme doesn't match the test
+      // setup (keep_drop_flag, automated_script.sql:295)
+      .withColumn("keep_drop_flag", when(col("k") < 90, "Keep").otherwise("Drop"))
+  }
+
+  /** Step 8: keep only validly-assigned orders. */
+  def cleanOrders(extracted: DataFrame): DataFrame =
+    extracted.filter(col("keep_drop_flag") === "Keep")
+
+  /** Step 7.1: revenue / gross-profit KPI formulas. */
+  def augment(cleaned: DataFrame): DataFrame =
+    cleaned
+      .withColumn("revenue_local",
+        col("value") * 0.8 + col("k") * 0.01)
+      .withColumn("gross_profit_local",
+        col("value") * 0.8 + col("k") * 0.01 - col("value") * 0.3)
+
+  /** Analysis-script step 5: per-test × On/Off per-order means and
+    * totals, plus the tie-corrected Mann-Whitney U p-value on `value`
+    * — one row per test (the p_vals_switchback_tests upload). */
+  def metricsAndPvals(augmented: DataFrame): DataFrame = {
+    val d = DecimalType(28, 6)
+    val metrics = augmented.groupBy("test_name")
+      .agg(
+        sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("n_on"),
+        sum(when(col("on_or_off") === "Off", 1L).otherwise(0L)).as("n_off"),
+        sum(when(col("on_or_off") === "On", col("value").cast(d))).cast(DoubleType).as("s_on"),
+        sum(when(col("on_or_off") === "Off", col("value").cast(d))).cast(DoubleType).as("s_off"),
+        sum(when(col("on_or_off") === "On", col("revenue_local").cast(d))).cast(DoubleType).as("rev_on"),
+        sum(when(col("on_or_off") === "Off", col("revenue_local").cast(d))).cast(DoubleType).as("rev_off"),
+      )
+      .select(col("test_name"), col("n_on"), col("n_off"),
+        r2(col("s_on") / col("n_on")).as("value_per_order_on"),
+        r2(col("s_off") / col("n_off")).as("value_per_order_off"),
+        r2(col("rev_on") / col("n_on")).as("revenue_per_order_on"),
+        r2(col("rev_off") / col("n_off")).as("revenue_per_order_off"))
+
+    // MWU on value, On vs Off, per test (Stats.mwu shape, keyed by test)
+    val counts = augmented.groupBy("test_name", "value")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("cnt_on"))
+    val w = Window.partitionBy("test_name").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("avg_rank", col("cum_before") + (col("cnt") + 1) / 2.0)
+    val agg = ranked.groupBy("test_name").agg(
+      sum(col("avg_rank") * col("cnt_on")).as("r_on"),
+      sum("cnt_on").as("mn1"), sum("cnt").as("mn"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
+    val n1 = col("mn1"); val n2 = col("mn") - col("mn1"); val n = col("mn")
+    val u1 = col("r_on") - n1 * (n1 + 1) / 2.0
+    val mu = n1 * n2 / 2.0
+    val sd = sqrt(n1 * n2 / 12.0 * ((n + 1) - col("tie_t") / (n * (n - 1.0))))
+    val z = (u1 - mu - signum(u1 - mu) * 0.5) / sd
+    val pvals = agg.select(col("test_name"), u1.as("u_stat"), r4(z).as("z"),
+      r6(StatFunctions.pTwoSidedNormal(z)).as("p_value"))
+
+    metrics.join(pvals, Seq("test_name")).orderBy("test_name")
+  }
+
+  /** The whole DAG in one call. */
+  def run(spark: SparkSession, dir: String): DataFrame =
+    metricsAndPvals(augment(cleanOrders(
+      extractOrders(Tables.events(spark, dir), testConfigs(spark)))))
+
+  private val pipelineOracle = {
+    val z = "((u1 - mu) - sign(u1 - mu) * 0.5) / sd"
+    s"""WITH extracted AS (
+       |  SELECT e.*, user_id % 10 AS zone_id, cfg.test_name,
+       |    CASE WHEN ((epoch_us(date_trunc('hour', ts)) // 3600000000) + (user_id % 10)) % 2 = 0
+       |         THEN 'On' ELSE 'Off' END AS on_or_off,
+       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+       |  FROM events e
+       |  JOIN $configsSql
+       |    ON user_id % 10 BETWEEN cfg.zone_lo AND cfg.zone_hi
+       |   AND list_contains(string_split(cfg.types, ','), e.event_type)
+       |   AND CAST(e.ts AS DATE) BETWEEN CAST(cfg.test_start AS DATE) AND CAST(cfg.test_end AS DATE)),
+       |cleaned AS (SELECT * FROM extracted WHERE k < 90),
+       |augmented AS (
+       |  SELECT *, "value" * 0.8 + k * 0.01 AS revenue_local FROM cleaned),
+       |metrics AS (
+       |  SELECT test_name,
+       |    COUNT(*) FILTER (WHERE on_or_off = 'On') AS n_on,
+       |    COUNT(*) FILTER (WHERE on_or_off = 'Off') AS n_off,
+       |    ${rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) FILTER (WHERE on_or_off = 'On') AS DOUBLE) / COUNT(*) FILTER (WHERE on_or_off = 'On')", 2)} AS value_per_order_on,
+       |    ${rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) FILTER (WHERE on_or_off = 'Off') AS DOUBLE) / COUNT(*) FILTER (WHERE on_or_off = 'Off')", 2)} AS value_per_order_off,
+       |    ${rSql("CAST(SUM(CAST(revenue_local AS DECIMAL(28,6))) FILTER (WHERE on_or_off = 'On') AS DOUBLE) / COUNT(*) FILTER (WHERE on_or_off = 'On')", 2)} AS revenue_per_order_on,
+       |    ${rSql("CAST(SUM(CAST(revenue_local AS DECIMAL(28,6))) FILTER (WHERE on_or_off = 'Off') AS DOUBLE) / COUNT(*) FILTER (WHERE on_or_off = 'Off')", 2)} AS revenue_per_order_off
+       |  FROM augmented GROUP BY 1),
+       |counts AS (
+       |  SELECT test_name, "value" AS v, COUNT(*) AS cnt,
+       |    SUM(CASE WHEN on_or_off = 'On' THEN 1 ELSE 0 END) AS cnt_on
+       |  FROM augmented GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT test_name, cnt, cnt_on,
+       |    COALESCE(SUM(cnt) OVER (PARTITION BY test_name ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (cnt + 1) / 2.0 AS avg_rank
+       |  FROM counts),
+       |agg AS (
+       |  SELECT test_name,
+       |    SUM(avg_rank * cnt_on) AS r_on,
+       |    CAST(SUM(cnt_on) AS BIGINT) AS n1,
+       |    CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_t
+       |  FROM ranked GROUP BY 1),
+       |stats AS (
+       |  SELECT test_name,
+       |    (r_on - n1 * (n1 + 1) / 2.0) AS u1,
+       |    (n1 * (n - n1) / 2.0) AS mu,
+       |    sqrt(n1 * (n - n1) / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0)))) AS sd
+       |  FROM agg)
+       |SELECT m.test_name, m.n_on, m.n_off,
+       |  m.value_per_order_on, m.value_per_order_off,
+       |  m.revenue_per_order_on, m.revenue_per_order_off,
+       |  u1 AS u_stat, ${rSql(z, 4)} AS z,
+       |  ${rSql(StatFunctions.pTwoSidedNormalSql(z), 6)} AS p_value
+       |FROM metrics m JOIN stats s ON m.test_name = s.test_name
+       |ORDER BY m.test_name""".stripMargin
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("q_sb_pipeline", run, Some(pipelineOracle), headline = true),
+  )
+}
