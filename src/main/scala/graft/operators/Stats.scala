@@ -202,7 +202,100 @@ object Stats {
       |  (sign(quantile_cont("value", 0.99)) * floor(abs(quantile_cont("value", 0.99)) * 1e4 + 0.5) / 1e4) AS p99
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Post-hoc power of the two-sample z-test at α=0.05 per event_type
+    * (the notebooks' statsmodels power analysis,
+    * method_evaluation.ipynb): power = Φ(z_eff − z_crit) + Φ(−z_eff −
+    * z_crit) with z_eff = |Δ|/se from the observed moments. */
+  def powerZtest(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val m = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On", col("value").cast(d))).cast(DoubleType).as("s1"),
+        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
+        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
+      )
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val se = sqrt(v1 / col("n1") + v2 / col("n2"))
+    val zEff = abs(col("s1") / col("n1") - col("s2") / col("n2")) / se
+    val zCrit = lit(1.959963984540054)
+    val power = normCdf(zEff - zCrit) + normCdf(-zEff - zCrit)
+    m.select(col("event_type"), col("n1"), col("n2"),
+      r4(zEff).as("z_effect"), r6(power).as("power"))
+      .orderBy("event_type")
+  }
+
+  private val powerZtestOracle = {
+    val v1 = "((ss1 - s1 * s1 / n1) / (n1 - 1))"
+    val v2 = "((ss2 - s2 * s2 / n2) / (n2 - 1))"
+    val se = s"sqrt($v1 / n1 + $v2 / n2)"
+    val zEff = s"(abs(s1 / n1 - s2 / n2) / $se)"
+    val power = s"(${normCdfSql(s"$zEff - 1.959963984540054")} + ${normCdfSql(s"-$zEff - 1.959963984540054")})"
+    s"""WITH moments AS (
+       |  SELECT event_type,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS ss1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n1, n2,
+       |  ${rSql(zEff, 4)} AS z_effect, ${rSql(power, 6)} AS power
+       |FROM moments ORDER BY event_type""".stripMargin
+  }
+
+  /** A/A sanity test (data_extraction_queries_aa_tests_ph_and_th.sql):
+    * a null split by event_id parity must NOT differentiate — Welch t
+    * per event_type on a treatment-free partition. */
+  def aaTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val m = Tables.events(spark, dir)
+      .withColumn("g", when(col("event_id") % 2 === 0, "A1").otherwise("A2"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("g") === "A1", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "A1", col("value").cast(d))).cast(DoubleType).as("s1"),
+        sum(when(col("g") === "A1", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
+        sum(when(col("g") === "A2", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "A2", col("value").cast(d))).cast(DoubleType).as("s2"),
+        sum(when(col("g") === "A2", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
+      )
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val t = (col("s1") / col("n1") - col("s2") / col("n2")) / sqrt(v1 / col("n1") + v2 / col("n2"))
+    m.select(col("event_type"), col("n1"), col("n2"),
+      r4(t).as("t_stat"), r6(pTwoSidedNormal(t)).as("p_normal"))
+      .orderBy("event_type")
+  }
+
+  private val aaTestOracle = {
+    val g = "CASE WHEN event_id % 2 = 0 THEN 'A1' ELSE 'A2' END"
+    val v1 = "((ss1 - s1 * s1 / n1) / (n1 - 1))"
+    val v2 = "((ss2 - s2 * s2 / n2) / (n2 - 1))"
+    val t = s"((s1 / n1 - s2 / n2) / sqrt($v1 / n1 + $v2 / n2))"
+    s"""WITH moments AS (
+       |  SELECT event_type,
+       |    COUNT(*) FILTER (WHERE $g = 'A1') AS n1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $g = 'A1') AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $g = 'A1') AS DOUBLE) AS ss1,
+       |    COUNT(*) FILTER (WHERE $g = 'A2') AS n2,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $g = 'A2') AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $g = 'A2') AS DOUBLE) AS ss2
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n1, n2,
+       |  ${rSql(t, 4)} AS t_stat, ${rSql(pTwoSidedNormalSql(t), 6)} AS p_normal
+       |FROM moments ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
+    Op("q_aa_test", aaTest, Some(aaTestOracle)),
     Op("q_ttest_welch", ttestWelch, Some(ttestWelchOracle)),
     Op("q_mwu", mwu, Some(mwuOracle), headline = true),
     Op("q_ci_normal", ciNormal, Some(ciNormalOracle)),

@@ -144,8 +144,52 @@ object Switchback {
        |  (sign((n_on - n/2.0)*(n_on - n/2.0)/(n/2.0) + ((n - n_on) - n/2.0)*((n - n_on) - n/2.0)/(n/2.0)) * floor(abs((n_on - n/2.0)*(n_on - n/2.0)/(n/2.0) + ((n - n_on) - n/2.0)*((n - n_on) - n/2.0)/(n/2.0)) * 1e4 + 0.5) / 1e4) AS chisq
        |FROM counts ORDER BY event_type""".stripMargin
 
+  /** Propagation-effect analysis (notebooks/propagation_effect_analysis
+    * .ipynb; README §4 point 3 — "the effect is felt after 1-2 hours"):
+    * with 4-hour switchback blocks, measure the On−Off delta at each
+    * hour-position within the block. A ramp across positions 0→3 is
+    * the treatment effect propagating through the ecosystem. */
+  def propagation(spark: SparkSession, dir: String): DataFrame = {
+    val blockIdx = expr("(unix_micros(date_trunc('hour', ts)) div 3600000000) div 4")
+    val position = expr("(unix_micros(date_trunc('hour', ts)) div 3600000000) % 4")
+    val grp = when((blockIdx + zoneId) % 2 === 0, "On").otherwise("Off")
+    Tables.events(spark, dir)
+      .withColumn("position_in_window", position)
+      .withColumn("grp", grp)
+      .groupBy("position_in_window", "grp")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1))).as("mean_raw"))
+      .groupBy("position_in_window")
+      .pivot("grp", Seq("On", "Off"))
+      .agg(first(r4(col("mean_raw"))).as("mean"), first(col("n")).as("n"))
+      .select(col("position_in_window"),
+        col("On_mean").as("on_mean"), col("Off_mean").as("off_mean"),
+        col("On_n").as("n_on"), col("Off_n").as("n_off"),
+        r4(col("On_mean") - col("Off_mean")).as("delta"))
+      .orderBy("position_in_window")
+  }
+
+  private val propagationOracle = {
+    val blockOnOff =
+      "CASE WHEN (((epoch_us(date_trunc('hour', ts)) // 3600000000) // 4) + (user_id % 10)) % 2 = 0 THEN 'On' ELSE 'Off' END"
+    s"""WITH per_pos AS (
+       |  SELECT (epoch_us(date_trunc('hour', ts)) // 3600000000) % 4 AS position_in_window,
+       |    $blockOnOff AS grp, COUNT(*) AS n,
+       |    CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_raw
+       |  FROM events GROUP BY 1, 2)
+       |SELECT position_in_window,
+       |  MAX(CASE WHEN grp = 'On' THEN ${rSql("mean_raw", 4)} END) AS on_mean,
+       |  MAX(CASE WHEN grp = 'Off' THEN ${rSql("mean_raw", 4)} END) AS off_mean,
+       |  MAX(CASE WHEN grp = 'On' THEN n END) AS n_on,
+       |  MAX(CASE WHEN grp = 'Off' THEN n END) AS n_off,
+       |  ${rSql(s"MAX(CASE WHEN grp = 'On' THEN ${rSql("mean_raw", 4)} END) - MAX(CASE WHEN grp = 'Off' THEN ${rSql("mean_raw", 4)} END)", 4)} AS delta
+       |FROM per_pos GROUP BY 1 ORDER BY position_in_window""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_sb_assign", sbAssign, Some(sbAssignOracle)),
+    Op("q_propagation", propagation, Some(propagationOracle)),
     Op("q_sb_metrics", sbMetrics, Some(sbMetricsOracle), headline = true),
     Op("q_counterpart", counterpart, Some(counterpartOracle)),
     Op("q_srm_chisq", srmChisq, Some(srmChisqOracle)),

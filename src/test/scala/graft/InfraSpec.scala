@@ -50,6 +50,15 @@ class InfraSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
   }
 
+  test("salted join matches the plain join") {
+    val l = Tables.orders(spark, sfDir)
+    val s = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = l.join(s, Seq("o_custkey")).count()
+    val salted = graft.functions.Skew.saltedJoin(l, s, "o_custkey", 8).count()
+    assert(salted === plain)
+  }
+
   test("switchback pipeline stages compose and emit sane stats") {
     val out = operators.SwitchbackPipeline.run(spark, sfDir).collect()
     assert(out.length === 2) // two configured tests
