@@ -12,7 +12,8 @@ object Registry {
       operators.Dedup.ops ++
       operators.Similarity.ops ++
       operators.TextAnalysis.ops ++
-      operators.Multimodal.ops
+      operators.Multimodal.ops ++
+      operators.Approx.ops
 
   def byName: Map[String, Op] = ops.map(o => o.name -> o).toMap
 }

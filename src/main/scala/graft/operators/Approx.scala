@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregation — the 100 TB stand-ins for exact operators:
+  * HyperLogLog++ distinct counts and Greenwald-Khanna quantile sketches
+  * are mergeable, single-pass, and bounded-memory, where exact
+  * percentiles/distincts need a full shuffle of the column. Sketch
+  * internals aren't reproducible in another engine → rows-only check;
+  * the spec bounds their error against the exact operators instead. */
+object Approx {
+
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx_p"),
+        expr("percentile(value, array(0.5, 0.95))").as("exact_p"),
+      )
+      .select(col("event_type"), col("n"), col("approx_users"), col("exact_users"),
+        col("approx_p").getItem(0).as("approx_p50"),
+        col("approx_p").getItem(1).as("approx_p95"),
+        col("exact_p").getItem(0).as("exact_p50"),
+        col("exact_p").getItem(1).as("exact_p95"))
+      .orderBy("event_type")
+
+  val ops: Seq[Op] = Seq(
+    Op("q_approx_stats", approxStats, None),
+  )
+}

@@ -66,7 +66,34 @@ object Geo {
        |GROUP BY 1 ORDER BY zone""".stripMargin
   }
 
+  /** Point-in-polygon against a LITERAL rectangle — the shape
+    * [[graft.plans.RectPipRule]] rewrites to range predicates, which
+    * then push into the parquet scan (bounding-box prefilter pattern). */
+  def geoFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("value").as("x"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("double").as("y"),
+        col("event_type"))
+      .filter(PointInPolygon(col("x"), col("y"),
+        typedLit(Seq(2.0, 8.0, 8.0, 2.0)), typedLit(Seq(20.0, 20.0, 70.0, 70.0))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("x")).as("sum_x"))
+      .orderBy("event_type")
+  }
+
+  private val geoFilterOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_x
+      |FROM (
+      |  SELECT event_type, "value",
+      |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS y
+      |  FROM events)
+      |WHERE "value" >= 2.0 AND "value" < 8.0 AND y >= 20.0 AND y < 70.0
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_geo_contains", geoContains, Some(geoContainsOracle)),
+    Op("q_geo_filter", geoFilter, Some(geoFilterOracle)),
   )
 }

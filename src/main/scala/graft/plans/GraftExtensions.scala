@@ -18,8 +18,11 @@ import graft.functions.{DotExpr, MinHashSketchExpr, NormExpr, PipExpr, ShingleHa
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // literal-rectangle point-in-polygon → pushdown-able range predicates
+    ext.injectOptimizerRule(_ => RectPipRule)
+  }
 }
 
 object GraftExtensions {

@@ -46,6 +46,14 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("on_off"))
       .agg(count(lit(1)).as("n"), avg("value").as("value_per_order"))
 
+  /** Streaming exact dedup — drops re-deliveries of the same event_id
+    * inside the watermark horizon (the streaming twin of
+    * operators.Dedup.dedupExact; state is bounded by the watermark). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): emits a ClosedSession whenever a user is
     * silent for `gapMinutes` (streaming twin of TimeSeries.sessionize). */

@@ -50,6 +50,58 @@ class InfraSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
   }
 
+  test("RectPipRule rewrites literal-rectangle pip to pushed-down ranges") {
+    import graft.functions.PointInPolygon
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.RectPipRule
+    try {
+      val df = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("value").as("x"))
+        .filter(PointInPolygon(col("x"), lit(5.0),
+          typedLit(Seq(2.0, 8.0, 8.0, 2.0)), typedLit(Seq(0.0, 0.0, 10.0, 10.0))))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("PipExpr"), "rule should eliminate the pip expression")
+      assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(value,2.0)"),
+        s"range must reach the parquet scan:\n$plan")
+      // identical result with the interpreted expression (rule off)
+      spark.experimental.extraOptimizations = prev
+      val noRule = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("value").as("x"))
+        .filter(PointInPolygon(col("x"), lit(5.0),
+          typedLit(Seq(2.0, 8.0, 8.0, 2.0)), typedLit(Seq(0.0, 0.0, 10.0, 10.0))))
+      assert(df.count() === noRule.count())
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("approx stats stay within sketch error bounds of exact") {
+    val rows = operators.Approx.approxStats(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (approxU, exactU) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
+      assert(math.abs(approxU - exactU) <= math.max(3, exactU * 0.1),
+        s"HLL too far off: $approxU vs $exactU")
+      assert(math.abs(r.getAs[Double]("approx_p50") - r.getAs[Double]("exact_p50")) < 2.0)
+    }
+  }
+
+  test("streaming dedup drops redelivered events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, EventStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val ts = (min: Long) => new java.sql.Timestamp((1440 + min) * 60000L)
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+    input.addData(Event(1, ts(0), 1, "click", 1.0)) // redelivery
+    input.addData(Event(3, ts(500), 2, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
   test("salted join matches the plain join") {
     val l = Tables.orders(spark, sfDir)
     val s = Tables.customer(spark, sfDir)
