@@ -204,8 +204,90 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation (each node adopts the smallest label in its
+    * neighborhood until fixpoint). This is the simplified form of the
+    * large-star/small-star algorithm used for dup-cluster collapse at
+    * scale: every iteration is one shuffle keyed on node id, and the
+    * iteration count is bounded by the component diameter — near-dup
+    * clusters are shallow, so it converges in a handful of rounds. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src").as("node"))
+        .agg(min("component").as("nbr_min"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"),
+          (col("nbr_min") < col("component")).as("chg"))
+      updated.persist()
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select("node", "component")
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup cluster collapse: components over the n-gram Jaccard
+    * pair list, with cluster sizes. Oracle = DuckDB recursive CTE
+    * (min reachable id per node — the same fixpoint). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgram(spark, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    connectedComponents(pairs)
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        max("node").as("max_node"))
+      .orderBy("component")
+  }
+
+  private val dedupClustersOracle = {
+    // same pair list as q_dedup_ngram, then min-reachable-id per node
+    val pairsSql =
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS shingle
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+        |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |  WHERE (sign(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic)) * floor(abs(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic)) * 1e4 + 0.5) / 1e4) >= 0.06),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),""".stripMargin
+    s"""$pairsSql
+       |reach(node, label) AS (
+       |  SELECT node, node AS label FROM nodes
+       |  UNION
+       |  SELECT e.src AS node, r.label
+       |  FROM reach r JOIN edges e ON r.node = e.dst),
+       |labeled AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+       |SELECT component, COUNT(*) AS cluster_size, MAX(node) AS max_node
+       |FROM labeled GROUP BY 1 ORDER BY component""".stripMargin
+      .replaceFirst("WITH docs", "WITH RECURSIVE docs")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_dedup_exact", dedupExact, Some(dedupExactOracle), headline = true),
+    Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     Op("q_dedup_minhash", dedupMinhash, None, headline = true),
     Op("q_dedup_simhash", dedupSimhash, None),
