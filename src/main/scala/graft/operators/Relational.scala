@@ -363,7 +363,70 @@ object Relational {
       |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
       |FROM orders GROUP BY 1 ORDER BY dow""".stripMargin
 
+  /** Schema-on-read JSON extraction (the reference's BQ JSON columns):
+    * from_json with an explicit schema, not regexp scraping. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val jsonExtractOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(props->>'k' AS INT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** String normalization battery (trim/case/substr/replace/lpad —
+    * the reference's cleanup expressions). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        upper(substring(col("p_name"), 1, 3)).as("prefix"),
+        length(regexp_replace(col("p_name"), "[aeiou]", "")).as("consonants"),
+        lpad(col("p_brand"), 10, "#").as("brand_padded"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n"),
+        sum("consonants").cast("long").as("total_consonants"),
+        min("brand_padded").as("first_brand"))
+      .orderBy("prefix")
+
+  private val stringFuncsOracle =
+    """SELECT upper(substr(p_name, 1, 3)) AS prefix, COUNT(*) AS n,
+      |  CAST(SUM(length(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS BIGINT) AS total_consonants,
+      |  MIN(lpad(p_brand, 10, '#')) AS first_brand
+      |FROM part GROUP BY 1 ORDER BY prefix""".stripMargin
+
+  /** Sliding 1h-window/30min-slide aggregation — every event lands in
+    * two windows (streaming sliding-window semantics, run as batch). */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+      .orderBy("window_start")
+
+  private val windowSlidingOracle =
+    """WITH exploded AS (
+      |  SELECT unnest([
+      |      ts - INTERVAL (CAST(epoch_us(ts) % 1800000000 AS BIGINT)) MICROSECONDS,
+      |      ts - INTERVAL (CAST(epoch_us(ts) % 1800000000 AS BIGINT)) MICROSECONDS - INTERVAL 30 MINUTES
+      |    ]) AS window_start, "value"
+      |  FROM events)
+      |SELECT window_start, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM exploded GROUP BY 1 ORDER BY window_start""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_json_extract", jsonExtract, Some(jsonExtractOracle)),
+    Op("q_string_funcs", stringFuncs, Some(stringFuncsOracle)),
+    Op("q_window_sliding", windowSliding, Some(windowSlidingOracle)),
     Op("q_agg_groupby", aggGroupBy, Some(aggGroupByOracle), headline = true),
     Op("q_join_star", joinStar, Some(joinStarOracle), headline = true),
     Op("q_semi_join", semiJoin, Some(semiJoinOracle)),
