@@ -80,6 +80,35 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for an image scaler. Deterministic: keeps
+    * every k-th byte so output size tracks the requested scale; updates
+    * the typed metadata alongside the payload (the real contract). */
+  def resizeStub(r: MediaRecord, maxDim: Int): MediaRecord = {
+    val scale = math.max(1, math.max(r.width, r.height) / math.max(1, maxDim))
+    val out = r.payload.indices.collect { case i if i % scale == 0 => r.payload(i) }
+    r.copy(payload = out.toArray, width = r.width / scale, height = r.height / scale)
+  }
+
+  /** Batched resize over the binary column. */
+  def resize(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeStub(_, maxDim)))
+  }
+
+  /** STUB frame sampling — a "video" payload yields every n-th "frame"
+    * (byte pair) as its own row: the explode-shaped op a real
+    * frame-sampler produces, with frame index carried in metadata. */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video")
+      .flatMap { r =>
+        r.payload.grouped(2).zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (frame, idx) => (r.doc_id, idx, frame) }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes")
+  }
+
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaTable(spark, dir))
     feats.toDF()

@@ -423,7 +423,102 @@ object Relational {
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM exploded GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  /** Skewed join through [[graft.functions.Skew.saltedJoin]]: 3 hot
+    * keys carry the whole fact table; salting spreads each over 8
+    * tasks. The oracle is the UNSALTED join — proving salting is
+    * invisible in results. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val facts = Tables.events(spark, dir)
+      .withColumn("hot_key", (col("user_id") % 3).cast("int"))
+    val dim = Seq((0, "alpha"), (1, "beta"), (2, "gamma"))
+      .toDF("hot_key", "segment")
+    graft.functions.Skew.saltedJoin(facts, dim, "hot_key", 8)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
+  private val skewJoinOracle =
+    """SELECT segment, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |JOIN (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma')) AS dim(hot_key, segment)
+      |  ON CAST(user_id % 3 AS INT) = dim.hot_key
+      |GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** Single-pass column profiling (null/distinct/min/max per column) —
+    * the data-quality sweep every ingest pipeline runs first. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val stats = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_custkey")).as("d_custkey"),
+      sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+      min(col("o_custkey")).cast("double").as("min_custkey"),
+      max(col("o_custkey")).cast("double").as("max_custkey"),
+      countDistinct(col("o_totalprice")).as("d_totalprice"),
+      sum(col("o_totalprice").isNull.cast("long")).as("null_totalprice"),
+      r4(min(col("o_totalprice"))).as("min_totalprice"),
+      r4(max(col("o_totalprice"))).as("max_totalprice"),
+      countDistinct(col("o_orderstatus")).as("d_status"),
+      sum(col("o_orderstatus").isNull.cast("long")).as("null_status"),
+    )
+    // long format: one row per profiled column
+    stats.selectExpr(
+      """stack(3,
+        |  'o_custkey', n, d_custkey, null_custkey, min_custkey, max_custkey,
+        |  'o_totalprice', n, d_totalprice, null_totalprice, min_totalprice, max_totalprice,
+        |  'o_orderstatus', n, d_status, null_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |) AS (column_name, n, n_distinct, n_null, min_val, max_val)""".stripMargin)
+      .orderBy("column_name")
+  }
+
+  private val profileOracle =
+    """SELECT * FROM (
+      |  SELECT 'o_custkey' AS column_name, COUNT(*) AS n,
+      |    COUNT(DISTINCT o_custkey) AS n_distinct,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |    CAST(MIN(o_custkey) AS DOUBLE) AS min_val, CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', COUNT(*), COUNT(DISTINCT o_totalprice),
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    (sign(MIN(o_totalprice)) * floor(abs(MIN(o_totalprice)) * 1e4 + 0.5) / 1e4),
+      |    (sign(MAX(o_totalprice)) * floor(abs(MAX(o_totalprice)) * 1e4 + 0.5) / 1e4)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus),
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      |  FROM orders)
+      |ORDER BY column_name""".stripMargin
+
+  /** Latest-record-per-key dedup (SCD-style upsert collapse): keep each
+    * user's most recent event. */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("event_type").as("latest_type"),
+        unix_micros(col("ts")).as("latest_us"))
+      .orderBy("user_id")
+  }
+
+  private val latestByKeyOracle =
+    """SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+      |  epoch_us(ts) AS latest_us
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_skew_join", skewJoin, Some(skewJoinOracle)),
+    Op("q_profile", profile, Some(profileOracle)),
+    Op("q_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     Op("q_json_extract", jsonExtract, Some(jsonExtractOracle)),
     Op("q_string_funcs", stringFuncs, Some(stringFuncsOracle)),
     Op("q_window_sliding", windowSliding, Some(windowSlidingOracle)),

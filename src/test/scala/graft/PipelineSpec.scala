@@ -66,6 +66,20 @@ class PipelineSpec extends SparkSpec {
     assert(m.length === 5)
   }
 
+  test("multimodal resize and frame sampling keep schema contracts") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val resized = Multimodal.resize(media, maxDim = 16).collect()
+    resized.foreach { r =>
+      assert(r.width <= 16 || r.height <= 16 || r.payload.length <= 16)
+      assert(r.payload.nonEmpty)
+    }
+    val frames = Multimodal.sampleFrames(media, everyN = 2)
+    assert(frames.columns.toSeq === Seq("doc_id", "frame_idx", "frame_bytes"))
+    val f = frames.collect()
+    assert(f.nonEmpty)
+    assert(f.forall(_.getInt(1) % 2 == 0)) // only every 2nd frame kept
+  }
+
   test("multimodal decode stub produces stable features") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val feats = Multimodal.extractFeatures(media).collect()
