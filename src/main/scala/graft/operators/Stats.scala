@@ -293,7 +293,38 @@ object Stats {
        |FROM moments ORDER BY event_type""".stripMargin
   }
 
+  /** Bootstrap confidence interval for the per-group mean via POISSON
+    * bootstrap (the notebooks bootstrap in pandas; at scale you cannot
+    * index-resample, so each row contributes Poisson(1) weight per
+    * replicate — the standard streaming/distributed bootstrap). Weights
+    * derive from murmur3(event_id, replicate) through the Poisson(1)
+    * inverse CDF, so the whole procedure is deterministic with no RNG
+    * state. Rows-only (murmur3 isn't portable SQL). */
+  def bootstrapCi(spark: SparkSession, dir: String, replicates: Int = 50): DataFrame = {
+    val d = DecimalType(28, 6)
+    // u ∈ [0,1) from murmur3; Poisson(1) inverse CDF via cumulative table
+    val u = pmod(hash(col("event_id"), col("b")), lit(1000000)).cast(DoubleType) / 1000000.0
+    val w = when(u < 0.367879, 0).when(u < 0.735759, 1).when(u < 0.919699, 2)
+      .when(u < 0.981012, 3).when(u < 0.996340, 4).when(u < 0.999406, 5).otherwise(6)
+    val repMeans = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("w", w)
+      .groupBy("event_type", "b")
+      .agg((sum((col("w") * col("value")).cast(d)).cast(DoubleType) /
+        sum(col("w")).cast(DoubleType)).as("rep_mean"))
+    repMeans.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_replicates"),
+        r4(avg("rep_mean")).as("boot_mean"),
+        r4(expr("percentile(rep_mean, 0.025)")).as("ci_lo"),
+        r4(expr("percentile(rep_mean, 0.975)")).as("ci_hi"),
+      )
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), None),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
     Op("q_aa_test", aaTest, Some(aaTestOracle)),
     Op("q_ttest_welch", ttestWelch, Some(ttestWelchOracle)),

@@ -72,6 +72,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - 10.99858925825451) < 1e-7)
   }
 
+  test("Poisson bootstrap CI brackets the plain mean and is deterministic") {
+    val ci = operators.Stats.bootstrapCi(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val means = operators.Stats.ciNormal(spark, sfDir)
+      .groupBy("event_type").agg(avg("mean").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    means.foreach { case (et, m) =>
+      val (_, lo, hi) = ci(et)
+      assert(lo <= m && m <= hi, s"$et: mean $m outside bootstrap CI [$lo, $hi]")
+    }
+    val again = operators.Stats.bootstrapCi(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(again === ci) // hash-derived weights: no RNG, rerun identical
+  }
+
   test("operator-level stats queries run and are sane") {
     val tt = operators.Stats.ttestWelch(spark, sfDir).collect()
     assert(tt.length === 5) // one row per event_type
