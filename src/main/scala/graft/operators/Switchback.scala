@@ -187,9 +187,61 @@ object Switchback {
        |FROM per_pos GROUP BY 1 ORDER BY position_in_window""".stripMargin
   }
 
+  /** Switchback window-size sweep — the reference's central research
+    * question (README §4 point 2: "the best switchback window size is
+    * 1 hour"; notebooks compare 1d/12h/2h/1h). For each candidate
+    * window size, re-derive the On/Off assignment from that size's
+    * block parity and measure the detected On−Off delta: smaller
+    * windows wash out carryover but shrink per-window samples. */
+  def windowSweep(spark: SparkSession, dir: String): DataFrame = {
+    val hourIdx = expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    Tables.events(spark, dir)
+      .withColumn("window_hours", explode(array(lit(1), lit(2), lit(4), lit(8))))
+      .withColumn("grp",
+        when((floor(hourIdx / col("window_hours")) + zoneId) % 2 === 0, "On")
+          .otherwise("Off"))
+      .groupBy("window_hours")
+      .agg(
+        sum(when(col("grp") === "On", 1L).otherwise(0L)).as("n_on"),
+        sum(when(col("grp") === "Off", 1L).otherwise(0L)).as("n_off"),
+        sum(when(col("grp") === "On", col("value").cast(DecimalType(28, 6))))
+          .cast(DoubleType).as("s_on"),
+        sum(when(col("grp") === "Off", col("value").cast(DecimalType(28, 6))))
+          .cast(DoubleType).as("s_off"),
+      )
+      .select(col("window_hours"), col("n_on"), col("n_off"),
+        r4(col("s_on") / col("n_on")).as("on_mean"),
+        r4(col("s_off") / col("n_off")).as("off_mean"),
+        r4(col("s_on") / col("n_on") - col("s_off") / col("n_off")).as("delta"))
+      .orderBy("window_hours")
+  }
+
+  private val windowSweepOracle = {
+    val grp =
+      """CASE WHEN (CAST(floor((epoch_us(date_trunc('hour', ts)) // 3600000000) / wh) AS BIGINT) + (user_id % 10)) % 2 = 0
+        | THEN 'On' ELSE 'Off' END""".stripMargin.replace("\n", "")
+    s"""WITH sized AS (
+       |  SELECT unnest([1, 2, 4, 8]) AS wh, * FROM events),
+       |tagged AS (
+       |  SELECT wh AS window_hours, "value", $grp AS grp FROM sized),
+       |agg AS (
+       |  SELECT window_hours,
+       |    COUNT(*) FILTER (WHERE grp = 'On') AS n_on,
+       |    COUNT(*) FILTER (WHERE grp = 'Off') AS n_off,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE grp = 'On') AS DOUBLE) AS s_on,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE grp = 'Off') AS DOUBLE) AS s_off
+       |  FROM tagged GROUP BY 1)
+       |SELECT window_hours, n_on, n_off,
+       |  ${rSql("s_on / n_on", 4)} AS on_mean,
+       |  ${rSql("s_off / n_off", 4)} AS off_mean,
+       |  ${rSql("s_on / n_on - s_off / n_off", 4)} AS delta
+       |FROM agg ORDER BY window_hours""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_sb_assign", sbAssign, Some(sbAssignOracle)),
     Op("q_propagation", propagation, Some(propagationOracle)),
+    Op("q_window_sweep", windowSweep, Some(windowSweepOracle)),
     Op("q_sb_metrics", sbMetrics, Some(sbMetricsOracle), headline = true),
     Op("q_counterpart", counterpart, Some(counterpartOracle)),
     Op("q_srm_chisq", srmChisq, Some(srmChisqOracle)),
