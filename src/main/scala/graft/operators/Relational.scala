@@ -515,7 +515,57 @@ object Relational {
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** ROLLUP subtotals (the Tableau-dashboard feed shape: per-group,
+    * per-supergroup, and grand-total rows in one pass). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("revenue"))
+      .orderBy("status", "priority")
+
+  private val rollupAggOracle =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Set operations: INTERSECT/EXCEPT on key sets (the reference's
+    * vendor-set comparisons between test configurations). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val early = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val late = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val both = early.intersect(late).count()
+    val earlyOnly = early.except(late).count()
+    val lateOnly = late.except(early).count()
+    import spark.implicits._
+    Seq(("both_periods", both), ("early_only", earlyOnly), ("late_only", lateOnly))
+      .toDF("segment", "n_customers").orderBy("segment")
+  }
+
+  private val setOpsOracle =
+    """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT * FROM (
+      |  SELECT 'both_periods' AS segment, COUNT(*) AS n_customers FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+      |  UNION ALL
+      |  SELECT 'early_only', COUNT(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+      |  UNION ALL
+      |  SELECT 'late_only', COUNT(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early))
+      |ORDER BY segment""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_rollup", rollupAgg, Some(rollupAggOracle)),
+    Op("q_set_ops", setOps, Some(setOpsOracle)),
     Op("q_skew_join", skewJoin, Some(skewJoinOracle)),
     Op("q_profile", profile, Some(profileOracle)),
     Op("q_latest_by_key", latestByKey, Some(latestByKeyOracle)),
