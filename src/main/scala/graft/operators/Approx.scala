@@ -29,7 +29,28 @@ object Approx {
         col("exact_p").getItem(1).as("exact_p95"))
       .orderBy("event_type")
 
+  /** Deterministic stratified sampling: per-class rates applied via a
+    * murmur3-derived uniform per row — reproducible (no RNG state, no
+    * partition-order dependence, unlike sampleBy) and exactly the
+    * class-rebalancing pass a training-data pipeline runs. Rows-only
+    * (murmur3 basis). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("click" -> 0.1, "view" -> 0.1, "purchase" -> 1.0,
+      "signup" -> 1.0, "error" -> 0.5)
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("event_type") === k, v).otherwise(acc)
+    }
+    val u = pmod(hash(col("event_id"), lit(42)), lit(1000000))
+      .cast("double") / 1000000.0
+    Tables.events(spark, dir)
+      .filter(u < rateCol)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_approx_stats", approxStats, None),
+    Op("q_stratified_sample", stratifiedSample, None),
   )
 }

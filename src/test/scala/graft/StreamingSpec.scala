@@ -38,6 +38,38 @@ class StreamingSpec extends SparkSpec {
     assert(batchDf.subsetOf(streamed)) // streamed also has the late probe row's window
   }
 
+  test("streaming switchback metrics emit finalized On/Off windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sbMetricsStream(input.toDF())
+      .writeStream.format("memory").queryName("sb_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    val events = (0 until 240).map { i =>
+      Event(i.toLong, ts(i.toLong), i % 5L, "click", i * 1.0)
+    }
+    input.addData(events)
+    input.addData(Event(999L, ts(2000L), 0L, "click", 0.0)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sb_stream_out").collect()
+    assert(out.nonEmpty)
+    val groups = out.map(_.getAs[String]("on_off")).toSet
+    assert(groups.subsetOf(Set("On", "Off")) && groups.nonEmpty)
+  }
+
+  test("stratified sample is deterministic and respects rates") {
+    val a = graft.operators.Approx.stratifiedSample(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = graft.operators.Approx.stratifiedSample(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b) // hash-based: rerun identical
+    val totals = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10% classes sampled well below 100% classes
+    assert(a("click").toDouble / totals("click") < 0.25)
+    assert(a("purchase") === totals("purchase")) // rate 1.0 keeps all
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
