@@ -147,7 +147,31 @@ object TextAnalysis {
       |    (acc, v) -> (acc * 31 + v) % 2147483647) AS fingerprint
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** Per-language heavy hitters through the custom SpaceSaving
+    * aggregate ([[graft.functions.TopKAgg]]). Capacity (1024) far
+    * exceeds the corpus vocabulary, so the sketch is exact here and the
+    * plain count/row_number oracle applies; at real scale the same
+    * query runs ε-approximate at fixed memory. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKAgg.topkItems(col("word"), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).as("rank"),
+        col("col.item").as("word"), col("col.cnt").as("cnt"))
+      .orderBy("lang", "rank")
+
+  private val heavyHittersOracle =
+    """SELECT lang, rank, word, cnt FROM (
+      |  SELECT lang, word, COUNT(*) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rank
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY lang, word)
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     Op("q_lang_id", langId, Some(langIdOracle)),
     Op("q_quality_score", qualityScore, Some(qualityScoreOracle)),
     Op("q_token_count", tokenCount, Some(tokenCountOracle), headline = true),

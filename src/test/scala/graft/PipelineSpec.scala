@@ -60,6 +60,25 @@ class PipelineSpec extends SparkSpec {
       s"point (${r.getDouble(0)}, ${r.getDouble(1)})"))
   }
 
+  test("space-saving topk: exact under capacity, bounded over capacity") {
+    import graft.functions.TopKAgg
+    val words = (1 to 100).map(i => s"common$i") ++          // 100 singles
+      Seq.fill(50)("hot1") ++ Seq.fill(30)("hot2")           // 2 heavy hitters
+    val df = words.map(Tuple1(_)).toDF("w")
+    // capacity 1024 > distinct: exact
+    val exact = df.agg(TopKAgg.topkItems(col("w"), 2).as("top"))
+      .selectExpr("inline(top)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.toSeq === Seq(("hot1", 50L), ("hot2", 30L)))
+    // capacity 8 < distinct: still surfaces the true heavy hitters,
+    // counts may overestimate (space-saving guarantee), never under
+    val approx = df.agg(TopKAgg.topkItems(col("w"), 2, capacity = 8).as("top"))
+      .selectExpr("inline(top)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(approx.map(_._1).contains("hot1"))
+    assert(approx.collectFirst { case ("hot1", c) => c }.get >= 50L)
+  }
+
   test("language id covers all labels and is deterministic") {
     val m = operators.TextAnalysis.langId(spark, sfDir)
       .groupBy("lang").agg(sum("n")).collect()
