@@ -563,7 +563,30 @@ object Relational {
       |  SELECT 'late_only', COUNT(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early))
       |ORDER BY segment""".stripMargin
 
+  /** Top-3 per segment through the NATIVE TopKPerGroup plan
+    * (graft.plans.TopKPlan — custom LogicalPlan + Strategy + Exec with
+    * bounded heaps and pre-shuffle partial pruning), same semantics as
+    * [[topNPerGroup]]'s window formulation. */
+  def topNNative(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.customer(spark, dir)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+    graft.plans.TopK.topKPerGroup(src,
+        Seq("c_mktsegment"), "c_acctbal", "c_custkey", 3)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        r2(col("c_acctbal")).as("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+  }
+
+  private val topNNativeOracle =
+    """SELECT c_mktsegment, c_custkey, (sign(c_acctbal) * floor(abs(c_acctbal) * 1e2 + 0.5) / 1e2) AS c_acctbal
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_topn_native", topNNative, Some(topNNativeOracle)),
     Op("q_rollup", rollupAgg, Some(rollupAggOracle)),
     Op("q_set_ops", setOps, Some(setOpsOracle)),
     Op("q_skew_join", skewJoin, Some(skewJoinOracle)),

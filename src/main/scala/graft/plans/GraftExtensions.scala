@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // literal-rectangle point-in-polygon → pushdown-able range predicates
     ext.injectOptimizerRule(_ => RectPipRule)
+    // physical planning for the native top-k-per-group operator
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 

@@ -1,0 +1,110 @@
+package graft.plans
+
+import scala.collection.mutable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Bridge
+
+/** Whole-operator top-k-per-group as a native plan (the (c) route:
+  * LogicalPlan + Strategy + SparkPlan, registered through
+  * [[GraftExtensions]]).
+  *
+  * The declarative formulation — row_number() over a window, then
+  * filter — SORTS every partition's full data to rank it. This
+  * operator keeps a bounded k-heap per group instead, and runs TWICE:
+  * a partial pass before the shuffle (so at most k rows per group per
+  * input partition travel the wire — the map-side combine of top-k)
+  * and a final pass after clustering by group. At 100 TB with k=3 the
+  * shuffle shrinks from the whole table to 3·|groups|·|partitions|
+  * rows, and nothing is ever globally sorted.
+  *
+  * Selection is by (orderCol DESC, tieCol ASC) — identical semantics
+  * to `row_number over (order by orderCol desc, tieCol asc) <= k`,
+  * modulo output order (callers sort the ≤ k·|groups| survivors).
+  */
+final case class TopKPerGroup(
+    groupCols: Seq[Expression], orderCol: Expression, tieCol: Expression,
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
+    copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, t, k, child) =>
+      val partial = TopKExec(g, o, t, k, partial = true, planLater(child))
+      TopKExec(g, o, t, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKExec(
+    groupCols: Seq[Expression], orderCol: Expression, tieCol: Expression,
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupCols))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val groupBound = groupCols.map(BindReferences.bindReference(_, child.output))
+    val orderBound = BindReferences.bindReference(orderCol, child.output)
+    val tieBound = BindReferences.bindReference(tieCol, child.output)
+    val fn = (iter: Iterator[InternalRow]) => {
+      val keyProj = UnsafeProjection.create(groupBound)
+      // max-heap ordered so the WEAKEST kept row (smallest order value,
+      // then largest tie value) sits at the head for O(1) displacement
+      val weakestFirst =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+          .on[(Double, Long, InternalRow)](x => (-x._1, x._2))
+      val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
+      iter.foreach { row =>
+        val ov = orderBound.eval(row) match {
+          case null => Double.NegativeInfinity
+          case n: java.lang.Number => n.doubleValue()
+        }
+        val tv = tieBound.eval(row) match {
+          case null => Long.MaxValue
+          case n: java.lang.Number => n.longValue()
+        }
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty(weakestFirst))
+        if (heap.size < kk) heap.enqueue((ov, tv, row.copy()))
+        else {
+          val (wo, wt, _) = heap.head
+          // stronger than the weakest kept: larger order, or tie-break lower
+          if (ov > wo || (ov == wo && tv < wt)) {
+            heap.dequeue()
+            heap.enqueue((ov, tv, row.copy()))
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }
+    child.execute().mapPartitions(fn, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
+    copy(child = c)
+}
+
+object TopK {
+  /** Top-k rows per group by (orderCol desc, tieCol asc). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    val plan = TopKPerGroup(
+      groupCols.map(c => Bridge.expression(df(c))),
+      Bridge.expression(df(orderCol)), Bridge.expression(df(tieCol)),
+      k, df.queryExecution.analyzed)
+    Bridge.ofRows(df.sparkSession, plan)
+  }
+}

@@ -102,6 +102,29 @@ class InfraSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L))
   }
 
+  test("native TopKPerGroup matches the window formulation incl. ties") {
+    import spark.implicits._
+    // crafted ties at the k-boundary: value 5.0 appears 3× in group a
+    val df = Seq(
+      ("a", 1L, 9.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("a", 4L, 5.0), ("a", 5L, 1.0),
+      ("b", 6L, 2.0), ("b", 7L, 2.0),
+    ).toDF("g", "id", "v")
+    val native = graft.plans.TopK.topKPerGroup(df, Seq("g"), "v", "id", 2)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // window reference: order by v desc, id asc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id"))
+    val ref = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(native === ref)
+    assert(native === Set(("a", 1L), ("a", 2L), ("b", 6L), ("b", 7L)))
+    // physical plan: two TopKExec passes (partial + final), no Sort
+    val plan = graft.plans.TopK.topKPerGroup(df, Seq("g"), "v", "id", 2)
+      .queryExecution.executedPlan.toString
+    assert("TopK \\[".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Sort "), s"native top-k must not sort:\n$plan")
+  }
+
   test("salted join matches the plain join") {
     val l = Tables.orders(spark, sfDir)
     val s = Tables.customer(spark, sfDir)
