@@ -86,8 +86,79 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Train IVF centroids: deterministic init (first `k` vectors by
+    * vec_id) + `iters` Lloyd rounds. Assignment is argmax cosine
+    * against broadcast centroid literals; re-estimation is an
+    * elementwise mean via posexplode — one shuffle per round keyed on
+    * (cluster, dim). Centroids come back to the driver (k·64 floats —
+    * dimension-table sized) for the next round's broadcast. */
+  def trainIvf(emb: DataFrame, k: Int, iters: Int): Array[Seq[Float]] = {
+    val spark = emb.sparkSession
+    var centroids: Array[Seq[Float]] = emb.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toSeq)
+    (1 to iters).foreach { _ =>
+      val cCols = centroids.map(c =>
+        VectorFunctions.dot(col("embedding"), typedLit(c)) /
+          (VectorFunctions.norm(col("embedding")) * typedLit(l2(c))))
+      val assigned = emb.withColumn("dots", array(cCols: _*))
+        .withColumn("cluster",
+          expr("array_position(dots, array_max(dots))").cast("int") - 1)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = Array.tabulate(k)(i => centroids(i).toArray.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) =
+          r.getAs[Double]("m").toFloat
+      }
+      centroids = next.map(_.toSeq)
+    }
+    centroids
+  }
+
+  private def l2(c: Seq[Float]): Double =
+    math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+
+  /** IVF ANN: search only the `nprobe` clusters nearest to each query.
+    * The correctness/recall trade is the classic IVF one: at 100 TB the
+    * cluster assignment is computed at ingest and the candidate scan
+    * touches nprobe/k of the data. Rows-only (training collects). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val centroids = trainIvf(emb, k = 8, iters = 2)
+    val cCols = centroids.map(c =>
+      VectorFunctions.dot(col("embedding"), typedLit(c)) /
+        (VectorFunctions.norm(col("embedding")) * typedLit(l2(c))))
+    val assigned = emb.withColumn("dots", array(cCols: _*))
+      .withColumn("cluster",
+        expr("array_position(dots, array_max(dots))").cast("int") - 1)
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+      .drop("dots")
+    // queries probe their 2 nearest clusters
+    val queries = assigned.filter(col("vec_id") < 10)
+      .withColumn("dots", array(cCols: _*))
+      .withColumn("probe", expr(
+        "slice(array_sort(arrays_zip(dots, sequence(0, size(dots) - 1)), (a, b) -> CASE WHEN a.dots > b.dots THEN -1 WHEN a.dots < b.dots THEN 1 ELSE 0 END), 1, 2).`1`"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), explode(col("probe")).as("cluster"))
+    val scored = broadcast(queries)
+      .join(assigned, Seq("cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", r6(VectorFunctions.cosine(
+        col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_knn_cosine", knnCosine, Some(knnCosineOracle), headline = true),
     Op("q_ann_lsh", annLsh, None),
+    Op("q_ann_ivf", annIvf, None),
   )
 }

@@ -41,6 +41,23 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(top.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("IVF ANN: deterministic, and recalls brute-force neighbors") {
+    val ivf = operators.Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ivf.length === 30) // 10 queries × top-3
+    val again = operators.Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again === ivf) // Lloyd training is deterministic
+    // recall@3 against exact top-5: every query should recover ≥1 true neighbor
+    val exact = operators.Similarity.knnCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = ivf.groupBy(_._1).map { case (q, rs) =>
+      rs.map(_._3).count(exact(q).contains)
+    }
+    assert(hits.sum >= 10, s"IVF recall too low: ${hits.sum}/30 hits")
+  }
+
   test("point-in-polygon: non-convex polygon (ray casting)") {
     // U-shaped polygon: (0,0)(6,0)(6,5)(4,5)(4,2)(2,2)(2,5)(0,5)
     val xs = Seq(0.0, 6.0, 6.0, 4.0, 4.0, 2.0, 2.0, 0.0)
