@@ -323,7 +323,45 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Fixed-width histogram of `value` (the notebooks' pd.cut binning
+    * for distribution plots). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bin", floor(col("value") / 10.0) * 10)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        r4((sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType) /
+          count(lit(1)))).as("bin_mean"))
+      .orderBy("bin")
+
+  private val histogramOracle =
+    s"""SELECT CAST(floor("value" / 10.0) AS BIGINT) * 10 AS bin, COUNT(*) AS n,
+       |  ${rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS bin_mean
+       |FROM events GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** NTILE quartile assignment per event_type with per-quartile value
+    * ranges (the analyst's quartile table). */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"),
+        r4(min("value")).as("lo"), r4(max("value")).as("hi"))
+      .orderBy("event_type", "quartile")
+  }
+
+  private val ntileQuartilesOracle =
+    s"""SELECT event_type, quartile, COUNT(*) AS n,
+       |  ${rSql("MIN(\"value\")", 4)} AS lo, ${rSql("MAX(\"value\")", 4)} AS hi
+       |FROM (SELECT event_type, "value",
+       |        NTILE(4) OVER (PARTITION BY event_type ORDER BY "value", event_id) AS quartile
+       |      FROM events)
+       |GROUP BY 1, 2 ORDER BY event_type, quartile""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_histogram", histogram, Some(histogramOracle)),
+    Op("q_ntile", ntileQuartiles, Some(ntileQuartilesOracle)),
     Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), None),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
     Op("q_aa_test", aaTest, Some(aaTestOracle)),

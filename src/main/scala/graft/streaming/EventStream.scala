@@ -46,6 +46,27 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("on_off"))
       .agg(count(lit(1)).as("n"), avg("value").as("value_per_order"))
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides carry watermarks so the
+    * join state is bounded — Spark buffers only an hour of clicks per
+    * user (the canonical attribution join, incremental). */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Streaming exact dedup — drops re-deliveries of the same event_id
     * inside the watermark horizon (the streaming twin of
     * operators.Dedup.dedupExact; state is bounded by the watermark). */

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
     assert(groups.subsetOf(Set("On", "Off")) && groups.nonEmpty)
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.clickAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 0.0),      // within the hour → attributed
+      Event(2, ts(100), 1, "click", 0.0),    // 100 min before → outside window
+      Event(3, ts(130), 1, "purchase", 9.0), // joins click 2 only (30 min gap)
+      Event(4, ts(10), 2, "click", 0.0))     // other user → never joins
+    input.addData(Event(99, ts(2000), 3, "click", 0.0)) // advance watermarks
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attr_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((3L, 2L)), s"got $rows")
+  }
+
   test("stratified sample is deterministic and respects rates") {
     val a = graft.operators.Approx.stratifiedSample(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
