@@ -130,7 +130,61 @@ object TimeSeries {
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Week-over-week growth: weekly revenue with lag + percent change
+    * (the dashboard trend tile). */
+  def growth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("week")
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(sumMoney(col("value")).as("revenue"))
+      .withColumn("prev", lag("revenue", 1).over(w))
+      .withColumn("pct_change",
+        r4((col("revenue") - col("prev")) / col("prev") * 100))
+      .select("week", "revenue", "pct_change")
+      .orderBy("week")
+  }
+
+  private val growthOracle =
+    s"""WITH weekly AS (
+       |  SELECT date_trunc('week', ts) AS week,
+       |    CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       |  FROM events GROUP BY 1)
+       |SELECT week, revenue,
+       |  ${rSql("(revenue - LAG(revenue) OVER (ORDER BY week)) / LAG(revenue) OVER (ORDER BY week) * 100", 4)} AS pct_change
+       |FROM weekly ORDER BY week""".stripMargin
+
+  /** IQR outlier detection per group (notebooks use scipy.stats.iqr):
+    * bounds = [q1 − 1.5·IQR, q3 + 1.5·IQR], count the excursions. */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    Tables.events(spark, dir).join(broadcast(q), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        r4(first("lo")).as("lo"), r4(first("hi")).as("hi"))
+      .orderBy("event_type")
+  }
+
+  private val iqrOutliersOracle =
+    s"""WITH q AS (
+       |  SELECT event_type, quantile_cont("value", 0.25) AS q1, quantile_cont("value", 0.75) AS q3
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+       |SELECT e.event_type, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN e."value" < b.lo OR e."value" > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  ${rSql("MIN(b.lo)", 4)} AS lo, ${rSql("MIN(b.hi)", 4)} AS hi
+       |FROM events e JOIN b ON e.event_type = b.event_type
+       |GROUP BY 1 ORDER BY e.event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_growth", growth, Some(growthOracle)),
+    Op("q_iqr_outliers", iqrOutliers, Some(iqrOutliersOracle)),
     Op("q_ewm", ewm, Some(ewmOracle)),
     Op("q_sessionize", sessionize, Some(sessionizeOracle), headline = true),
     Op("q_asof_join", asofJoin, Some(asofJoinOracle), headline = true),
