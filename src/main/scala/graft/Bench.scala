@@ -24,11 +24,17 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     // best of 2: the first execution pays one-off janino/AQE planning
-    // costs; steady-state throughput is what compares across engines
+    // costs; steady-state throughput is what compares across engines.
+    // Forcing is a noop-sink WRITE, not count(): count() lets Catalyst
+    // prune every column (and the windows/sorts feeding them) out of
+    // the measured plan; a write materializes all output columns and
+    // keeps the final orderBy, so the timed work is the real query.
     val results = headline.map { op =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { op.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          op.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       op.name -> times.min

@@ -104,10 +104,11 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     // whole 16-perm signature + distinct-shingle count per row at scan
     // time (native MinHashSketchExpr) — zero shuffles to build sketches.
-    // Persisted: 17 longs/doc (~140 B) feeds both band sides + sizes,
-    // so the sketch kernel runs exactly once per document.
+    // Not persisted: the band self-join shuffles both sides on the SAME
+    // (band, bucket) key, so the two exchange subtrees are identical and
+    // Spark's ReuseExchange runs the sketch kernel once per document.
     val sig = docs.select(col("doc_id"),
-      HashFunctions.minhashSketch(col("toks")).as("sk")).persist()
+      HashFunctions.minhashSketch(col("toks")).as("sk"))
     // 4 bands of 4 rows via one explode
     val bandStructs = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -116,10 +117,14 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
       explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // candidate pairs are tiny (LSH prunes aggressively): broadcast
-    // everything derived from them so the verify path adds no shuffles
+    // Band self-join is a SHUFFLE join on (band, bucket): bands is
+    // O(corpus) (4 rows/doc), so broadcasting it would hit the memory
+    // wall at scale. Buckets are minhash values — uniformly spread —
+    // so the shuffle partitions evenly. Candidate-derived sides below
+    // are small but data-dependent (a dup-heavy corpus inflates them):
+    // no forced broadcast() — AQE sizes them at runtime.
     val cand = bands.as("a")
-      .join(broadcast(bands.as("b")),
+      .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
@@ -127,15 +132,15 @@ object Dedup {
     // verify candidates with true Jaccard — shingles exploded ONLY for
     // candidate docs (semi-join pushdown), so the exact pass is tiny
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    val candShingles = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val candShingles = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(HashFunctions.shingleHashes(col("toks"))).as("sh"))
-    val inter = broadcast(cand.select("id_a", "id_b"))
+    val inter = cand.select("id_a", "id_b")
       .join(candShingles.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(candShingles.as("sb"), col("id_b") === col("sb.doc_id") &&
         col("sa.sh") === col("sb.sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    cand.join(broadcast(inter), Seq("id_a", "id_b"), "left")
+    cand.join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("inter"))
       .withColumn("jaccard", r4(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter"))))
@@ -218,18 +223,27 @@ object Dedup {
       .withColumn("component", col("node"))
     var changed = 1L
     var i = 0
+    // Each iteration persists its labels (read twice: the chg count and
+    // the next join) and unpersists the superseded generation, so cache
+    // footprint stays one generation regardless of iteration count.
+    // localCheckpoint every 5 rounds truncates the logical plan — without
+    // it, lineage (and Catalyst analysis time) grows per iteration.
+    var prevCached: Option[DataFrame] = None
     while (changed > 0 && i < maxIters) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("node"))
         .groupBy(col("src").as("node"))
         .agg(min("component").as("nbr_min"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
+      val step = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           (col("nbr_min") < col("component")).as("chg"))
-      updated.persist()
+      val updated =
+        if ((i + 1) % 5 == 0) step.localCheckpoint() else step.persist()
       changed = updated.filter(col("chg")).count()
+      prevCached.foreach(_.unpersist(blocking = false))
+      prevCached = Some(updated)
       labels = updated.select("node", "component")
       i += 1
     }

@@ -267,19 +267,24 @@ object Relational {
         count(lit(1)).as("n"),
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
-        sum(when(col("o_totalprice") > 1000,
+        r4(sum(when(col("o_totalprice") > 1000,
           col("o_totalprice").cast(DecimalType(18, 4)))
           .otherwise(lit(0).cast(DecimalType(18, 4))))
-          .cast(DoubleType).as("big_revenue"),
+          .cast(DoubleType)).as("big_revenue"),
       )
       .orderBy("o_orderpriority")
 
-  private val conditionalAggOracle =
-    """SELECT o_orderpriority, COUNT(*) AS n,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  CAST(SUM(CASE WHEN o_totalprice > 1000 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS big_revenue
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  // DuckDB SUM(int) is HUGEINT → CAST AS BIGINT to match Spark's long;
+  // big_revenue r4-rounded both sides (decimal→double cast is 1-ulp
+  // divergent between engines at high scale — see q_agg_groupby).
+  private val conditionalAggOracle = {
+    val bigRev = "CAST(SUM(CASE WHEN o_totalprice > 1000 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       |  ${rSql(bigRev, 4)} AS big_revenue
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
 
   /** COALESCE/NULLIF fallback chain — the reference's actual-DF-paid
     * logic (automated_script.sql:266-274). */
@@ -536,20 +541,28 @@ object Relational {
       |ORDER BY status, priority""".stripMargin
 
   /** Set operations: INTERSECT/EXCEPT on key sets (the reference's
-    * vendor-set comparisons between test configurations). */
+    * vendor-set comparisons between test configurations).
+    *
+    * Single-pass formulation: one scan of orders, one shuffle on
+    * custkey deriving has-early/has-late flags, then a tiny partial agg
+    * on the flag combination — INTERSECT and both EXCEPT directions
+    * fall out of one job instead of three driver-side count() actions
+    * (six scans). At 100 TB that is the difference between one pass
+    * over the table and six. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
-    val early = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .select("o_custkey")
-    val late = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
-      .select("o_custkey")
-    val both = early.intersect(late).count()
-    val earlyOnly = early.except(late).count()
-    val lateOnly = late.except(early).count()
-    import spark.implicits._
-    Seq(("both_periods", both), ("early_only", earlyOnly), ("late_only", lateOnly))
-      .toDF("segment", "n_customers").orderBy("segment")
+    val cut = lit("1998-01-01").cast("timestamp")
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("o_orderdate") < cut, 1).otherwise(0)).as("has_early"),
+        max(when(col("o_orderdate") >= cut, 1).otherwise(0)).as("has_late"))
+      .select(
+        when(col("has_early") === 1 && col("has_late") === 1, "both_periods")
+          .when(col("has_early") === 1, "early_only")
+          .otherwise("late_only").as("segment"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("segment")
   }
 
   private val setOpsOracle =
