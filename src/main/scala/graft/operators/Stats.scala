@@ -53,12 +53,18 @@ object Stats {
     val t = (m1 - m2) / sqrt(se2)
     val df = se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
       (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+    // raw t/df flow through NAMED columns so the Student-t CF (a big
+    // generated expression) references them identically to the oracle
     moments.select(
       col("event_type"), col("n1"), col("n2"),
-      r4(m1).as("mean_on"), r4(m2).as("mean_off"),
-      r4(t).as("t_stat"), r4(df).as("df"),
-      r6(pTwoSidedNormal(t)).as("p_normal"),
-    ).orderBy("event_type")
+      m1.as("m1_raw"), m2.as("m2_raw"), t.as("t_raw"), df.as("df_raw"))
+      .select(
+        col("event_type"), col("n1"), col("n2"),
+        r4(col("m1_raw")).as("mean_on"), r4(col("m2_raw")).as("mean_off"),
+        r4(col("t_raw")).as("t_stat"), r4(col("df_raw")).as("df"),
+        r6(pTwoSidedNormal(col("t_raw"))).as("p_normal"),
+        r6(expr(pTwoSidedTSql("t_raw", "df_raw", spark = true))).as("p_t"),
+      ).orderBy("event_type")
   }
 
   private val ttestWelchOracle = {
@@ -76,12 +82,17 @@ object Stats {
        |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
        |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
        |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
-       |  FROM events GROUP BY 1)
+       |  FROM events GROUP BY 1),
+       |stats AS (
+       |  SELECT event_type, n1, n2, $m1 AS m1_raw, $m2 AS m2_raw,
+       |    $t AS t_raw, $df AS df_raw
+       |  FROM moments)
        |SELECT event_type, n1, n2,
-       |  (sign($m1) * floor(abs($m1) * 1e4 + 0.5) / 1e4) AS mean_on, (sign($m2) * floor(abs($m2) * 1e4 + 0.5) / 1e4) AS mean_off,
-       |  (sign($t) * floor(abs($t) * 1e4 + 0.5) / 1e4) AS t_stat, (sign($df) * floor(abs($df) * 1e4 + 0.5) / 1e4) AS df,
-       |  (sign(${pTwoSidedNormalSql(t)}) * floor(abs(${pTwoSidedNormalSql(t)}) * 1e6 + 0.5) / 1e6) AS p_normal
-       |FROM moments ORDER BY event_type""".stripMargin
+       |  ${rSql("m1_raw", 4)} AS mean_on, ${rSql("m2_raw", 4)} AS mean_off,
+       |  ${rSql("t_raw", 4)} AS t_stat, ${rSql("df_raw", 4)} AS df,
+       |  ${rSql(pTwoSidedNormalSql("t_raw"), 6)} AS p_normal,
+       |  ${rSql(pTwoSidedTSql("t_raw", "df_raw", spark = false), 6)} AS p_t
+       |FROM stats ORDER BY event_type""".stripMargin
   }
 
   /** Mann-Whitney U, two-sided, tie-corrected + continuity-corrected
@@ -268,9 +279,16 @@ object Stats {
       )
     val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
     val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
-    val t = (col("s1") / col("n1") - col("s2") / col("n2")) / sqrt(v1 / col("n1") + v2 / col("n2"))
+    val se2 = v1 / col("n1") + v2 / col("n2")
+    val t = (col("s1") / col("n1") - col("s2") / col("n2")) / sqrt(se2)
+    val df = se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
+      (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
     m.select(col("event_type"), col("n1"), col("n2"),
-      r4(t).as("t_stat"), r6(pTwoSidedNormal(t)).as("p_normal"))
+      t.as("t_raw"), df.as("df_raw"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        r4(col("t_raw")).as("t_stat"),
+        r6(pTwoSidedNormal(col("t_raw"))).as("p_normal"),
+        r6(expr(pTwoSidedTSql("t_raw", "df_raw", spark = true))).as("p_t"))
       .orderBy("event_type")
   }
 
@@ -278,7 +296,9 @@ object Stats {
     val g = "CASE WHEN event_id % 2 = 0 THEN 'A1' ELSE 'A2' END"
     val v1 = "((ss1 - s1 * s1 / n1) / (n1 - 1))"
     val v2 = "((ss2 - s2 * s2 / n2) / (n2 - 1))"
-    val t = s"((s1 / n1 - s2 / n2) / sqrt($v1 / n1 + $v2 / n2))"
+    val se2 = s"($v1 / n1 + $v2 / n2)"
+    val t = s"((s1 / n1 - s2 / n2) / sqrt($se2))"
+    val df = s"($se2 * $se2 / (($v1/n1)*($v1/n1)/(n1-1) + ($v2/n2)*($v2/n2)/(n2-1)))"
     s"""WITH moments AS (
        |  SELECT event_type,
        |    COUNT(*) FILTER (WHERE $g = 'A1') AS n1,
@@ -287,10 +307,13 @@ object Stats {
        |    COUNT(*) FILTER (WHERE $g = 'A2') AS n2,
        |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $g = 'A2') AS DOUBLE) AS s2,
        |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $g = 'A2') AS DOUBLE) AS ss2
-       |  FROM events GROUP BY 1)
+       |  FROM events GROUP BY 1),
+       |stats AS (
+       |  SELECT event_type, n1, n2, $t AS t_raw, $df AS df_raw FROM moments)
        |SELECT event_type, n1, n2,
-       |  ${rSql(t, 4)} AS t_stat, ${rSql(pTwoSidedNormalSql(t), 6)} AS p_normal
-       |FROM moments ORDER BY event_type""".stripMargin
+       |  ${rSql("t_raw", 4)} AS t_stat, ${rSql(pTwoSidedNormalSql("t_raw"), 6)} AS p_normal,
+       |  ${rSql(pTwoSidedTSql("t_raw", "df_raw", spark = false), 6)} AS p_t
+       |FROM stats ORDER BY event_type""".stripMargin
   }
 
   /** Bootstrap confidence interval for the per-group mean via POISSON

@@ -87,12 +87,47 @@ class StatsSpec extends SparkSpec {
     assert(again === ci) // hash-derived weights: no RNG, rerun identical
   }
 
+  test("portable lgamma matches known values") {
+    def lg(x: Double): Double =
+      spark.sql(s"SELECT ${StatFunctions.lgammaSql(x.toString)} AS v").head().getDouble(0)
+    assert(math.abs(lg(0.5) - 0.5723649429247001) < 1e-12)  // ln √π
+    assert(math.abs(lg(1.0)) < 1e-12)
+    assert(math.abs(lg(5.0) - math.log(24.0)) < 1e-12)      // ln 4!
+    assert(math.abs(lg(1000.5) - 5908.674176) < 1e-5)       // large arg (Stirling regime)
+  }
+
+  test("Student-t two-sided p matches closed forms and the normal limit") {
+    def pT(t: Double, df: Double): Double =
+      spark.sql(s"SELECT ${StatFunctions.pTwoSidedTSql(t.toString, df.toString, spark = true)} AS p")
+        .head().getDouble(0)
+    // df=1 is Cauchy: p = 1 - 2·atan(|t|)/π. x lands exactly on the CF
+    // branch boundary at t=1 (slowest convergence) — still ~1e-9, far
+    // inside the 1e-6 reporting precision.
+    assert(math.abs(pT(1.0, 1.0) - 0.5) < 1e-8)
+    assert(math.abs(pT(2.0, 1.0) - (1 - 2 * math.atan(2.0) / math.Pi)) < 1e-8)
+    // df=2 closed form: p = 1 - t/√(2+t²) for t>0
+    assert(math.abs(pT(1.0, 2.0) - 0.42264973081037416) < 1e-8)
+    assert(math.abs(pT(3.0, 2.0) - (1 - 3.0 / math.sqrt(11.0))) < 1e-8)
+    // t = 0 → p = 1 exactly (x=1 guard)
+    assert(pT(0.0, 7.3) === 1.0)
+    // fractional (Welch) df interpolates sanely between integer dfs
+    val pMid = pT(2.0, 5.5)
+    assert(pT(2.0, 5.0) > pMid && pMid > pT(2.0, 6.0))
+    // large df converges to the normal tail
+    val z = 1.959963984540054
+    assert(math.abs(pT(z, 100000.0) - 0.05) < 1e-4)
+  }
+
   test("operator-level stats queries run and are sane") {
     val tt = operators.Stats.ttestWelch(spark, sfDir).collect()
     assert(tt.length === 5) // one row per event_type
     tt.foreach { r =>
       val p = r.getAs[Double]("p_normal")
       assert(p >= 0.0 && p <= 1.0)
+      val pt = r.getAs[Double]("p_t")
+      assert(pt >= 0.0 && pt <= 1.0)
+      // large-n slices: t and normal tails agree closely
+      assert(math.abs(pt - p) < 0.01)
     }
     val mw = operators.Stats.mwu(spark, sfDir).collect()
     assert(mw.length === 5)
