@@ -24,11 +24,23 @@ object Tables {
     * conf) and convert — the driver's data is µs-aligned so the integer
     * division below is lossless. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // Scoped nanos handling: an explicit schema (ts as LONG) skips the
+    // inference path, which would consult the SESSION conf; the reader
+    // option lands in this relation's hadoop conf, which is what the
+    // execution-time schema converter reads. No session-wide
+    // spark.conf.set — later parquet reads in the session are untouched.
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     // integer `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds a double's
     // 2^53 exact-integer range, so float division would round the tail.
-    load(spark, dir, "events")
+    spark.read
+      .schema(schema)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")

@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
   /** Inner equi-join of `large ⋈ small` on `key`, salted `salts` ways.
-    * `small` is replicated `salts`× — keep it dimension-sized. */
+    * `small` is replicated `salts`× — keep it dimension-sized.
+    *
+    * The salt is hash-derived from the large side's full row (NOT from
+    * the key — every row of a hot key must land in a different bucket),
+    * keeping the whole operator RNG-free: reruns and retries salt
+    * identically. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    val salted = large.withColumn("__salt", (rand(42) * salts).cast("int"))
+    val salted = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col): _*), lit(salts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -183,6 +183,42 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Ordered ARRAY_AGG with DUPLICATES and NULLs preserved — the
+    * reference's `ARRAY_AGG(... RESPECT NULLS ORDER BY ...)` then
+    * ARRAY_TO_STRING with a null placeholder (aa_tests sql:61,140).
+    * [[stringAgg]] is the DISTINCT variant; this one keeps every row.
+    *
+    * Spark has no ordered collect: collect_list order is
+    * partition-dependent, so the deterministic pattern is
+    * collect_list(struct(sortKeys..., value)) → array_sort → project.
+    * Input is slice-bounded (acctbal > 9000) so the per-group array is
+    * small; at full scale rank-limit per group first. */
+  def stringAggDup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_vals"),
+        concat_ws(", ", transform(
+          array_sort(collect_list(struct(
+            (-col("c_acctbal")).as("k1"),
+            col("c_custkey").as("k2"),
+            // RESPECT NULLS: synthesize nulls via NULLIF, then the
+            // ARRAY_TO_STRING null placeholder
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NULL")).as("v")))),
+          x => x.getField("v"))).as("segments"))
+      .orderBy("n_name")
+
+  private val stringAggDupOracle =
+    """SELECT n_name, COUNT(*) AS n_vals,
+      |  string_agg(COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'NULL'), ', '
+      |             ORDER BY c_acctbal DESC, c_custkey) AS segments
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 9000
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** split + explode (CROSS JOIN UNNEST / py script step 3.4 list
     * splitting): word frequencies of part names. */
   def explodeSplit(spark: SparkSession, dir: String): DataFrame =
@@ -615,6 +651,7 @@ object Relational {
     Op("q_distinct", distinctProj, Some(distinctProjOracle)),
     Op("q_dense_rank", denseRank, Some(denseRankOracle)),
     Op("q_string_agg", stringAgg, Some(stringAggOracle)),
+    Op("q_string_agg_dup", stringAggDup, Some(stringAggDupOracle)),
     Op("q_explode_split", explodeSplit, Some(explodeSplitOracle)),
     Op("q_regexp_extract", regexpExtract, Some(regexpExtractOracle)),
     Op("q_case_norm", caseNorm, Some(caseNormOracle)),

@@ -326,16 +326,25 @@ object Stats {
   def bootstrapCi(spark: SparkSession, dir: String, replicates: Int = 50): DataFrame = {
     val d = DecimalType(28, 6)
     // u ∈ [0,1) from murmur3; Poisson(1) inverse CDF via cumulative table
-    val u = pmod(hash(col("event_id"), col("b")), lit(1000000)).cast(DoubleType) / 1000000.0
-    val w = when(u < 0.367879, 0).when(u < 0.735759, 1).when(u < 0.919699, 2)
-      .when(u < 0.981012, 3).when(u < 0.996340, 4).when(u < 0.999406, 5).otherwise(6)
-    val repMeans = Tables.events(spark, dir)
+    def w(b: Int): Column = {
+      val u = pmod(hash(col("event_id"), lit(b)), lit(1000000)).cast(DoubleType) / 1000000.0
+      when(u < 0.367879, 0).when(u < 0.735759, 1).when(u < 0.919699, 2)
+        .when(u < 0.981012, 3).when(u < 0.996340, 4).when(u < 0.999406, 5).otherwise(6)
+    }
+    // All B replicates in ONE aggregation pass: 2B weighted partial
+    // sums per group (map-side combined), instead of explode()ing every
+    // row B times — shuffle input stays |events|, not B·|events|.
+    val sums = (0 until replicates).flatMap { b =>
+      Seq(sum((w(b) * col("value")).cast(d)).cast(DoubleType).as(s"swv_$b"),
+        sum(w(b)).cast(DoubleType).as(s"sw_$b"))
+    }
+    val wide = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("b", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("w", w)
-      .groupBy("event_type", "b")
-      .agg((sum((col("w") * col("value")).cast(d)).cast(DoubleType) /
-        sum(col("w")).cast(DoubleType)).as("rep_mean"))
+      .groupBy("event_type")
+      .agg(sums.head, sums.tail: _*)
+    // replicate means as an array → explode B rows per group (tiny)
+    val repMeans = wide.select(col("event_type"), explode(array(
+      (0 until replicates).map(b => col(s"swv_$b") / col(s"sw_$b")): _*)).as("rep_mean"))
     repMeans.groupBy("event_type")
       .agg(
         count(lit(1)).as("n_replicates"),

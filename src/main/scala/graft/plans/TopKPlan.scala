@@ -5,6 +5,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -23,9 +24,12 @@ import org.apache.spark.sql.graft.Bridge
   * shuffle shrinks from the whole table to 3·|groups|·|partitions|
   * rows, and nothing is ever globally sorted.
   *
-  * Selection is by (orderCol DESC, tieCol ASC) — identical semantics
-  * to `row_number over (order by orderCol desc, tieCol asc) <= k`,
-  * modulo output order (callers sort the ≤ k·|groups| survivors).
+  * Selection is by (orderCol DESC NULLS LAST, tieCol ASC NULLS FIRST)
+  * — identical semantics (including null placement) to `row_number
+  * over (order by orderCol desc, tieCol asc) <= k`, for ANY orderable
+  * column type (comparison uses the type's Catalyst ordering, not a
+  * numeric coercion), modulo output order (callers sort the
+  * ≤ k·|groups| survivors).
   */
 final case class TopKPerGroup(
     groupCols: Seq[Expression], orderCol: Expression, tieCol: Expression,
@@ -59,30 +63,48 @@ final case class TopKExec(
     val groupBound = groupCols.map(BindReferences.bindReference(_, child.output))
     val orderBound = BindReferences.bindReference(orderCol, child.output)
     val tieBound = BindReferences.bindReference(tieCol, child.output)
+    // the column types' own Catalyst orderings: exact for long/decimal/
+    // string — no narrowing through double
+    val orderOrd = TypeUtils.getInterpretedOrdering(orderBound.dataType)
+    val tieOrd = TypeUtils.getInterpretedOrdering(tieBound.dataType)
     val fn = (iter: Iterator[InternalRow]) => {
       val keyProj = UnsafeProjection.create(groupBound)
-      // max-heap ordered so the WEAKEST kept row (smallest order value,
-      // then largest tie value) sits at the head for O(1) displacement
-      val weakestFirst =
-        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-          .on[(Double, Long, InternalRow)](x => (-x._1, x._2))
-      val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
+      // > 0 iff a is STRONGER than b under
+      // (order DESC NULLS LAST, tie ASC NULLS FIRST) — the same null
+      // placement Spark's window ordering uses for desc/asc
+      def strength(ao: Any, at: Any, bo: Any, bt: Any): Int = {
+        val oc = (ao, bo) match {
+          case (null, null) => 0
+          case (null, _)    => -1 // null order ranks last under DESC
+          case (_, null)    => 1
+          case _            => orderOrd.compare(ao, bo) // larger = stronger
+        }
+        if (oc != 0) oc
+        else (at, bt) match {
+          case (null, null) => 0
+          case (null, _)    => 1 // null tie ranks first under ASC
+          case (_, null)    => -1
+          case _            => -tieOrd.compare(at, bt) // smaller = stronger
+        }
+      }
+      // max-heap ordered so the WEAKEST kept row sits at the head for
+      // O(1) displacement
+      val weakestFirst = new Ordering[(Any, Any, InternalRow)] {
+        def compare(x: (Any, Any, InternalRow), y: (Any, Any, InternalRow)): Int =
+          strength(y._1, y._2, x._1, x._2)
+      }
+      val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[(Any, Any, InternalRow)]]
       iter.foreach { row =>
-        val ov = orderBound.eval(row) match {
-          case null => Double.NegativeInfinity
-          case n: java.lang.Number => n.doubleValue()
-        }
-        val tv = tieBound.eval(row) match {
-          case null => Long.MaxValue
-          case n: java.lang.Number => n.longValue()
-        }
+        // copy eval results: UTF8String/Decimal values point into the
+        // reused row buffer
+        val ov = InternalRow.copyValue(orderBound.eval(row))
+        val tv = InternalRow.copyValue(tieBound.eval(row))
         val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
           mutable.PriorityQueue.empty(weakestFirst))
         if (heap.size < kk) heap.enqueue((ov, tv, row.copy()))
         else {
           val (wo, wt, _) = heap.head
-          // stronger than the weakest kept: larger order, or tie-break lower
-          if (ov > wo || (ov == wo && tv < wt)) {
+          if (strength(ov, tv, wo, wt) > 0) {
             heap.dequeue()
             heap.enqueue((ov, tv, row.copy()))
           }
