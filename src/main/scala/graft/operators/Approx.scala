@@ -49,8 +49,34 @@ object Approx {
       .orderBy("event_type")
   }
 
+  /** Custom mergeable quantile sketch (functions.QuantileSketchAgg, the
+    * DDSketch log-bucket construction) beside the exact percentiles:
+    * per event_type, sketch p50/p90/p99 at α=1% relative error. Unlike
+    * approx_percentile (GK), the sketch's merge is pure count addition,
+    * so results are identical under any partitioning — the property the
+    * spec asserts. Rows-only (sketch internals aren't portable SQL). */
+  def quantileSketchStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch.quantileSketch
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        quantileSketch(col("value"), Seq(0.5, 0.9, 0.99)).as("qs"),
+        expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact"),
+      )
+      .select(col("event_type"), col("n"),
+        col("qs").getItem(0).as("sk_p50"),
+        col("qs").getItem(1).as("sk_p90"),
+        col("qs").getItem(2).as("sk_p99"),
+        col("exact").getItem(0).as("exact_p50"),
+        col("exact").getItem(1).as("exact_p90"),
+        col("exact").getItem(2).as("exact_p99"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_approx_stats", approxStats, None),
+    Op("q_qsketch", quantileSketchStats, None),
     Op("q_stratified_sample", stratifiedSample, None),
   )
 }

@@ -83,6 +83,37 @@ class InfraSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: bounded relative error, exact merge determinism") {
+    import graft.functions.QuantileSketch.quantileSketch
+    import spark.implicits._
+    // error bound vs exact percentiles on real data
+    val rows = operators.Approx.quantileSketchStats(spark, sfDir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      Seq(("sk_p50", "exact_p50"), ("sk_p90", "exact_p90"), ("sk_p99", "exact_p99"))
+        .foreach { case (sk, ex) =>
+          val (s, e) = (r.getAs[Double](sk), r.getAs[Double](ex))
+          // α=1% bucket bound + slack for the exact side's interpolation
+          assert(math.abs(s - e) <= 0.025 * math.abs(e) + 0.5,
+            s"${r.getString(0)}.$sk: $s vs $e")
+        }
+    }
+    // determinism: the SAME sketch (bit-identical) under any partitioning
+    val vals = (1 to 5000).map(i => (i % 7, math.exp(i % 400 / 40.0) - 3.0))
+    def sketchOf(parts: Int): Map[Int, Seq[Double]] =
+      vals.toDF("g", "x").repartition(parts)
+        .groupBy("g").agg(quantileSketch(col("x"), Seq(0.1, 0.5, 0.9, 0.99)).as("q"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(sketchOf(1) === sketchOf(17)) // exact equality, not tolerance
+    // negative values and zeros are ranked correctly
+    val simple = Seq(-100.0, -10.0, 0.0, 0.0, 10.0, 100.0, 1000.0)
+      .toDF("x").agg(quantileSketch(col("x"), Seq(0.0, 0.5, 1.0)).as("q"))
+      .head().getSeq[Double](0)
+    assert(math.abs(simple(0) + 100.0) <= 1.0)   // min ≈ -100
+    assert(simple(1) === 0.0)                    // median is an exact zero
+    assert(math.abs(simple(2) - 1000.0) <= 10.0) // max ≈ 1000
+  }
+
   test("streaming dedup drops redelivered events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{Event, EventStream}
