@@ -104,11 +104,14 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     // whole 16-perm signature + distinct-shingle count per row at scan
     // time (native MinHashSketchExpr) — zero shuffles to build sketches.
-    // Not persisted: the band self-join shuffles both sides on the SAME
-    // (band, bucket) key, so the two exchange subtrees are identical and
-    // Spark's ReuseExchange runs the sketch kernel once per document.
+    // Persisted (~140 B/doc, MEMORY_AND_DISK) for the band self-join,
+    // then explicitly UNPERSISTED as soon as the candidate pairs are
+    // materialized below — without this the downstream DAG re-derives
+    // the band join in four branches and the sketch kernel runs ~8×
+    // over the corpus.
     val sig = docs.select(col("doc_id"),
       HashFunctions.minhashSketch(col("toks")).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4 bands of 4 rows via one explode
     val bandStructs = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -129,6 +132,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
         col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
+      .persist()
+    // materialize the (LSH-pruned, tiny) pair set ONCE while sig is
+    // cached, then drop the corpus-sized sketch cache — the verify
+    // phase below touches only `cand` and the candidate documents
+    cand.count()
+    sig.unpersist(blocking = false)
     // verify candidates with true Jaccard — shingles exploded ONLY for
     // candidate docs (semi-join pushdown), so the exact pass is tiny
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()

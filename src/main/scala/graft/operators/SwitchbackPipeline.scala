@@ -136,6 +136,119 @@ object SwitchbackPipeline {
     metricsAndPvals(augment(cleanOrders(
       extractOrders(Tables.events(spark, dir), testConfigs(spark)))))
 
+  // -------------------------------------------------------------------
+  // Parameterized reruns — the reference's BQ-scripting DECLARE/SET
+  // pattern (sql_queries/..._deep_dives.sql:3-12): the SAME pipeline
+  // text is re-bound to different dates/zones/thresholds/KPI rates per
+  // run. Here the binding is a case class; BOTH the Spark plan and the
+  // DuckDB oracle are generated from the same params value, so a rerun
+  // is `runWith(spark, dir, newParams)` — no copy-edited SQL.
+  // -------------------------------------------------------------------
+
+  /** One switchback test's full parameter set (the DECLARE block). */
+  final case class SwitchbackParams(
+      testName: String, zoneLo: Int, zoneHi: Int, types: Seq[String],
+      testStart: String, testEnd: String,
+      keepThreshold: Int = 90, revenueRate: Double = 0.8, unitFee: Double = 0.01)
+
+  /** The rerun exercised by q_sb_pipeline_params: different zones,
+    * dates, keep thresholds, and KPI rates than [[testConfigs]]. */
+  val rerunParams: Seq[SwitchbackParams] = Seq(
+    SwitchbackParams("test_sb_fee", 2, 7, Seq("click", "purchase"),
+      "2024-01-08", "2024-01-22", keepThreshold = 80, revenueRate = 0.75, unitFee = 0.02),
+    SwitchbackParams("test_sb_promo", 0, 9, Seq("view", "signup"),
+      "2024-01-03", "2024-01-27", keepThreshold = 95, revenueRate = 0.9, unitFee = 0.005),
+  )
+
+  /** Params → config dim (broadcast side), carrying the per-test
+    * threshold and KPI rates as columns. */
+  def configsFrom(spark: SparkSession, params: Seq[SwitchbackParams]): DataFrame = {
+    import spark.implicits._
+    params.map(p => (p.testName, p.zoneLo, p.zoneHi, p.types.mkString(","),
+        p.testStart, p.testEnd, p.keepThreshold, p.revenueRate, p.unitFee))
+      .toDF("test_name", "zone_lo", "zone_hi", "types", "test_start",
+        "test_end", "keep_thresh", "rev_rate", "unit_fee")
+  }
+
+  /** [[extractOrders]] + [[augment]] with every constant drawn from the
+    * joined config row instead of hardcoded literals. */
+  def runWith(spark: SparkSession, dir: String, params: Seq[SwitchbackParams]): DataFrame = {
+    val extracted = extractOrders(Tables.events(spark, dir), configsFrom(spark, params))
+      // per-test keep threshold overrides extractOrders' default flag
+      .withColumn("keep_drop_flag",
+        when(col("k") < col("keep_thresh"), "Keep").otherwise("Drop"))
+    val augmented = cleanOrders(extracted)
+      .withColumn("revenue_local",
+        col("value") * col("rev_rate") + col("k") * col("unit_fee"))
+    metricsAndPvals(augmented)
+  }
+
+  /** The oracle for a parameter set — generated from the SAME value the
+    * Spark plan is built from (single source of truth). */
+  def oracleFor(params: Seq[SwitchbackParams]): String = {
+    val values = params.map { p =>
+      s"('${p.testName}', ${p.zoneLo}, ${p.zoneHi}, '${p.types.mkString(",")}', " +
+        s"'${p.testStart}', '${p.testEnd}', ${p.keepThreshold}, " +
+        s"CAST(${p.revenueRate} AS DOUBLE), CAST(${p.unitFee} AS DOUBLE))"
+    }.mkString(",\n  ")
+    val cfgSql =
+      s"""(VALUES
+         |  $values)
+         | AS cfg(test_name, zone_lo, zone_hi, types, test_start, test_end, keep_thresh, rev_rate, unit_fee)""".stripMargin
+    val z = "((u1 - mu) - sign(u1 - mu) * 0.5) / sd"
+    s"""WITH extracted AS (
+       |  SELECT e.*, user_id % 10 AS zone_id, cfg.test_name, cfg.keep_thresh, cfg.rev_rate, cfg.unit_fee,
+       |    CASE WHEN ((epoch_us(date_trunc('hour', ts)) // 3600000000) + (user_id % 10)) % 2 = 0
+       |         THEN 'On' ELSE 'Off' END AS on_or_off,
+       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+       |  FROM events e
+       |  JOIN $cfgSql
+       |    ON user_id % 10 BETWEEN cfg.zone_lo AND cfg.zone_hi
+       |   AND list_contains(string_split(cfg.types, ','), e.event_type)
+       |   AND CAST(e.ts AS DATE) BETWEEN CAST(cfg.test_start AS DATE) AND CAST(cfg.test_end AS DATE)),
+       |cleaned AS (SELECT * FROM extracted WHERE k < keep_thresh),
+       |augmented AS (
+       |  SELECT *, "value" * rev_rate + k * unit_fee AS revenue_local FROM cleaned),
+       |metrics AS (
+       |  SELECT test_name,
+       |    COUNT(*) FILTER (WHERE on_or_off = 'On') AS n_on,
+       |    COUNT(*) FILTER (WHERE on_or_off = 'Off') AS n_off,
+       |    ${rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) FILTER (WHERE on_or_off = 'On') AS DOUBLE) / COUNT(*) FILTER (WHERE on_or_off = 'On')", 2)} AS value_per_order_on,
+       |    ${rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) FILTER (WHERE on_or_off = 'Off') AS DOUBLE) / COUNT(*) FILTER (WHERE on_or_off = 'Off')", 2)} AS value_per_order_off,
+       |    ${rSql("CAST(SUM(CAST(revenue_local AS DECIMAL(28,6))) FILTER (WHERE on_or_off = 'On') AS DOUBLE) / COUNT(*) FILTER (WHERE on_or_off = 'On')", 2)} AS revenue_per_order_on,
+       |    ${rSql("CAST(SUM(CAST(revenue_local AS DECIMAL(28,6))) FILTER (WHERE on_or_off = 'Off') AS DOUBLE) / COUNT(*) FILTER (WHERE on_or_off = 'Off')", 2)} AS revenue_per_order_off
+       |  FROM augmented GROUP BY 1),
+       |counts AS (
+       |  SELECT test_name, "value" AS v, COUNT(*) AS cnt,
+       |    SUM(CASE WHEN on_or_off = 'On' THEN 1 ELSE 0 END) AS cnt_on
+       |  FROM augmented GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT test_name, cnt, cnt_on,
+       |    COALESCE(SUM(cnt) OVER (PARTITION BY test_name ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (cnt + 1) / 2.0 AS avg_rank
+       |  FROM counts),
+       |agg AS (
+       |  SELECT test_name,
+       |    SUM(avg_rank * cnt_on) AS r_on,
+       |    CAST(SUM(cnt_on) AS BIGINT) AS n1,
+       |    CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_t
+       |  FROM ranked GROUP BY 1),
+       |stats AS (
+       |  SELECT test_name,
+       |    (r_on - n1 * (n1 + 1) / 2.0) AS u1,
+       |    (n1 * (n - n1) / 2.0) AS mu,
+       |    sqrt(n1 * (n - n1) / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0)))) AS sd
+       |  FROM agg)
+       |SELECT m.test_name, m.n_on, m.n_off,
+       |  m.value_per_order_on, m.value_per_order_off,
+       |  m.revenue_per_order_on, m.revenue_per_order_off,
+       |  u1 AS u_stat, ${rSql(z, 4)} AS z,
+       |  ${rSql(StatFunctions.pTwoSidedNormalSql(z), 6)} AS p_value
+       |FROM metrics m JOIN stats s ON m.test_name = s.test_name
+       |ORDER BY m.test_name""".stripMargin
+  }
+
   private val pipelineOracle = {
     val z = "((u1 - mu) - sign(u1 - mu) * 0.5) / sd"
     s"""WITH extracted AS (
@@ -193,5 +306,7 @@ object SwitchbackPipeline {
 
   val ops: Seq[Op] = Seq(
     Op("q_sb_pipeline", run, Some(pipelineOracle), headline = true),
+    Op("q_sb_pipeline_params", (s, dir) => runWith(s, dir, rerunParams),
+      Some(oracleFor(rerunParams))),
   )
 }

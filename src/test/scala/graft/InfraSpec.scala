@@ -174,4 +174,22 @@ class InfraSpec extends SparkSpec {
       assert(p >= 0.0 && p <= 1.0)
     }
   }
+
+  test("parameterized pipeline rerun: params drive plan and results") {
+    import operators.SwitchbackPipeline.{SwitchbackParams, runWith, rerunParams}
+    val out = runWith(spark, sfDir, rerunParams).collect()
+    assert(out.map(_.getString(0)).toSeq === rerunParams.map(_.testName).sorted)
+    // a stricter keep threshold must not ADMIT more orders
+    val loose = rerunParams.map(p => p.copy(keepThreshold = 100))
+    val tight = rerunParams.map(p => p.copy(keepThreshold = 50))
+    val nLoose = runWith(spark, sfDir, loose).collect().map(r => r.getLong(1) + r.getLong(2)).sum
+    val nTight = runWith(spark, sfDir, tight).collect().map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(nTight < nLoose)
+    // KPI rates flow through: doubling the revenue rate ~doubles rev/order
+    val doubled = rerunParams.map(p => p.copy(revenueRate = p.revenueRate * 2, unitFee = 0.0))
+    val base = rerunParams.map(p => p.copy(unitFee = 0.0))
+    val revD = runWith(spark, sfDir, doubled).collect().map(_.getAs[Double]("revenue_per_order_on")).sum
+    val revB = runWith(spark, sfDir, base).collect().map(_.getAs[Double]("revenue_per_order_on")).sum
+    assert(math.abs(revD - 2 * revB) < 0.1)
+  }
 }
