@@ -170,11 +170,130 @@ object TextAnalysis {
       |  GROUP BY lang, word)
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  /** Benchmark decontamination — the training-data pass that flags
+    * documents sharing any verbatim word-8-gram with an evaluation set.
+    * The "leaked" eval set here is a re-keyed copy of every 25th doc
+    * (verbatim contamination), so the operator must recover exactly
+    * those documents with full overlap.
+    *
+    * Scale: the eval side is benchmark-sized (small) — its distinct
+    * 8-gram set joins against scan-local train-doc grams; AQE
+    * broadcasts it. Train grams are exploded once, never collected. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+          .as("gram")).distinct()
+    val train = grams(Tables.documents(spark, dir))
+    val eval8 = grams(Tables.documents(spark, dir)
+        .filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      .select(col("gram")).distinct()
+    train.join(eval8, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_8grams"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateOracle =
+    """WITH tr AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 7),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS gram
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |ev AS (
+      |  SELECT DISTINCT
+      |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 7),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS gram
+      |  FROM documents WHERE doc_id % 25 = 0 AND len(string_split(text, ' ')) >= 8)
+      |SELECT doc_id, COUNT(*) AS n_shared_8grams
+      |FROM tr JOIN ev USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Within-document repetition profile (quality filtering): per
+    * sampled doc, word-trigram totals, distinct ratio, and the most
+    * repeated trigram's count — the features behind "drop docs that
+    * repeat themselves" filters. */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+        .as("gram"))
+    tri.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_repeat"),
+        r4(count(lit(1)).cast("double") / sum("cnt")).as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionProfileOracle =
+    """WITH tri AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+      |  FROM documents WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
+      |counts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM tri GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |  COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS max_repeat,
+      |  (sign(CAST(COUNT(*) AS DOUBLE) / SUM(cnt)) * floor(abs(CAST(COUNT(*) AS DOUBLE) / SUM(cnt)) * 1e4 + 0.5) / 1e4) AS distinct_ratio
+      |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing: regex-redact emails and 10-digit phone numbers,
+    * reporting redaction counts and size deltas. PII is planted
+    * deterministically on every 7th doc so both engines scrub the same
+    * rows. Pure per-row regexes → scan-local at any scale. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    // [.] not \. — Spark's SQL string literals eat lone backslashes,
+    // DuckDB's don't; the character class reads identically in both
+    val emailPat = "[a-z0-9]+@[a-z]+[.]com"
+    val phonePat = "[0-9]{10}"
+    val salted = Tables.documents(spark, dir)
+      .withColumn("text2", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com code 4155551234"))).otherwise(col("text")))
+    salted
+      .withColumn("n_emails", size(expr(s"regexp_extract_all(text2, '$emailPat', 0)")))
+      .withColumn("n_phones", size(expr(s"regexp_extract_all(text2, '$phonePat', 0)")))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"))
+      .groupBy((col("n_emails") + col("n_phones")).as("n_redactions"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text2")) - length(col("redacted"))).as("chars_removed"))
+      .orderBy("n_redactions")
+  }
+
+  private val piiScrubOracle =
+    """WITH salted AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |    THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com code 4155551234'
+      |    ELSE text END AS text2
+      |  FROM documents),
+      |scrubbed AS (
+      |  SELECT len(regexp_extract_all(text2, '[a-z0-9]+@[a-z]+[.]com', 0)) AS n_emails,
+      |    len(regexp_extract_all(text2, '[0-9]{10}', 0)) AS n_phones,
+      |    length(text2) AS len_before,
+      |    length(regexp_replace(regexp_replace(text2, '[a-z0-9]+@[a-z]+[.]com', '<EMAIL>', 'g'), '[0-9]{10}', '<PHONE>', 'g')) AS len_after
+      |  FROM salted)
+      |SELECT (n_emails + n_phones) AS n_redactions, COUNT(*) AS n_docs,
+      |  CAST(SUM(len_before - len_after) AS BIGINT) AS chars_removed
+      |FROM scrubbed GROUP BY 1 ORDER BY n_redactions""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     Op("q_lang_id", langId, Some(langIdOracle)),
     Op("q_quality_score", qualityScore, Some(qualityScoreOracle)),
     Op("q_token_count", tokenCount, Some(tokenCountOracle), headline = true),
     Op("q_fingerprint", fingerprint, Some(fingerprintOracle)),
+    Op("q_decontam", decontaminate, Some(decontaminateOracle)),
+    Op("q_repetition", repetitionProfile, Some(repetitionProfileOracle)),
+    Op("q_pii_scrub", piiScrub, Some(piiScrubOracle)),
   )
 }
