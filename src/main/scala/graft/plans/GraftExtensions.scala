@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.Bridge
-import graft.functions.{DotExpr, MinHashSketchExpr, NormExpr, PipExpr, ShingleHashesExpr}
+import org.apache.spark.sql.types.{Decimal, DoubleType}
+import graft.functions.{DotExpr, MinHashSketchExpr, NormExpr, PipExpr, QuantileSketchAgg, ShingleHashesExpr}
 
 /** SQL surface for graft's native expressions. Install at session build
   * with `.withExtensions(new GraftExtensions)` / the
@@ -47,6 +48,22 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(tokens) - distinct word-bigram murmur3 hashes"),
       (args: Seq[Expression]) => ShingleHashesExpr(args(0))),
+    (FunctionIdentifier("quantile_sketch"),
+      info("quantile_sketch",
+        "quantile_sketch(x, q, ...) - mergeable log-bucket quantile sketch, 1% relative error, " +
+          "bit-identical under any partitioning; returns one estimate per requested q"),
+      (args: Seq[Expression]) => {
+        // quantile args must be literals (they parameterize the buffer)
+        val qs = args.tail.map(_.eval(null) match {
+          case d: java.lang.Double => d.doubleValue()
+          case d: Decimal          => d.toDouble
+          case n: java.lang.Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"quantile_sketch: quantile args must be numeric literals, got $other")
+        })
+        // bare AggregateFunction: the analyzer wraps it in AggregateExpression
+        QuantileSketchAgg(Cast(args.head, DoubleType), qs)
+      }),
   )
 
   /** Register on an already-built session (temp-function registry). */

@@ -24,6 +24,13 @@ class InfraSpec extends SparkSpec {
       assert(r.getLong(3) === 2L) // shingles: "a b", "b c"
       assert(r.getInt(4) === 2)
     }
+    locally {
+      val q = spark.sql(
+        "SELECT quantile_sketch(x, 0.5, 1.0) AS q FROM VALUES (1.0), (2.0), (300.0) AS t(x)")
+        .head().getSeq[Double](0)
+      assert(math.abs(q(0) - 2.0) <= 0.03)   // median within 1%
+      assert(math.abs(q(1) - 300.0) <= 3.1)  // max within 1%
+    }
   }
 
   test("partitioned write round-trips and prunes") {
