@@ -13,6 +13,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("every oracle-backed query is partitioning-invariant") {
+    // The repo's core determinism claim: results do not depend on how
+    // data is partitioned (decimal-exact sums, order-invariant
+    // aggregates). Run the full oracle-backed surface under two shuffle
+    // widths and require byte-identical row sets.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val results = Seq("3", "7").map { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        Registry.ops.filter(_.oracle.isDefined).map { op =>
+          op.name -> op.fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+        }.toMap
+      }
+      results(0).keys.foreach { name =>
+        assert(results(0)(name) === results(1)(name),
+          s"$name differs between 3 and 7 shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("registry names are unique and oracle columns align") {
     val names = Registry.ops.map(_.name)
     assert(names.distinct.size === names.size)
