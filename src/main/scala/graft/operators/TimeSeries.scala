@@ -182,12 +182,66 @@ object TimeSeries {
        |FROM events e JOIN b ON e.event_type = b.event_type
        |GROUP BY 1 ORDER BY e.event_type""".stripMargin
 
+  /** The promo/maintenance windows joined in [[rangeJoin]] — literal
+    * interval dim generated once, shared by plan and oracle. */
+  private val promoWindows: Seq[(Int, String, String)] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    Seq.tabulate(12) { i =>
+      (i, base.plusHours(i * 50L).format(fmt), base.plusHours(i * 50L + 8).format(fmt))
+    }
+  }
+
+  /** Interval (range) join, bucketized: events falling inside promo
+    * windows, `ts >= start AND ts < end`.
+    *
+    * Spark's native plan for a non-equi join is a nested-loop join —
+    * O(|events|·|windows|) comparisons with the small side broadcast,
+    * which dies as soon as the interval table stops being tiny. The
+    * scale formulation here EXPANDS each interval into the hour buckets
+    * it covers (bounded by interval length / bucket width) and joins on
+    * the bucket as an EQUI key plus the exact range residual — an
+    * ordinary shuffle/hash join, partitioned by time bucket, at any
+    * table size. Same trick as any spatial grid join. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promos = promoWindows.toDF("promo_id", "start_s", "end_s")
+      .select(col("promo_id"), col("start_s").cast("timestamp").as("start_ts"),
+        col("end_s").cast("timestamp").as("end_ts"))
+    // windows are hour-aligned, end exclusive → covered buckets are
+    // [startHb, endHb): one row per (promo, covered hour)
+    val expanded = promos.withColumn("hb", explode(expr(
+      "sequence(unix_micros(start_ts) div 3600000000, (unix_micros(end_ts) div 3600000000) - 1)")))
+    Tables.events(spark, dir)
+      .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
+      .join(expanded, Seq("hb"))
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy("promo_id")
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("promo_id")
+  }
+
+  private val rangeJoinOracle = {
+    val values = promoWindows.map { case (i, s, e) =>
+      s"($i, TIMESTAMP '$s', TIMESTAMP '$e')"
+    }.mkString(",\n  ")
+    // the oracle states the SEMANTICS directly as a non-equi join; the
+    // Spark side's bucketization must be invisible in the result
+    s"""SELECT promo_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM events e JOIN (VALUES
+       |  $values) AS p(promo_id, start_ts, end_ts)
+       |  ON e.ts >= p.start_ts AND e.ts < p.end_ts
+       |GROUP BY 1 ORDER BY promo_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_growth", growth, Some(growthOracle)),
     Op("q_iqr_outliers", iqrOutliers, Some(iqrOutliersOracle)),
     Op("q_ewm", ewm, Some(ewmOracle)),
     Op("q_sessionize", sessionize, Some(sessionizeOracle), headline = true),
     Op("q_asof_join", asofJoin, Some(asofJoinOracle), headline = true),
+    Op("q_range_join", rangeJoin, Some(rangeJoinOracle)),
     Op("q_window_tumbling", windowTumbling, Some(windowTumblingOracle)),
   )
 }
