@@ -586,8 +586,9 @@ object Relational {
     * (six scans). At 100 TB that is the difference between one pass
     * over the table and six. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val cut = lit("1998-01-01").cast("timestamp")
-    Tables.orders(spark, dir)
+    val counts = Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(
         max(when(col("o_orderdate") < cut, 1).otherwise(0)).as("has_early"),
@@ -598,6 +599,11 @@ object Relational {
           .otherwise("late_only").as("segment"))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_customers"))
+    // the oracle's three-way UNION always emits all segments (count 0
+    // when empty); complete the group-by result the same way
+    Seq("both_periods", "early_only", "late_only").toDF("segment")
+      .join(counts, Seq("segment"), "left")
+      .na.fill(0L, Seq("n_customers"))
       .orderBy("segment")
   }
 
