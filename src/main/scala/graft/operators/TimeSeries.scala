@@ -133,6 +133,10 @@ object TimeSeries {
   /** Week-over-week growth: weekly revenue with lag + percent change
     * (the dashboard trend tile). */
   def growth(spark: SparkSession, dir: String): DataFrame = {
+    // GLOBAL (unpartitioned) window by design: it runs over the per-WEEK
+    // aggregate — |weeks in the observation window| rows at ANY data
+    // scale — never over raw events, so the single-partition sort Spark
+    // warns about holds a handful of rows.
     val w = Window.orderBy("week")
     Tables.events(spark, dir)
       .groupBy(date_trunc("week", col("ts")).as("week"))
