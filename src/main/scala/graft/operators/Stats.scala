@@ -391,8 +391,42 @@ object Stats {
        |      FROM events)
        |GROUP BY 1, 2 ORDER BY event_type, quartile""".stripMargin
 
+  /** Benjamini-Hochberg FDR correction over the per-event_type MWU
+    * p-values — the multiple-testing step after running a batch of
+    * tests: rank p ascending, p_adj(i) = min_{j≥i} p(j)·m/j, clamped
+    * to 1. All windows here are GLOBAL by design: they run over one
+    * row per test (a handful), never raw events. */
+  def fdrBh(spark: SparkSession, dir: String): DataFrame = {
+    val p = mwu(spark, dir).select(col("event_type"), col("p_value"))
+    val wRank = Window.orderBy("p_value", "event_type")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // running min over the tail = min of padj_raw from this rank upward
+    val wTail = Window.orderBy(col("rnk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("rnk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("padj_raw", col("p_value") * col("m") / col("rnk"))
+      .withColumn("p_adj", r6(least(lit(1.0), min("padj_raw").over(wTail))))
+      .select(col("event_type"), col("rnk"), col("p_value"), col("p_adj"))
+      .orderBy("rnk")
+  }
+
+  private val fdrBhOracle =
+    s"""WITH pv AS (
+       |  SELECT event_type, p_value FROM ($mwuOracle)),
+       |ranked AS (
+       |  SELECT event_type, p_value,
+       |    ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS rnk,
+       |    COUNT(*) OVER () AS m
+       |  FROM pv),
+       |adj AS (SELECT *, p_value * m / rnk AS padj_raw FROM ranked)
+       |SELECT event_type, rnk, p_value,
+       |  ${rSql("least(1.0, MIN(padj_raw) OVER (ORDER BY rnk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)} AS p_adj
+       |FROM adj ORDER BY rnk""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_histogram", histogram, Some(histogramOracle)),
+    Op("q_fdr_bh", fdrBh, Some(fdrBhOracle)),
     Op("q_ntile", ntileQuartiles, Some(ntileQuartilesOracle)),
     Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), None),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
