@@ -239,8 +239,66 @@ object TimeSeries {
        |GROUP BY 1 ORDER BY promo_id""".stripMargin
   }
 
+  /** CUSUM change-point detection per event_type: cumulative sum of
+    * daily-mean deviations from the series mean; the day of the maximum
+    * |S| is the most likely level-shift point (the classical offline
+    * CUSUM statistic behind trend-break detection dashboards).
+    *
+    * Determinism: daily means and the series mean are decimal-exact and
+    * r6-rounded; the running sum accumulates DECIMAL deviations inside
+    * an ordered window, so S is bit-identical across engines and
+    * partitionings. Scale: everything after the first aggregation runs
+    * over |event_type|·|days| rows. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(r6(sum(col("value").cast(d)).cast(DoubleType) / count(lit(1))).as("x"))
+    val mu = daily.groupBy("event_type")
+      .agg((sum(col("x").cast(d)).cast(DoubleType) / count(lit(1))).as("mu"),
+        count(lit(1)).as("n_days"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.join(mu, Seq("event_type"))
+      .withColumn("s", sum((col("x") - col("mu")).cast(d)).over(wCum).cast(DoubleType))
+      .withColumn("abs_s", r4(abs(col("s"))))
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(col("abs_s").desc, col("day"))
+    cum.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("abs_s").as("max_cusum"), col("n_days"))
+      .orderBy("event_type")
+  }
+
+  private val cusumOracle = {
+    val xExpr = rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day, $xExpr AS x
+       |  FROM events GROUP BY 1, 2),
+       |mu AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+       |    COUNT(*) AS n_days
+       |  FROM daily GROUP BY 1),
+       |cum AS (
+       |  SELECT d.event_type, d.day, mu.n_days,
+       |    CAST(SUM(CAST(d.x - mu.mu AS DECIMAL(28,6))) OVER (
+       |      PARTITION BY d.event_type ORDER BY d.day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s
+       |  FROM daily d JOIN mu USING (event_type)),
+       |ranked AS (
+       |  SELECT *, ${rSql("abs(s)", 4)} AS abs_s,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY ${rSql("abs(s)", 4)} DESC, day) AS rn
+       |  FROM cum)
+       |SELECT event_type, day AS change_day, abs_s AS max_cusum, n_days
+       |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_growth", growth, Some(growthOracle)),
+    Op("q_cusum", cusum, Some(cusumOracle)),
     Op("q_iqr_outliers", iqrOutliers, Some(iqrOutliersOracle)),
     Op("q_ewm", ewm, Some(ewmOracle)),
     Op("q_sessionize", sessionize, Some(sessionizeOracle), headline = true),
