@@ -46,6 +46,23 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("on_off"))
       .agg(count(lit(1)).as("n"), avg("value").as("value_per_order"))
 
+  /** Streaming windowed quantiles through the custom mergeable
+    * quantile sketch (functions.QuantileSketchAgg): p50/p95 per
+    * tumbling window. The sketch's count-addition merge is exactly what
+    * incremental aggregation state needs — each micro-batch's partial
+    * buffers fold into state commutatively, so the emitted quantiles
+    * equal a batch run over the same rows regardless of how the stream
+    * was chopped into batches. */
+  def windowedQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.QuantileSketch
+          .quantileSketch(col("value"), Seq(0.5, 0.95)).as("qs"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p95"))
+
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks so the
     * join state is bounded — Spark buffers only an hour of clicks per

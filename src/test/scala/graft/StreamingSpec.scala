@@ -56,6 +56,36 @@ class StreamingSpec extends SparkSpec {
     assert(groups.subsetOf(Set("On", "Off")) && groups.nonEmpty)
   }
 
+  test("streaming windowed quantiles equal the batch sketch (batch-chop invariant)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = (0 until 180).map { i =>
+      Event(i.toLong, ts(i.toLong), i % 3L, "click", math.exp(i % 50 / 10.0))
+    }
+    val q = EventStream.windowedQuantiles(input.toDF())
+      .writeStream.format("memory").queryName("quant_out")
+      .outputMode(OutputMode.Append()).start()
+    // feed in three uneven chunks: state must merge partial sketches
+    input.addData(events.take(50))
+    input.addData(events.slice(50, 70))
+    input.addData(events.drop(70))
+    input.addData(Event(999L, ts(600L), 0L, "click", 0.0)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("quant_out")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val batch = events.toDF()
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.functions.QuantileSketch.quantileSketch($"value", Seq(0.5, 0.95)).as("qs"))
+      .select($"window.start", $"n", $"qs".getItem(0), $"qs".getItem(1))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    // batch result EXACTLY equals the streamed one (the sketch merge is
+    // order/chop-invariant), modulo the watermark probe's extra window
+    assert(batch.subsetOf(streamed))
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
