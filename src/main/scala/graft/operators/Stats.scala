@@ -424,9 +424,88 @@ object Stats {
        |  ${rSql("least(1.0, MIN(padj_raw) OVER (ORDER BY rnk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)} AS p_adj
        |FROM adj ORDER BY rnk""".stripMargin
 
+  /** CUPED variance reduction: adjust the in-period per-user metric by
+    * the pre-period covariate, θ = cov(x,y)/var(x),
+    * mean_adj(g) = mean_y(g) − θ·(mean_x(g) − x̄). Reported per
+    * user-parity assignment group beside the raw means — the standard
+    * pre-experiment-data adjustment for experiment readouts.
+    *
+    * Determinism: per-user x/y means are r6-rounded, all cross-moments
+    * accumulate as DECIMAL(30,12) of products of those rounded values,
+    * and the group adjustment uses only group-level sums — no per-row
+    * double accumulation anywhere. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(28, 6)
+    val d12 = DecimalType(30, 12)
+    val cut = lit("2024-01-15").cast("timestamp")
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < cut, col("value").cast(d6))).cast(DoubleType).as("sx"),
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("nx"),
+        sum(when(col("ts") >= cut, col("value").cast(d6))).cast(DoubleType).as("sy"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("ny"))
+      .filter(col("nx") > 0 && col("ny") > 0)
+      .select(col("user_id"),
+        r6(col("sx") / col("nx")).as("x"), r6(col("sy") / col("ny")).as("y"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("grp"))
+    val mom = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d6)).cast(DoubleType).as("sx"),
+      sum(col("y").cast(d6)).cast(DoubleType).as("sy"),
+      sum((col("x") * col("x")).cast(d12)).cast(DoubleType).as("sxx"),
+      sum((col("x") * col("y")).cast(d12)).cast(DoubleType).as("sxy"))
+    val groups = perUser.groupBy("grp").agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x").cast(d6)).cast(DoubleType).as("gx"),
+      sum(col("y").cast(d6)).cast(DoubleType).as("gy"))
+    val theta = (col("sxy") - col("sx") * col("sy") / col("n")) /
+      (col("sxx") - col("sx") * col("sx") / col("n"))
+    val xbar = col("sx") / col("n")
+    groups.crossJoin(broadcast(mom))
+      .select(col("grp"), col("n_users"),
+        r4(col("gy") / col("n_users")).as("mean_y"),
+        r4(col("gy") / col("n_users") -
+          theta * (col("gx") / col("n_users") - xbar)).as("mean_y_adj"),
+        r6(theta).as("theta"))
+      .orderBy("grp")
+  }
+
+  private val cupedOracle = {
+    val x = rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) FILTER (WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS DOUBLE) / nx", 6)
+    val y = rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') AS DOUBLE) / ny", 6)
+    val theta = "((sxy - sx * sy / n) / (sxx - sx * sx / n))"
+    val xbar = "(sx / n)"
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS nx,
+       |    COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') AS ny,
+       |    $x AS x, $y AS y,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+       |  FROM events GROUP BY user_id HAVING nx > 0 AND ny > 0),
+       |mom AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+       |  FROM per_user),
+       |grps AS (
+       |  SELECT grp, COUNT(*) AS n_users,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS gx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS gy
+       |  FROM per_user GROUP BY grp)
+       |SELECT grp, n_users,
+       |  ${rSql("gy / n_users", 4)} AS mean_y,
+       |  ${rSql(s"gy / n_users - $theta * (gx / n_users - $xbar)", 4)} AS mean_y_adj,
+       |  ${rSql(theta, 6)} AS theta
+       |FROM grps CROSS JOIN mom ORDER BY grp""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_histogram", histogram, Some(histogramOracle)),
     Op("q_fdr_bh", fdrBh, Some(fdrBhOracle)),
+    Op("q_cuped", cuped, Some(cupedOracle)),
     Op("q_ntile", ntileQuartiles, Some(ntileQuartilesOracle)),
     Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), None),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
