@@ -29,20 +29,33 @@ object Bench {
     // prune every column (and the windows/sorts feeding them) out of
     // the measured plan; a write materializes all output columns and
     // keeps the final orderBy, so the timed work is the real query.
-    val results = headline.map { op =>
-      val times = (1 to 2).map { _ =>
+    // A failing query must be VISIBLE: it records "err" (not a bogus
+    // short time) and the process exits nonzero, so a regression can
+    // never produce a green-looking bench line.
+    val results: Seq[(String, Either[String, Double])] = headline.map { op =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
           op.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        } finally CacheScope.releaseAll() // free scoped caches between runs
       }
-      op.name -> times.min
+      val ok = runs.collect { case Right(t) => t }
+      op.name -> (if (ok.nonEmpty) Right(ok.min)
+                  else runs.collectFirst { case Left(m) => Left(m) }.get)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(t)) => "\"" + k + "\":" + t
+      case (k, Left(m)) =>
+        "\"" + k + "\":" + "\"err: " + m.replace("\\", "\\\\").replace("\"", "'") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    val errs = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs > 0) sys.exit(1)
   }
 }

@@ -36,17 +36,21 @@ final class QSketch(
   * Guarantee: quantile estimates have RELATIVE error ≤ α, with
   * γ = (1+α)/(1-α) (bucket midpoint 2γ^i/(γ+1) is within α of any
   * value in the bucket). Bucket count grows with the log of the data's
-  * dynamic range: ~ln(max/min)/ln γ (≈700 buckets per decade-exponent
-  * at α=1%) — if `maxBuckets` is ever exceeded the lowest buckets
-  * collapse (standard DDSketch fallback: low tail loses the guarantee;
-  * determinism then depends on collapse timing, so size maxBuckets to
-  * the data's range — the default fits the full double range).
+  * dynamic range: ~ln(max/min)/ln γ (≈115 buckets per decade at α=1%)
+  * — if `maxBuckets` is ever exceeded the lowest (most-negative-value)
+  * buckets collapse, working from the bottom of the number line across
+  * BOTH sign maps (standard DDSketch fallback: the low tail loses the
+  * guarantee; determinism then depends on collapse timing, so size
+  * maxBuckets to the data's range). At α=1% the full double range —
+  * subnormals ~1e−308 up to ~1.8e308 — needs ≈35.5k buckets per
+  * direction per sign, ≈142k total; the 262144 default covers that
+  * with headroom, so collapse never fires on real doubles.
   */
 case class QuantileSketchAgg(
     child: Expression,
     quantiles: Seq[Double],
     alpha: Double = 0.01,
-    maxBuckets: Int = 65536,
+    maxBuckets: Int = 262144,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[QSketch] {
@@ -77,16 +81,36 @@ case class QuantileSketchAgg(
   private def bump(m: mutable.HashMap[Int, Long], i: Int, n: Long): Unit =
     m.update(i, m.getOrElse(i, 0L) + n)
 
-  /** Fold the lowest-magnitude buckets together until under budget. */
+  /** Fold the lowest-VALUE buckets together until under budget, walking
+    * up the number line across both sign maps: most-negative bucket
+    * (neg's highest index) folds into the next-most-negative; a lone
+    * remaining neg bucket folds into zeros; then pos's lowest index
+    * folds into its second-lowest. Works whichever sign dominates. */
   private def collapse(buf: QSketch): Unit = {
-    while (buf.pos.size + buf.neg.size > maxBuckets && buf.pos.size > 1) {
-      val ks = buf.pos.keysIterator
-      var lo = ks.next(); var lo2 = Int.MaxValue
-      ks.foreach { k =>
-        if (k < lo) { lo2 = lo; lo = k } else if (k < lo2) lo2 = k
-      }
-      val c = buf.pos.remove(lo).get
-      bump(buf.pos, lo2, c)
+    while (buf.pos.size + buf.neg.size > maxBuckets) {
+      if (buf.neg.size > 1) {
+        // two highest neg indices = the two most-negative buckets
+        val ks = buf.neg.keysIterator
+        var hi = ks.next(); var hi2 = Int.MinValue
+        ks.foreach { k =>
+          if (k > hi) { hi2 = hi; hi = k } else if (k > hi2) hi2 = k
+        }
+        val c = buf.neg.remove(hi).get
+        bump(buf.neg, hi2, c)
+      } else if (buf.neg.size == 1) {
+        // last negative bucket: absorb into zeros (bottom tail fully lost)
+        val (i, c) = buf.neg.head
+        buf.neg.remove(i)
+        buf.zeros += c
+      } else if (buf.pos.size > 1) {
+        val ks = buf.pos.keysIterator
+        var lo = ks.next(); var lo2 = Int.MaxValue
+        ks.foreach { k =>
+          if (k < lo) { lo2 = lo; lo = k } else if (k < lo2) lo2 = k
+        }
+        val c = buf.pos.remove(lo).get
+        bump(buf.pos, lo2, c)
+      } else return // a single bucket can't be reduced further
     }
   }
 

@@ -126,13 +126,16 @@ object Dedup {
     // so the shuffle partitions evenly. Candidate-derived sides below
     // are small but data-dependent (a dup-heavy corpus inflates them):
     // no forced broadcast() — AQE sizes them at runtime.
-    val cand = bands.as("a")
+    // Tracked in CacheScope: the cache must outlive this method (three
+    // downstream branches read it) but not the operator RUN — the
+    // runner (Verify/Bench/spec) frees it after forcing the result.
+    val cand = graft.CacheScope.track(bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
         col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
-      .persist()
+      .persist())
     // materialize the (LSH-pruned, tiny) pair set ONCE while sig is
     // cached, then drop the corpus-sized sketch cache — the verify
     // phase below touches only `cand` and the candidate documents
@@ -233,11 +236,20 @@ object Dedup {
     var changed = 1L
     var i = 0
     // Each iteration persists its labels (read twice: the chg count and
-    // the next join) and unpersists the superseded generation, so cache
+    // the next join) and frees the superseded generation, so cache
     // footprint stays one generation regardless of iteration count.
     // localCheckpoint every 5 rounds truncates the logical plan — without
     // it, lineage (and Catalyst analysis time) grows per iteration.
-    var prevCached: Option[DataFrame] = None
+    // Checkpointed generations need their materialized RDD unpersisted
+    // directly (Dataset.unpersist is a cache-manager no-op for them);
+    // the final surviving generation is handed to CacheScope so the
+    // runner frees it after consuming the result.
+    def releaser(df: DataFrame, checkpointed: Boolean): () => Unit =
+      if (checkpointed) {
+        val rdd = org.apache.spark.sql.graft.Bridge.materializedRdd(df)
+        () => rdd.foreach(_.unpersist(blocking = false))
+      } else () => df.unpersist(blocking = false)
+    var prevRelease: Option[() => Unit] = None
     while (changed > 0 && i < maxIters) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("node"))
@@ -248,14 +260,15 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           (col("nbr_min") < col("component")).as("chg"))
-      val updated =
-        if ((i + 1) % 5 == 0) step.localCheckpoint() else step.persist()
+      val checkpointed = (i + 1) % 5 == 0
+      val updated = if (checkpointed) step.localCheckpoint() else step.persist()
       changed = updated.filter(col("chg")).count()
-      prevCached.foreach(_.unpersist(blocking = false))
-      prevCached = Some(updated)
+      prevRelease.foreach(f => f())
+      prevRelease = Some(releaser(updated, checkpointed))
       labels = updated.select("node", "component")
       i += 1
     }
+    prevRelease.foreach(f => graft.CacheScope.defer(f))
     labels
   }
 

@@ -53,7 +53,13 @@ object GraftExtensions {
         "quantile_sketch(x, q, ...) - mergeable log-bucket quantile sketch, 1% relative error, " +
           "bit-identical under any partitioning; returns one estimate per requested q"),
       (args: Seq[Expression]) => {
-        // quantile args must be literals (they parameterize the buffer)
+        // quantile args must be literals (they parameterize the buffer);
+        // foldable-check first — eval(null) on e.g. a column reference
+        // throws an unbound-attribute error instead of a usable message
+        args.tail.find(!_.foldable).foreach { e =>
+          throw new IllegalArgumentException(
+            s"quantile_sketch: quantile args must be numeric literals, got non-literal ${e.sql}")
+        }
         val qs = args.tail.map(_.eval(null) match {
           case d: java.lang.Double => d.doubleValue()
           case d: Decimal          => d.toDouble

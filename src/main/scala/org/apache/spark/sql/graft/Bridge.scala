@@ -18,6 +18,17 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The materialized internal RDD behind a locally-checkpointed
+    * Dataset (its analyzed plan is a LogicalRDD). Unpersisting THAT rdd
+    * is the only way to free local-checkpoint blocks —
+    * `Dataset.unpersist` consults the cache manager, which doesn't know
+    * about them. */
+  def materializedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Register a native function on a live session (the extensions path
     * only works at session build time). */
   def registerFunction(

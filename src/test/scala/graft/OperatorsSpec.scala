@@ -10,7 +10,25 @@ class OperatorsSpec extends SparkSpec {
     Registry.ops.foreach { op =>
       val n = op.fn(spark, sfDir).count()
       assert(n > 0, s"${op.name} returned no rows")
+      CacheScope.releaseAll() // scoped operator caches die with the run
     }
+  }
+
+  test("scoped caches are fully released after operator runs") {
+    // The cache-hygiene invariant: operators may persist/localCheckpoint
+    // internally, but after the runner forces the result and calls
+    // CacheScope.releaseAll(), NO cached or checkpoint blocks survive.
+    // dedupMinhash (persisted cand) + dedupClusters (persisted/
+    // checkpointed CC generations) are the two offenders this guards.
+    CacheScope.releaseAll()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    operators.Dedup.dedupMinhash(spark, sfDir).count()
+    operators.Dedup.dedupClusters(spark, sfDir).count()
+    CacheScope.releaseAll()
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.isEmpty,
+      s"leaked cached RDDs after release: ${live.values.map(_.toString).mkString("; ")}")
   }
 
   test("every oracle-backed query is partitioning-invariant") {
@@ -23,7 +41,9 @@ class OperatorsSpec extends SparkSpec {
       val results = Seq("3", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         Registry.ops.filter(_.oracle.isDefined).map { op =>
-          op.name -> op.fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+          val rows = op.fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+          CacheScope.releaseAll()
+          op.name -> rows
         }.toMap
       }
       results(0).keys.foreach { name =>
