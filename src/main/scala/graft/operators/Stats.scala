@@ -261,6 +261,122 @@ object Stats {
        |FROM moments ORDER BY event_type""".stripMargin
   }
 
+  // ---- t-based power analysis (tt_ind_solve_power analog) -------------
+  // The reference notebooks (switchback_analysis.ipynb,
+  // method_evaluation.ipynb, deep_dive_analyses.ipynb) use statsmodels
+  // TTestIndPower to (a) compute post-hoc power and (b) SOLVE for the
+  // per-group n that detects a given MDE. Both below run on the exact
+  // noncentral-t series in StatFunctions (one fold, same SQL text both
+  // engines); only the final columns are rounded.
+
+  private val spPooledSql =
+    "sqrt((ss1 - s1*s1/n1 + ss2 - s2*s2/n2) / (n1 + n2 - 2))"
+
+  /** Shared moments sub-plan: per event_type On/Off counts and
+    * decimal-exact Σv, Σv² (same shape as the Welch moments). */
+  private def onOffMoments(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On", col("value").cast(d))).cast(DoubleType).as("s1"),
+        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
+        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
+      )
+  }
+
+  private val onOffMomentsSql =
+    s"""SELECT event_type,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS ss1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
+       |  FROM events GROUP BY 1""".stripMargin
+
+  /** Post-hoc power of the pooled two-sample t-test at α=0.05 per
+    * event_type, from the observed Cohen's d — EXACT noncentral-t
+    * (statsmodels TTestIndPower().power), not a normal approximation. */
+  def powerTtest(spark: SparkSession, dir: String): DataFrame = {
+    val dRaw = s"(abs(s1/n1 - s2/n2) / $spPooledSql)"
+    onOffMoments(spark, dir)
+      .withColumn("d_raw", expr(dRaw))
+      .select(col("event_type"), col("n1"), col("n2"),
+        r6(col("d_raw")).as("cohen_d"),
+        r6(expr(powerTTestSql("d_raw", "n1", "n2", spark = true))).as("power_t"))
+      .orderBy("event_type")
+  }
+
+  private val powerTtestOracle = {
+    val dRaw = s"(abs(s1/n1 - s2/n2) / $spPooledSql)"
+    s"""WITH moments AS ($onOffMomentsSql),
+       |stats AS (SELECT *, $dRaw AS d_raw FROM moments)
+       |SELECT event_type, n1, n2,
+       |  ${rSql("d_raw", 6)} AS cohen_d,
+       |  ${rSql(powerTTestSql("d_raw", "n1", "n2", spark = false), 6)} AS power_t
+       |FROM stats ORDER BY event_type""".stripMargin
+  }
+
+  /** Solve for the per-group n that detects a 2%-of-mean lift at
+    * α=0.05 with power 0.8 (the notebooks' tt_ind_solve_power(...,
+    * nobs1=None)): z-based closed-form seed → 8 classical t-quantile
+    * refinements → 2 finite-difference Newton steps on the EXACT
+    * noncentral-t power. Matches statsmodels' solve to ≤1e-4 in n
+    * (PowerSpec pins reference values). Also reports the achieved
+    * power at the rounded-up n. */
+  def solveN(spark: SparkSession, dir: String): DataFrame = {
+    val dMde = s"(0.02 * abs((s1 + s2) / (n1 + n2)) / $spPooledSql)"
+    def newton(n: String, pa: String, pah: String): String =
+      s"(CASE WHEN abs($pah - $pa) < 1e-12 THEN $n ELSE $n - ($pa - 0.8) * ($n * 0.001) / ($pah - $pa) END)"
+    onOffMoments(spark, dir)
+      .withColumn("d_mde_raw", expr(dMde))
+      .withColumn("n_seed_raw", expr(solveNSeedSql("d_mde_raw", spark = true)))
+      .withColumn("p_a_raw", expr(powerTTestSql("d_mde_raw", "n_seed_raw", "n_seed_raw", spark = true)))
+      .withColumn("p_ah_raw", expr(powerTTestSql("d_mde_raw", "(n_seed_raw * 1.001)", "(n_seed_raw * 1.001)", spark = true)))
+      .withColumn("n_mid_raw", expr(newton("n_seed_raw", "p_a_raw", "p_ah_raw")))
+      .withColumn("p_b_raw", expr(powerTTestSql("d_mde_raw", "n_mid_raw", "n_mid_raw", spark = true)))
+      .withColumn("p_bh_raw", expr(powerTTestSql("d_mde_raw", "(n_mid_raw * 1.001)", "(n_mid_raw * 1.001)", spark = true)))
+      .withColumn("n_req_raw", expr(newton("n_mid_raw", "p_b_raw", "p_bh_raw")))
+      .withColumn("n_ceil", expr("CAST(ceil(n_req_raw) AS BIGINT)"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        r6(col("d_mde_raw")).as("mde_d"),
+        r4(col("n_req_raw")).as("n_per_group"),
+        col("n_ceil"),
+        r6(expr(powerTTestSql("d_mde_raw", "n_ceil", "n_ceil", spark = true))).as("power_at_n"))
+      .orderBy("event_type")
+  }
+
+  private val solveNOracle = {
+    val dMde = s"(0.02 * abs((s1 + s2) / (n1 + n2)) / $spPooledSql)"
+    def newton(n: String, pa: String, pah: String): String =
+      s"(CASE WHEN abs($pah - $pa) < 1e-12 THEN $n ELSE $n - ($pa - 0.8) * ($n * 0.001) / ($pah - $pa) END)"
+    s"""WITH moments AS ($onOffMomentsSql),
+       |s1 AS (SELECT *, $dMde AS d_mde_raw FROM moments),
+       |s2 AS (SELECT *, ${solveNSeedSql("d_mde_raw", spark = false)} AS n_seed_raw FROM s1),
+       |s3 AS (SELECT *,
+       |  ${powerTTestSql("d_mde_raw", "n_seed_raw", "n_seed_raw", spark = false)} AS p_a_raw,
+       |  ${powerTTestSql("d_mde_raw", "(n_seed_raw * 1.001)", "(n_seed_raw * 1.001)", spark = false)} AS p_ah_raw
+       |  FROM s2),
+       |s4 AS (SELECT *, ${newton("n_seed_raw", "p_a_raw", "p_ah_raw")} AS n_mid_raw FROM s3),
+       |s5 AS (SELECT *,
+       |  ${powerTTestSql("d_mde_raw", "n_mid_raw", "n_mid_raw", spark = false)} AS p_b_raw,
+       |  ${powerTTestSql("d_mde_raw", "(n_mid_raw * 1.001)", "(n_mid_raw * 1.001)", spark = false)} AS p_bh_raw
+       |  FROM s4),
+       |s6 AS (SELECT *, ${newton("n_mid_raw", "p_b_raw", "p_bh_raw")} AS n_req_raw FROM s5),
+       |s7 AS (SELECT *, CAST(ceil(n_req_raw) AS BIGINT) AS n_ceil FROM s6)
+       |SELECT event_type, n1, n2,
+       |  ${rSql("d_mde_raw", 6)} AS mde_d,
+       |  ${rSql("n_req_raw", 4)} AS n_per_group,
+       |  n_ceil,
+       |  ${rSql(powerTTestSql("d_mde_raw", "n_ceil", "n_ceil", spark = false), 6)} AS power_at_n
+       |FROM s7 ORDER BY event_type""".stripMargin
+  }
+
   /** A/A sanity test (data_extraction_queries_aa_tests_ph_and_th.sql):
     * a null split by event_id parity must NOT differentiate — Welch t
     * per event_type on a treatment-free partition. */
@@ -509,6 +625,8 @@ object Stats {
     Op("q_ntile", ntileQuartiles, Some(ntileQuartilesOracle)),
     Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), None),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
+    Op("q_power_ttest", powerTtest, Some(powerTtestOracle)),
+    Op("q_solve_n", solveN, Some(solveNOracle)),
     Op("q_aa_test", aaTest, Some(aaTestOracle)),
     Op("q_ttest_welch", ttestWelch, Some(ttestWelchOracle)),
     Op("q_mwu", mwu, Some(mwuOracle), headline = true),
