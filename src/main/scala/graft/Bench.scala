@@ -48,9 +48,8 @@ object Bench {
                   else runs.collectFirst { case Left(m) => Left(m) }.get)
     }
     val qs = results.map {
-      case (k, Right(t)) => "\"" + k + "\":" + t
-      case (k, Left(m)) =>
-        "\"" + k + "\":" + "\"err: " + m.replace("\\", "\\\\").replace("\"", "'") + "\""
+      case (k, Right(t)) => Json.str(k) + ":" + t
+      case (k, Left(m))  => Json.str(k) + ":" + Json.str("err: " + m)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
     val errs = results.count(_._2.isLeft)

@@ -2,7 +2,6 @@ package graft
 
 import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.graft.Bridge
 
 /** Registry for caches an operator creates while BUILDING its plan but
   * whose lifetime must extend until the caller has materialized the
@@ -16,6 +15,14 @@ import org.apache.spark.sql.graft.Bridge
   * intact — a late re-read just recomputes); for a locally-CHECKPOINTED
   * frame they are not, so release only after consumption — which is
   * exactly the runner contract.
+  *
+  * CONTRACT: one operator run at a time per process. The registry is
+  * process-global, so a `releaseAll()` issued by one runner would free
+  * caches a concurrently-running operator still reads. The drivers
+  * honoring this today are Verify, Bench, and the specs — all strictly
+  * sequential. A future multi-query runner must scope releases itself
+  * (build → force → releaseAll as one critical section, or one process
+  * per query); do NOT call releaseAll() from concurrent threads.
   */
 object CacheScope {
   private val pending = mutable.Buffer.empty[() => Unit]
@@ -26,16 +33,9 @@ object CacheScope {
     df
   }
 
-  /** Track a locally-checkpointed DataFrame. `Dataset.unpersist` is a
-    * cache-manager no-op for these — the blocks belong to the
-    * materialized internal RDD — so free that RDD directly. */
-  def trackCheckpointed(df: DataFrame): DataFrame = synchronized {
-    val rdd = Bridge.materializedRdd(df)
-    pending += (() => rdd.foreach(_.unpersist(blocking = false)))
-    df
-  }
-
-  /** Track an arbitrary release action. */
+  /** Track an arbitrary release action (e.g. freeing a locally-
+    * checkpointed generation's materialized RDD, which
+    * `Dataset.unpersist` cannot reach). */
   def defer(f: () => Unit): Unit = synchronized { pending += f }
 
   /** Free every tracked cache. Safe to call repeatedly. */

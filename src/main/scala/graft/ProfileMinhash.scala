@@ -37,6 +37,45 @@ object ProfileMinhash {
     }
     time("full (sig persisted)")(operators.Dedup.dedupMinhash(spark, dir).count())
     time("full again")(operators.Dedup.dedupMinhash(spark, dir).count())
+    // the bench's forcing: noop-sink write + CacheScope release, ×3
+    (1 to 3).foreach { i =>
+      time(s"full write-forced #$i") {
+        operators.Dedup.dedupMinhash(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        CacheScope.releaseAll()
+      }
+    }
+    // attribution: candidate-build alone, WITHOUT persisting sig —
+    // does ReuseExchange dedupe the self-join's two sketch scans?
+    val sigNP = docs.select(col("doc_id"), HashFunctions.minhashSketch(col("toks")).as("sk"))
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(":", (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*).as("bucket"))
+    }
+    val bands = sigNP.select(col("doc_id"), col("sk").getItem(16).as("sz"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candNP = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
+        col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
+    (1 to 2).foreach { i => time(s"cand no-persist #$i")(candNP.count()) }
+    candNP.queryExecution.executedPlan.toString.split("\n")
+      .filter(l => l.contains("ReusedExchange") || l.contains("Exchange"))
+      .take(8).foreach(l => println("[prof-plan] " + l.trim.take(120)))
+    // verify-phase attribution with cand cached
+    val cand2 = candNP.persist(); cand2.count()
+    val candIds = cand2.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val candShingles = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(HashFunctions.shingleHashes(col("toks"))).as("sh"))
+    (1 to 2).foreach { i => time(s"candShingles #$i")(candShingles.count()) }
+    val inter = cand2.select("id_a", "id_b")
+      .join(candShingles.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(candShingles.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    (1 to 2).foreach { i => time(s"inter #$i")(inter.count()) }
+    cand2.unpersist()
     spark.stop()
   }
 }

@@ -136,13 +136,16 @@ object StatFunctions {
   // I_x chain has a two-term recurrence (I_x(a+1,b) = I_x(a,b) −
   // x^a(1−x)^b/(a·B(a,b))), so the series is ONE fixed-length fold
   // seeded by a single Lentz continued fraction — portable SQL, same
-  // text both engines. Validated against an independent exact
-  // noncentral-t implementation to ~1e-12 (see PowerSpec).
+  // text both engines. PowerSpec validates the series against an
+  // independent χ²-mixture quadrature (commons-math3 erfc + Simpson,
+  // sharing none of this machinery) to ≤1e-9 — the quadrature's own
+  // error floor, not the series'.
   // ---------------------------------------------------------------------
 
   /** Student-t quantile at one-sided normal quantile `z`, via the
-    * Cornish–Fisher expansion (A&S 26.7.5). Error ≤ 8e-6 at ν=10,
-    * ≤ 3e-8 at ν≥30 — contributes < 1.5e-7 to power. */
+    * Cornish–Fisher expansion (A&S 26.7.5). Truncation error (vs exact
+    * inverse-t, PowerSpec): ~2.5e-5 at ν=8, <1e-5 by ν=10, <1e-7 at
+    * ν≥30 — contributes <5e-6 to power even at ν=8. */
   def tInvCfSql(z: String, nu: String): String = {
     val zD = s"(CAST($z AS DOUBLE))"
     val nD = s"(CAST($nu AS DOUBLE))"

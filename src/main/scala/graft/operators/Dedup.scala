@@ -111,7 +111,6 @@ object Dedup {
     // over the corpus.
     val sig = docs.select(col("doc_id"),
       HashFunctions.minhashSketch(col("toks")).as("sk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4 bands of 4 rows via one explode
     val bandStructs = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -136,17 +135,23 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
         col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
       .persist())
-    // materialize the (LSH-pruned, tiny) pair set ONCE while sig is
-    // cached, then drop the corpus-sized sketch cache — the verify
+    // materialize the (LSH-pruned, tiny) pair set ONCE — the verify
     // phase below touches only `cand` and the candidate documents
     cand.count()
-    sig.unpersist(blocking = false)
     // verify candidates with true Jaccard — shingles exploded ONLY for
-    // candidate docs (semi-join pushdown), so the exact pass is tiny
+    // candidate docs. The semi-join runs BEFORE tokenization (split /
+    // shingle kernels see only candidate rows, not the corpus), and the
+    // result is persisted + materialized once: the `inter` self-join
+    // below reads it twice under DIFFERENT partitionings (id_a vs
+    // id_b·sh), so without the cache the doc scan + tokenize would run
+    // twice — profiled as the dominant cost of the whole operator.
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    val candShingles = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        explode(HashFunctions.shingleHashes(col("toks"))).as("sh"))
+    val candShingles = graft.CacheScope.track(
+      corpus(spark, dir).join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(HashFunctions.shingleHashes(split(col("text"), " "))).as("sh"))
+        .persist())
+    candShingles.count()
     val inter = cand.select("id_a", "id_b")
       .join(candShingles.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(candShingles.as("sb"), col("id_b") === col("sb.doc_id") &&
@@ -237,19 +242,28 @@ object Dedup {
     var i = 0
     // Each iteration persists its labels (read twice: the chg count and
     // the next join) and frees the superseded generation, so cache
-    // footprint stays one generation regardless of iteration count.
+    // footprint stays ~one generation regardless of iteration count.
     // localCheckpoint every 5 rounds truncates the logical plan — without
     // it, lineage (and Catalyst analysis time) grows per iteration.
-    // Checkpointed generations need their materialized RDD unpersisted
-    // directly (Dataset.unpersist is a cache-manager no-op for them);
-    // the final surviving generation is handed to CacheScope so the
-    // runner frees it after consuming the result.
+    //
+    // Release discipline (cluster-safe): a PERSISTED generation is freed
+    // as soon as the next generation materializes — its lineage is
+    // intact, so a later cache miss just recomputes. A CHECKPOINTED
+    // generation has NO lineage and is the recompute ROOT for every
+    // persisted generation after it: freeing it mid-loop would make a
+    // lost successor block unrecoverable (executor failure on a real
+    // cluster). So a superseded checkpoint is only RETIRED here, and
+    // freed when the NEXT checkpoint barrier materializes (at which
+    // point no live lineage can reach it). Checkpointed generations
+    // also need their materialized RDD unpersisted directly —
+    // Dataset.unpersist is a cache-manager no-op for them.
     def releaser(df: DataFrame, checkpointed: Boolean): () => Unit =
       if (checkpointed) {
         val rdd = org.apache.spark.sql.graft.Bridge.materializedRdd(df)
         () => rdd.foreach(_.unpersist(blocking = false))
       } else () => df.unpersist(blocking = false)
-    var prevRelease: Option[() => Unit] = None
+    var prevRelease: Option[(() => Unit, Boolean)] = None // (release, wasCheckpointed)
+    var retiredCheckpoint: Option[() => Unit] = None
     while (changed > 0 && i < maxIters) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("node"))
@@ -263,12 +277,21 @@ object Dedup {
       val checkpointed = (i + 1) % 5 == 0
       val updated = if (checkpointed) step.localCheckpoint() else step.persist()
       changed = updated.filter(col("chg")).count()
-      prevRelease.foreach(f => f())
-      prevRelease = Some(releaser(updated, checkpointed))
+      if (checkpointed) {
+        // new barrier is materialized: nothing references the checkpoint
+        // retired at the previous barrier any more
+        retiredCheckpoint.foreach(f => f())
+        retiredCheckpoint = None
+      }
+      prevRelease.foreach { case (f, wasCp) =>
+        if (wasCp) retiredCheckpoint = Some(f) else f()
+      }
+      prevRelease = Some((releaser(updated, checkpointed), checkpointed))
       labels = updated.select("node", "component")
       i += 1
     }
-    prevRelease.foreach(f => graft.CacheScope.defer(f))
+    retiredCheckpoint.foreach(f => graft.CacheScope.defer(f))
+    prevRelease.foreach { case (f, _) => graft.CacheScope.defer(f) }
     labels
   }
 
