@@ -471,6 +471,91 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Permutation (randomization) test for the On/Off mean difference per
+    * event_type — the reference evaluates its switchback method by
+    * RE-RANDOMIZING assignments and recomputing the statistic
+    * (mwu_randomization_temp.ipynb's np.random shuffles,
+    * random_choice_of_zones_question.ipynb's re-drawn zone choices,
+    * method_evaluation.ipynb's simulation loops). Each of the R=64
+    * pseudo-permutations relabels every row via TWO rounds of a 31-bit
+    * LCG on (event_id, replicate) — pure 63-bit-safe integer arithmetic
+    * with IDENTICAL text in Spark and DuckDB (unlike murmur3), so the
+    * whole procedure is oracle-backed. Two rounds matter: a single
+    * round is linear in the replicate index, so consecutive replicates
+    * would shift the state by a constant and almost never flip the
+    * label; the second multiply turns that shift into a full-range one.
+    *
+    * Scale: all R replicate statistics accumulate in ONE aggregation
+    * pass — per replicate just two more partial sums (n, Σx as exact
+    * decimal) per group, map-side combined; shuffle input stays
+    * |events|, not R·|events|. The empirical p uses the add-one
+    * estimator p = (1 + #{|d_r| ≥ |d_obs|}) / (R + 1), so p ∈ (0, 1]
+    * and the test is exact-level under the randomization null. */
+  def permutationTest(spark: SparkSession, dir: String, replicates: Int = 64): DataFrame = {
+    val dec = DecimalType(28, 6)
+    def lcgOn(b: Int): String = // identical text both engines
+      // the replicate offset is folded into ONE literal at generation
+      // time: 12345 + b·1013904223 can exceed INT32, and a `b * c`
+      // subterm would be INT×INT → ANSI overflow in Spark
+      s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
+        s" * 1103515245 + 12345) % 2147483648 < 1073741824)"
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_tot"),
+        sum(col("value").cast(dec)).cast(DoubleType).as("s_tot"),
+        sum(when(onOff === "On", 1L).otherwise(0L)).as("n1_obs"),
+        sum(when(onOff === "On", col("value").cast(dec))).cast(DoubleType).as("s1_obs")) ++
+      (0 until replicates).flatMap { b =>
+        val on = expr(lcgOn(b))
+        Seq(sum(when(on, 1L).otherwise(0L)).as(s"n1_$b"),
+          sum(when(on, col("value").cast(dec))).cast(DoubleType).as(s"s1_$b"))
+      }
+    def dSql(n1: String, s1: String): String =
+      s"($s1 / $n1 - (s_tot - $s1) / (n_tot - $n1))"
+    val exceed = (0 until replicates)
+      .map(b => s"(CASE WHEN abs(${dSql(s"n1_$b", s"s1_$b")}) >= abs(d_obs_raw) THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("d_obs_raw", expr(dSql("n1_obs", "s1_obs")))
+      .select(col("event_type"),
+        col("n1_obs").as("n_on"), (col("n_tot") - col("n1_obs")).as("n_off"),
+        r6(col("d_obs_raw")).as("d_obs"),
+        r6(expr(s"CAST(1 + $exceed AS DOUBLE) / ${replicates + 1}")).as("p_perm"))
+      .orderBy("event_type")
+  }
+
+  private def permutationOracle(replicates: Int = 64): String = {
+    def lcgOn(b: Int): String =
+      // the replicate offset is folded into ONE literal at generation
+      // time: 12345 + b·1013904223 can exceed INT32, and a `b * c`
+      // subterm would be INT×INT → ANSI overflow in Spark
+      s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
+        s" * 1103515245 + 12345) % 2147483648 < 1073741824)"
+    val repAggs = (0 until replicates).map { b =>
+      s"""    COUNT(*) FILTER (WHERE ${lcgOn(b)}) AS n1_$b,
+         |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE ${lcgOn(b)}) AS DOUBLE) AS s1_$b""".stripMargin
+    }.mkString(",\n")
+    def dSql(n1: String, s1: String): String =
+      s"($s1 / $n1 - (s_tot - $s1) / (n_tot - $n1))"
+    val exceed = (0 until replicates)
+      .map(b => s"(CASE WHEN abs(${dSql(s"n1_$b", s"s1_$b")}) >= abs(d_obs_raw) THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH wide AS (
+       |  SELECT event_type,
+       |    COUNT(*) AS n_tot,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS s_tot,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1_obs,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1_obs,
+       |$repAggs
+       |  FROM events GROUP BY 1),
+       |obs AS (SELECT *, ${dSql("n1_obs", "s1_obs")} AS d_obs_raw FROM wide)
+       |SELECT event_type, n1_obs AS n_on, n_tot - n1_obs AS n_off,
+       |  ${rSql("d_obs_raw", 6)} AS d_obs,
+       |  ${rSql(s"CAST(1 + $exceed AS DOUBLE) / ${replicates + 1}", 6)} AS p_perm
+       |FROM obs ORDER BY event_type""".stripMargin
+  }
+
   /** Fixed-width histogram of `value` (the notebooks' pd.cut binning
     * for distribution plots). */
   def histogram(spark: SparkSession, dir: String): DataFrame =
@@ -624,6 +709,7 @@ object Stats {
     Op("q_cuped", cuped, Some(cupedOracle)),
     Op("q_ntile", ntileQuartiles, Some(ntileQuartilesOracle)),
     Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), None),
+    Op("q_permutation", (s, dir) => permutationTest(s, dir), Some(permutationOracle())),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
     Op("q_power_ttest", powerTtest, Some(powerTtestOracle)),
     Op("q_solve_n", solveN, Some(solveNOracle)),
