@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import graft.functions.MediaCodec
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,20 +15,31 @@ final case class MediaRecord(
     height: Int,
 )
 
-/** Extracted features for one media record. */
+/** Decoded facts for one media record — every field recovered from the
+  * PAYLOAD BYTES, never copied from the metadata columns:
+  *  - image (PNG):  dim0=width, dim1=height, depth=bit depth,
+  *    ok=1 iff IHDR CRC verifies AND the inflated IDAT scanline count
+  *    matches height·(1+width)
+  *  - audio (WAV):  dim0=sample rate, dim1=sample count, depth=bits
+  *    per sample, ok=1 iff RIFF/WAVE + fmt parse
+  *  - video (GIF):  dim0=width, dim1=height, depth=0 (no depth in the
+  *    logical screen descriptor), ok=1 iff trailer byte present
+  */
 final case class MediaFeatures(
     doc_id: Long,
     modality: String,
     n_bytes: Int,
-    f0: Double, f1: Double, f2: Double, f3: Double,
+    dim0: Double, dim1: Double, depth: Double, ok: Double,
 )
 
 /** Multimodal-column plumbing (SURVEY.md §2 block C): schema, typed
-  * Dataset encoders, and per-partition batched "decode" — the shape a
-  * real image/audio pipeline takes on Spark. The actual codec is
-  * STUBBED (no media libs in this environment) with a deterministic
-  * fake; everything around it — binary column handling, partition
-  * batching, typed output schema — is real and tested.
+  * Dataset encoders, and per-partition batched decode. The codecs are
+  * REAL public-format parsers (functions/MediaCodec.scala): PNG with
+  * chunk CRCs and zlib-inflated scanline verification, RIFF/WAVE
+  * header walk, GIF89a screen descriptor — pure JVM (`java.util.zip`),
+  * no external media libraries. A production build swaps MediaCodec
+  * for libjpeg/ffmpeg bindings; every Spark-side contract (binary
+  * columns, partition batching, typed output schema) stays.
   *
   * Scale: decode is mapPartitions (per-partition codec init, no
   * per-row setup); payloads stay columnar/binary end to end; metadata
@@ -36,68 +48,84 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  /** STUB decoder — stands in for libjpeg/ffmpeg/etc. Deterministic:
-    * derives "features" from payload bytes so tests can assert values.
-    * A production build swaps ONLY this function. */
-  def decodeStub(payload: Array[Byte], width: Int, height: Int): (Double, Double, Double, Double) = {
-    var s0 = 0L; var s1 = 0L
-    var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      s0 += b
-      s1 += b.toLong * b
-      i += 1
-    }
-    val n = math.max(payload.length, 1)
-    val mean = s0.toDouble / n
-    val varr = s1.toDouble / n - mean * mean
-    (mean, varr, width.toDouble * height, payload.length.toDouble)
-  }
-
-  /** Build a media table from documents: payload = md5(text) bytes
-    * (deterministic fake image), modality from doc_id. */
+  /** Build a media table from documents: each row carries a VALID
+    * media container synthesized from the planted metadata — a real
+    * PNG/WAV/GIF whose header fields the decode step must recover from
+    * bytes alone. Content bytes derive from md5(text) (deterministic). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-        unhex(md5(col("text"))).as("payload"),
+        unhex(md5(col("text"))).as("content"),
         (col("n_chars") % 64 + 8).cast("int").as("width"),
         (col("n_chars") % 48 + 8).cast("int").as("height"))
-      .as[MediaRecord]
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions(_.map { case (id, modality, content, w, h) =>
+        val payload = modality match {
+          case "image" => MediaCodec.pngEncode(w, h, content)
+          case "audio" => MediaCodec.wavEncode(
+            channels = 1 + (h % 2), sampleRate = 4000 + w * 50,
+            nSamples = w + h, content = content)
+          case _ => MediaCodec.gifEncode(w, h)
+        }
+        MediaRecord(id, modality, payload, w, h)
+      })
   }
 
-  /** Per-partition batched feature extraction over the binary column. */
+  /** Per-partition batched decode over the binary column — parses the
+    * actual container bytes (see [[MediaFeatures]] for the mapping). */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition codec initialization would go here (once, not per row)
       it.map { r =>
-        val (f0, f1, f2, f3) = decodeStub(r.payload, r.width, r.height)
-        MediaFeatures(r.doc_id, r.modality, r.payload.length, f0, f1, f2, f3)
+        val (d0, d1, dep, ok) = r.modality match {
+          case "image" => MediaCodec.pngDecode(r.payload) match {
+            case Some(i) => (i.width.toDouble, i.height.toDouble, i.bitDepth.toDouble,
+              if (i.crcOk && i.pixelsOk) 1.0 else 0.0)
+            case None => (-1.0, -1.0, -1.0, 0.0)
+          }
+          case "audio" => MediaCodec.wavDecode(r.payload) match {
+            case Some(i) => (i.sampleRate.toDouble, i.nSamples.toDouble,
+              i.bitsPerSample.toDouble, 1.0)
+            case None => (-1.0, -1.0, -1.0, 0.0)
+          }
+          case _ => MediaCodec.gifDecode(r.payload) match {
+            case Some(i) => (i.width.toDouble, i.height.toDouble, 0.0,
+              if (i.terminated) 1.0 else 0.0)
+            case None => (-1.0, -1.0, -1.0, 0.0)
+          }
+        }
+        MediaFeatures(r.doc_id, r.modality, r.payload.length, d0, d1, dep, ok)
       }
     }
   }
 
-  /** STUB resize — stands in for an image scaler. Deterministic: keeps
-    * every k-th byte so output size tracks the requested scale; updates
-    * the typed metadata alongside the payload (the real contract). */
-  def resizeStub(r: MediaRecord, maxDim: Int): MediaRecord = {
-    val scale = math.max(1, math.max(r.width, r.height) / math.max(1, maxDim))
-    val out = r.payload.indices.collect { case i if i % scale == 0 => r.payload(i) }
-    r.copy(payload = out.toArray, width = r.width / scale, height = r.height / scale)
-  }
-
-  /** Batched resize over the binary column. */
+  /** Real nearest-neighbor resize for image rows — inflate the PNG
+    * scanlines, subsample, re-encode (MediaCodec.pngResize); non-image
+    * modalities pass through unchanged (a real pipeline routes them to
+    * an audio/video scaler instead). */
   def resize(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(resizeStub(_, maxDim)))
+    media.mapPartitions(_.map { r =>
+      if (r.modality != "image") r
+      else MediaCodec.pngResize(r.payload, maxDim) match {
+        case Some(p) =>
+          val scale = math.max(1, math.max(r.width, r.height) / math.max(1, maxDim))
+          r.copy(payload = p,
+            width = math.max(1, r.width / scale), height = math.max(1, r.height / scale))
+        case None => r // undecodable payload left untouched
+      }
+    })
   }
 
-  /** STUB frame sampling — a "video" payload yields every n-th "frame"
-    * (byte pair) as its own row: the explode-shaped op a real
-    * frame-sampler produces, with frame index carried in metadata. */
+  /** Frame sampling: every n-th fixed-size byte group of a video
+    * payload becomes its own row with the frame index in metadata —
+    * the explode-shaped op a real frame-sampler produces. (The GIF
+    * payloads carry no embedded frames, so "frame" = byte pair here;
+    * a production sampler swaps the grouping for codec frame bounds.) */
   def sampleFrames(media: Dataset[MediaRecord], everyN: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.modality == "video")
@@ -114,8 +142,9 @@ object Multimodal {
     feats.toDF()
       .groupBy("modality")
       .agg(count(lit(1)).as("n"),
-        round(avg("f0"), 4).as("avg_mean_byte"),
-        round(avg("f2"), 2).as("avg_pixels"),
+        round(avg("dim0"), 4).as("avg_dim0"),
+        round(avg("dim1"), 4).as("avg_dim1"),
+        min("ok").as("all_decoded"), // 1.0 ⇔ every payload parsed+verified
         sum("n_bytes").as("total_bytes"))
       .orderBy("modality")
   }
