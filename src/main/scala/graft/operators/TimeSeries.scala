@@ -196,30 +196,18 @@ object TimeSeries {
     }
   }
 
-  /** Interval (range) join, bucketized: events falling inside promo
-    * windows, `ts >= start AND ts < end`.
-    *
-    * Spark's native plan for a non-equi join is a nested-loop join —
-    * O(|events|·|windows|) comparisons with the small side broadcast,
-    * which dies as soon as the interval table stops being tiny. The
-    * scale formulation here EXPANDS each interval into the hour buckets
-    * it covers (bounded by interval length / bucket width) and joins on
-    * the bucket as an EQUI key plus the exact range residual — an
-    * ordinary shuffle/hash join, partitioned by time bucket, at any
-    * table size. Same trick as any spatial grid join. */
+  /** Interval (range) join: events falling inside promo windows,
+    * `ts >= start AND ts < end` — through the library's bucketized
+    * equi-join formulation (functions/Joins.bucketedRangeJoin; see its
+    * doc for why Spark's native nested-loop plan dies at scale). */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val promos = promoWindows.toDF("promo_id", "start_s", "end_s")
       .select(col("promo_id"), col("start_s").cast("timestamp").as("start_ts"),
         col("end_s").cast("timestamp").as("end_ts"))
-    // windows are hour-aligned, end exclusive → covered buckets are
-    // [startHb, endHb): one row per (promo, covered hour)
-    val expanded = promos.withColumn("hb", explode(expr(
-      "sequence(unix_micros(start_ts) div 3600000000, (unix_micros(end_ts) div 3600000000) - 1)")))
-    Tables.events(spark, dir)
-      .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
-      .join(expanded, Seq("hb"))
-      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+    graft.functions.Joins
+      .bucketedRangeJoin(Tables.events(spark, dir), promos,
+        col("ts"), col("start_ts"), col("end_ts"))
       .groupBy("promo_id")
       .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
       .orderBy("promo_id")

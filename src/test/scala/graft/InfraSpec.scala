@@ -33,6 +33,32 @@ class InfraSpec extends SparkSpec {
     }
   }
 
+  test("bucketedRangeJoin equals brute-force non-equi join off bucket alignment") {
+    import spark.implicits._
+    // facts every 11 minutes; intervals deliberately NOT aligned to the
+    // 17-minute bucket width, with sub-bucket, multi-bucket, and
+    // boundary-touching spans
+    val facts = (0 until 500).map(i => (i.toLong, s"2024-03-01 00:00:00".substring(0, 0) +
+      java.time.LocalDateTime.of(2024, 3, 1, 0, 0).plusMinutes(11L * i).toString.replace('T', ' ')))
+      .toDF("fact_id", "ts_s").select(col("fact_id"), col("ts_s").cast("timestamp").as("ts"))
+    val ivals = Seq(
+      (1, "2024-03-01 00:05:00", "2024-03-01 00:12:00"),   // sub-bucket
+      (2, "2024-03-01 03:00:00", "2024-03-01 07:30:00"),   // multi-bucket
+      (3, "2024-03-02 12:34:00", "2024-03-02 12:34:01"),   // 1-second
+      (4, "2024-03-03 23:00:00", "2024-03-04 02:00:00"),   // day boundary
+    ).toDF("ival_id", "s", "e")
+      .select(col("ival_id"), col("s").cast("timestamp").as("start_ts"),
+        col("e").cast("timestamp").as("end_ts"))
+    val got = graft.functions.Joins
+      .bucketedRangeJoin(facts, ivals, col("ts"), col("start_ts"), col("end_ts"),
+        bucketMicros = 17L * 60 * 1000000)
+      .select("fact_id", "ival_id").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val want = facts.crossJoin(ivals)
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .select("fact_id", "ival_id").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(want.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("partitioned write round-trips and prunes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sfDir)
