@@ -556,6 +556,119 @@ object Stats {
        |FROM obs ORDER BY event_type""".stripMargin
   }
 
+  /** Winsorized group means beside raw — the notebooks' recurring
+    * "have you filtered outliers?" checklist item
+    * (switchback_analysis.ipynb, switchback_analysis_delivery_time
+    * .ipynb) as a first-class readout: clip `value` at the per-group
+    * [p01, p99] before averaging, report both means and how many rows
+    * were clipped.
+    *
+    * Determinism: clipped values cast to exact DECIMAL before summing
+    * (the clip bounds are interpolated doubles, identical in both
+    * engines — Spark `percentile` ≡ DuckDB `quantile_cont`). Scale:
+    * one quantile pass + one broadcast join + one aggregation; the
+    * fact table is never sorted globally. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val q = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.01)").as("lo"),
+        expr("percentile(value, 0.99)").as("hi"))
+    Tables.events(spark, dir).join(broadcast(q), Seq("event_type"))
+      .withColumn("vw", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        r4((sum(col("value").cast(dec)).cast(DoubleType) / count(lit(1)))).as("mean_raw"),
+        r4((sum(col("vw").cast(dec)).cast(DoubleType) / count(lit(1)))).as("mean_winsor"),
+        r4(first("lo")).as("p01"), r4(first("hi")).as("p99"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizeOracle =
+    s"""WITH q AS (
+       |  SELECT event_type, quantile_cont("value", 0.01) AS lo, quantile_cont("value", 0.99) AS hi
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN e."value" < q.lo OR e."value" > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       |  ${rSql("CAST(SUM(CAST(e.\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS mean_raw,
+       |  ${rSql("CAST(SUM(CAST(LEAST(GREATEST(e.\"value\", q.lo), q.hi) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS mean_winsor,
+       |  ${rSql("MIN(q.lo)", 4)} AS p01, ${rSql("MIN(q.hi)", 4)} AS p99
+       |FROM events e JOIN q ON e.event_type = q.event_type
+       |GROUP BY 1 ORDER BY e.event_type""".stripMargin
+
+  /** Cluster-robust ratio-metric readout: the notebooks analyze
+    * per-order KPIs, but orders cluster within users — treating rows
+    * as independent understates the variance. Per (event_type, group):
+    * R = Σx_u / Σy_u over per-USER sums (x = value, y = row count),
+    * with the delta-method variance of a ratio of cluster sums
+    *   var(R) ≈ (var(x) + R²·var(y) − 2R·cov(x,y)) / (n·ȳ²)
+    * and a normal 95% CI. The standard ratio-metric estimator for
+    * experiment platforms (Deng et al., KDD'18 delta-method lineage).
+    *
+    * Scale: one user-level aggregation (shuffle on user_id ~ cluster
+    * count), then a group-level aggregation over |users| rows; all
+    * moments decimal-exact, cuped-style. */
+  def ratioDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(28, 6); val d12 = DecimalType(30, 12)
+    val perUser = Tables.events(spark, dir)
+      .withColumn("grp", onOff)
+      .groupBy("event_type", "grp", "user_id")
+      .agg(sum(col("value").cast(d6)).cast(DoubleType).as("x"),
+        count(lit(1)).cast(DoubleType).as("y"))
+    val m = perUser.groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(d6)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(d6)).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(d12)).cast(DoubleType).as("sxx"),
+        sum((col("y") * col("y")).cast(d12)).cast(DoubleType).as("syy"),
+        sum((col("x") * col("y")).cast(d12)).cast(DoubleType).as("sxy"))
+    val n = col("n_users")
+    val r = col("sx") / col("sy")
+    val my = col("sy") / n
+    val vx = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+    val vy = (col("syy") - col("sy") * col("sy") / n) / (n - 1)
+    val cxy = (col("sxy") - col("sx") * col("sy") / n) / (n - 1)
+    val vr = (vx + r * r * vy - lit(2.0) * r * cxy) / (n * my * my)
+    m.select(col("event_type"), col("grp"), col("n_users"),
+      r.as("ratio_raw"), sqrt(vr).as("se_raw"))
+      .select(col("event_type"), col("grp"), col("n_users"),
+        r6(col("ratio_raw")).as("ratio"),
+        r6(col("se_raw")).as("se"),
+        r6(col("ratio_raw") - lit(1.959963984540054) * col("se_raw")).as("ci_lo"),
+        r6(col("ratio_raw") + lit(1.959963984540054) * col("se_raw")).as("ci_hi"))
+      .orderBy("event_type", "grp")
+  }
+
+  private val ratioDeltaOracle = {
+    val r = "(sx / sy)"; val my = "(sy / n_users)"
+    val vx = "((sxx - sx * sx / n_users) / (n_users - 1))"
+    val vy = "((syy - sy * sy / n_users) / (n_users - 1))"
+    val cxy = "((sxy - sx * sy / n_users) / (n_users - 1))"
+    val vr = s"(($vx + $r * $r * $vy - 2.0 * $r * $cxy) / (n_users * $my * $my))"
+    s"""WITH per_user AS (
+       |  SELECT event_type, $onOffSql AS grp, user_id,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS x,
+       |    CAST(COUNT(*) AS DOUBLE) AS y
+       |  FROM events GROUP BY 1, 2, 3),
+       |m AS (
+       |  SELECT event_type, grp, COUNT(*) AS n_users,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+       |  FROM per_user GROUP BY 1, 2),
+       |s AS (SELECT event_type, grp, n_users, $r AS ratio_raw, sqrt($vr) AS se_raw FROM m)
+       |SELECT event_type, grp, n_users,
+       |  ${rSql("ratio_raw", 6)} AS ratio,
+       |  ${rSql("se_raw", 6)} AS se,
+       |  ${rSql("ratio_raw - 1.959963984540054 * se_raw", 6)} AS ci_lo,
+       |  ${rSql("ratio_raw + 1.959963984540054 * se_raw", 6)} AS ci_hi
+       |FROM s ORDER BY event_type, grp""".stripMargin
+  }
+
   /** Fixed-width histogram of `value` (the notebooks' pd.cut binning
     * for distribution plots). */
   def histogram(spark: SparkSession, dir: String): DataFrame =
@@ -710,6 +823,8 @@ object Stats {
     Op("q_ntile", ntileQuartiles, Some(ntileQuartilesOracle)),
     Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), None),
     Op("q_permutation", (s, dir) => permutationTest(s, dir), Some(permutationOracle())),
+    Op("q_winsorize", winsorize, Some(winsorizeOracle)),
+    Op("q_ratio_delta", ratioDelta, Some(ratioDeltaOracle)),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
     Op("q_power_ttest", powerTtest, Some(powerTtestOracle)),
     Op("q_solve_n", solveN, Some(solveNOracle)),

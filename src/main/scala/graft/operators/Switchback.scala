@@ -238,8 +238,84 @@ object Switchback {
        |FROM agg ORDER BY window_hours""".stripMargin
   }
 
+  /** Margin-of-error sweep with outlier-unit filtering — the
+    * reference's Step 11 (deep_dive_analyses.ipynb,
+    * std_error_for_diff_sb_intervals_func): for each switchback
+    * interval size, aggregate the metric per assignment UNIT
+    * (time window × zone), drop outlier units by the 1.5·IQR fences
+    * over unit means, then report the per-treatment std-dev of unit
+    * means scaled by √(windows-per-day) — how the notebooks compare
+    * the noise floor of candidate interval sizes.
+    *
+    * Determinism: unit means are decimal-exact and r6-rounded before
+    * the second-stage moments (again decimal-exact), so fences and
+    * std devs are partition-invariant. Scale: stage 1 shuffles the
+    * fact table once on (wh, window, zone); every later stage runs
+    * over |units| rows (~|hours|·|zones| per sweep size). */
+  def stderrSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(28, 6); val d12 = DecimalType(30, 12)
+    val units = Tables.events(spark, dir)
+      .withColumn("window_hours", explode(array(lit(1), lit(2), lit(4), lit(8))))
+      .withColumn("widx", floor(hourIdx / col("window_hours")))
+      .withColumn("zone_id", zoneId)
+      .withColumn("grp",
+        when((col("widx") + col("zone_id")) % 2 === 0, "On").otherwise("Off"))
+      .groupBy("window_hours", "widx", "zone_id", "grp")
+      .agg(r6(sum(col("value").cast(d6)).cast(DoubleType) / count(lit(1))).as("um"))
+    val fences = units.groupBy("window_hours")
+      .agg(expr("percentile(um, 0.25)").as("q1"), expr("percentile(um, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .select("window_hours", "lo", "hi")
+    units.join(broadcast(fences), Seq("window_hours"))
+      .groupBy("window_hours", "grp")
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("um") >= col("lo") && col("um") <= col("hi"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("um") >= col("lo") && col("um") <= col("hi"), col("um").cast(d6)))
+          .cast(DoubleType).as("sm"),
+        sum(when(col("um") >= col("lo") && col("um") <= col("hi"),
+          (col("um") * col("um")).cast(d12))).cast(DoubleType).as("smm"))
+      .select(col("window_hours"), col("grp"), col("n_units"), col("n_kept"),
+        ((col("smm") - col("sm") * col("sm") / col("n_kept")) / (col("n_kept") - 1)).as("v_raw"))
+      .select(col("window_hours"), col("grp"), col("n_units"), col("n_kept"),
+        r6(sqrt(col("v_raw"))).as("unit_std"),
+        // ÷ √(windows per day): the notebooks' x / np.sqrt(24 / value)
+        r6(sqrt(col("v_raw")) / sqrt(lit(24.0) / col("window_hours"))).as("se_scaled"))
+      .orderBy("window_hours", "grp")
+  }
+
+  private val stderrSweepOracle = {
+    val widx = "CAST(floor((epoch_us(date_trunc('hour', ts)) // 3600000000) / wh) AS BIGINT)"
+    s"""WITH sized AS (
+       |  SELECT unnest([1, 2, 4, 8]) AS wh, * FROM events),
+       |units AS (
+       |  SELECT wh AS window_hours, $widx AS widx, user_id % 10 AS zone_id,
+       |    CASE WHEN ($widx + (user_id % 10)) % 2 = 0 THEN 'On' ELSE 'Off' END AS grp,
+       |    ${rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)} AS um
+       |  FROM sized GROUP BY 1, 2, 3, 4),
+       |fences AS (
+       |  SELECT window_hours,
+    |    quantile_cont(um, 0.25) - (quantile_cont(um, 0.75) - quantile_cont(um, 0.25)) * 1.5 AS lo,
+       |    quantile_cont(um, 0.75) + (quantile_cont(um, 0.75) - quantile_cont(um, 0.25)) * 1.5 AS hi
+       |  FROM units GROUP BY 1),
+       |agg AS (
+       |  SELECT u.window_hours, u.grp, COUNT(*) AS n_units,
+       |    COUNT(*) FILTER (WHERE um >= lo AND um <= hi) AS n_kept,
+       |    CAST(SUM(CAST(um AS DECIMAL(28,6))) FILTER (WHERE um >= lo AND um <= hi) AS DOUBLE) AS sm,
+       |    CAST(SUM(CAST(um * um AS DECIMAL(30,12))) FILTER (WHERE um >= lo AND um <= hi) AS DOUBLE) AS smm
+       |  FROM units u JOIN fences f ON u.window_hours = f.window_hours
+       |  GROUP BY 1, 2),
+       |v AS (SELECT window_hours, grp, n_units, n_kept,
+       |    ((smm - sm * sm / n_kept) / (n_kept - 1)) AS v_raw FROM agg)
+       |SELECT window_hours, grp, n_units, n_kept,
+       |  ${rSql("sqrt(v_raw)", 6)} AS unit_std,
+       |  ${rSql("sqrt(v_raw) / sqrt(24.0 / window_hours)", 6)} AS se_scaled
+       |FROM v ORDER BY window_hours, grp""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_sb_assign", sbAssign, Some(sbAssignOracle)),
+    Op("q_stderr_sweep", stderrSweep, Some(stderrSweepOracle)),
     Op("q_propagation", propagation, Some(propagationOracle)),
     Op("q_window_sweep", windowSweep, Some(windowSweepOracle)),
     Op("q_sb_metrics", sbMetrics, Some(sbMetricsOracle), headline = true),
