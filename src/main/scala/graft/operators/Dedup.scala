@@ -344,8 +344,71 @@ object Dedup {
       .replaceFirst("WITH docs", "WITH RECURSIVE docs")
   }
 
+  /** Fuzzy benchmark decontamination — the MinHash/LSH companion to
+    * TextAnalysis.decontaminate: verbatim 8-gram overlap misses
+    * lightly-edited eval leaks, so match TRAINING docs against the
+    * eval slice (doc_id % 25 == 0, the same held-out set q_decontam
+    * uses) via banded minhash candidates verified with true Jaccard
+    * ≥ 0.3. Per flagged training doc: how many eval docs it collides
+    * with and the strongest overlap.
+    *
+    * Scale: the eval side is benchmark-sized BY CONSTRUCTION (eval
+    * suites are thousands of docs, not billions), so its bands and
+    * shingle table are explicitly broadcast — the corpus side streams
+    * through both joins with no shuffle of the corpus itself; the
+    * only corpus-wide work is the two scan-local sketch/shingle
+    * passes. murmur3 basis → rows-only. */
+  def fuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions
+    val evalDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+    def bands(df: DataFrame): DataFrame = {
+      val sig = df.select(col("doc_id"),
+        HashFunctions.minhashSketch(split(col("text"), " ")).as("sk"))
+      val bandStructs = (0 until 4).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws(":", (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*).as("bucket"))
+      }
+      sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
+        explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val cand = graft.CacheScope.track(bands(corpus(spark, dir)).as("t")
+      .join(broadcast(bands(evalDocs).as("e")),
+        col("t.band") === col("e.band") && col("t.bucket") === col("e.bucket") &&
+          col("t.doc_id") =!= col("e.doc_id"))
+      .select(col("t.doc_id").as("train_id"), col("t.sz").as("sz_t"),
+        col("e.doc_id").as("eval_id"), col("e.sz").as("sz_e")).distinct()
+      .persist())
+    cand.count()
+    val trainSh = graft.CacheScope.track(
+      corpus(spark, dir)
+        .join(cand.select(col("train_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(HashFunctions.shingleHashes(split(col("text"), " "))).as("sh"))
+        .persist())
+    trainSh.count()
+    val evalSh = evalDocs
+      .join(cand.select(col("eval_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(HashFunctions.shingleHashes(split(col("text"), " "))).as("sh"))
+    val inter = cand.select("train_id", "eval_id")
+      .join(trainSh.as("st"), col("train_id") === col("st.doc_id"))
+      .join(broadcast(evalSh.as("se")),
+        col("eval_id") === col("se.doc_id") && col("st.sh") === col("se.sh"))
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("train_id", "eval_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .withColumn("jaccard", r4(col("inter").cast("double") /
+        (col("sz_t") + col("sz_e") - col("inter"))))
+      .filter(col("jaccard") >= 0.3)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("max_jaccard"))
+      .orderBy("train_id")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_dedup_exact", dedupExact, Some(dedupExactOracle), headline = true),
+    Op("q_decontam_fuzzy", fuzzyDecontam, None),
     Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     Op("q_dedup_minhash", dedupMinhash, None, headline = true),

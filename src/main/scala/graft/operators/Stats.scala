@@ -669,6 +669,95 @@ object Stats {
        |FROM s ORDER BY event_type, grp""".stripMargin
   }
 
+  /** Always-valid sequential inference — the mixture SPRT (mSPRT,
+    * Robbins 1970; the "always-valid p-value" construction behind
+    * modern experiment platforms' continuous monitoring). The
+    * reference's notebooks slice results repeatedly while tests run
+    * (deep_dive_analyses.ipynb re-reads live tests; README's
+    * monitoring loop) — a fixed-horizon p peeked at daily inflates
+    * false positives, so this operator reports the anytime-valid
+    * alternative: per (event_type, day), the running On/Off mean
+    * difference, the normal-mixture log likelihood-ratio
+    *   ln Λ_t = ½·ln(se²/(se²+τ²)) + τ²·Δ̄²/(2·se²·(se²+τ²))
+    * with se² = σ̂²·(1/n₁+1/n₂) from cumulative moments and the
+    * unit-information prior τ² = σ̂², and p_avp = running min over
+    * days of min(1, 1/Λ) — valid at EVERY peek.
+    *
+    * Determinism: cumulative moments are window sums of exact
+    * DECIMALs; ln Λ is computed in log space (no exp overflow at
+    * strong effects); exp underflow to 0 is IEEE-identical in both
+    * engines. Scale: one aggregation to |event_type|·|days| rows,
+    * then windows over that tiny table. */
+  def msprt(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val m = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("dn1"),
+        sum(when(col("g") === "On", col("value").cast(dec))).as("ds1"),
+        sum(when(col("g") === "On", (col("value") * col("value")).cast(dec))).as("dss1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("dn2"),
+        sum(when(col("g") === "Off", col("value").cast(dec))).as("ds2"),
+        sum(when(col("g") === "Off", (col("value") * col("value")).cast(dec))).as("dss2"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = m.select(col("event_type"), col("day"),
+      sum("dn1").over(w).as("n1"), sum("ds1").over(w).cast(DoubleType).as("s1"),
+      sum("dss1").over(w).cast(DoubleType).as("ss1"),
+      sum("dn2").over(w).as("n2"), sum("ds2").over(w).cast(DoubleType).as("s2"),
+      sum("dss2").over(w).cast(DoubleType).as("ss2"))
+      .filter(col("n1") > 1 && col("n2") > 1)
+    val delta = col("s1") / col("n1") - col("s2") / col("n2")
+    val sig2 = ((col("ss1") - col("s1") * col("s1") / col("n1")) +
+      (col("ss2") - col("s2") * col("s2") / col("n2"))) / (col("n1") + col("n2") - 2)
+    val se2 = sig2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))
+    val logLambda = lit(0.5) * log(se2 / (se2 + sig2)) +
+      sig2 * delta * delta / (lit(2.0) * se2 * (se2 + sig2))
+    val wMin = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum.select(col("event_type"), col("day"), col("n1"), col("n2"),
+      r6(delta).as("delta"), r4(logLambda).as("log_lambda"),
+      r6(least(lit(1.0), exp(-logLambda))).as("p_seq"))
+      .withColumn("p_avp", min(col("p_seq")).over(wMin))
+      .orderBy("event_type", "day")
+  }
+
+  private val msprtOracle = {
+    val delta = "(s1 / n1 - s2 / n2)"
+    val sig2 = "(((ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2)) / (n1 + n2 - 2))"
+    val se2 = s"($sig2 * (1.0 / n1 + 1.0 / n2))"
+    val logLambda = s"(0.5 * ln($se2 / ($se2 + $sig2)) + $sig2 * $delta * $delta / (2.0 * $se2 * ($se2 + $sig2)))"
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS dn1,
+       |    SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS ds1,
+       |    SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS dss1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS dn2,
+       |    SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS ds2,
+       |    SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS dss2
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, day,
+       |    SUM(dn1) OVER win AS n1, CAST(SUM(ds1) OVER win AS DOUBLE) AS s1,
+       |    CAST(SUM(dss1) OVER win AS DOUBLE) AS ss1,
+       |    SUM(dn2) OVER win AS n2, CAST(SUM(ds2) OVER win AS DOUBLE) AS s2,
+       |    CAST(SUM(dss2) OVER win AS DOUBLE) AS ss2
+       |  FROM daily
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |scored AS (
+       |  SELECT event_type, day, n1, n2,
+       |    ${rSql(delta, 6)} AS delta,
+       |    ${rSql(logLambda, 4)} AS log_lambda,
+       |    ${rSql(s"LEAST(1.0, exp(-($logLambda)))", 6)} AS p_seq
+       |  FROM cum WHERE n1 > 1 AND n2 > 1)
+       |SELECT event_type, day, n1, n2, delta, log_lambda, p_seq,
+       |  MIN(p_seq) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_avp
+       |FROM scored ORDER BY event_type, day""".stripMargin
+  }
+
   /** Fixed-width histogram of `value` (the notebooks' pd.cut binning
     * for distribution plots). */
   def histogram(spark: SparkSession, dir: String): DataFrame =
@@ -825,6 +914,7 @@ object Stats {
     Op("q_permutation", (s, dir) => permutationTest(s, dir), Some(permutationOracle())),
     Op("q_winsorize", winsorize, Some(winsorizeOracle)),
     Op("q_ratio_delta", ratioDelta, Some(ratioDeltaOracle)),
+    Op("q_msprt", msprt, Some(msprtOracle)),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
     Op("q_power_ttest", powerTtest, Some(powerTtestOracle)),
     Op("q_solve_n", solveN, Some(solveNOracle)),
