@@ -21,7 +21,7 @@ object Dedup {
   /** The test corpus has no verbatim duplicates, so the exact/near-dup
     * operators are exercised on `documents ∪ re-keyed copies of every
     * 10th document` — deterministic, and reproducible in the oracle. */
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"), col("text"))
       .unionAll(d.filter(col("doc_id") % 10 === 0)
@@ -109,28 +109,38 @@ object Dedup {
     // materialized below — without this the downstream DAG re-derives
     // the band join in four branches and the sketch kernel runs ~8×
     // over the corpus.
-    val sig = docs.select(col("doc_id"),
-      HashFunctions.minhashSketch(col("toks")).as("sk"))
-    // 4 bands of 4 rows via one explode
+    val sig = graft.CacheScope.track(docs.select(col("doc_id"),
+      HashFunctions.minhashSketch(col("toks")).as("sk")).persist())
+    // Eagerly materialize: the band self-join reads sig on BOTH sides,
+    // and exchange reuse does not fire across AQE query stages here —
+    // without this the corpus-wide sketch kernel runs twice (verified
+    // with ProfileMinhash). One job over ~140 B/doc is the cheap side
+    // of that trade at any scale.
+    sig.count()
+    // 4 bands of 4 rows via one explode. The (band, 4 minhash values)
+    // tuple is folded into ONE 64-bit xxhash64 bucket key: an 8-byte
+    // join/shuffle key instead of a ~40-byte "v1:v2:v3:v4" string —
+    // less shuffle volume and cheaper hash/compare on the 4n-row band
+    // table, which at 100 TB is the largest thing this operator
+    // shuffles. A 64-bit collision only ADDS a candidate pair, which
+    // the true-Jaccard verify below filters — correctness unaffected.
     val bandStructs = (0 until 4).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws(":", (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*).as("bucket"))
+      xxhash64(lit(bnd) +: (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*)
     }
     val bands = sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // Band self-join is a SHUFFLE join on (band, bucket): bands is
-    // O(corpus) (4 rows/doc), so broadcasting it would hit the memory
-    // wall at scale. Buckets are minhash values — uniformly spread —
-    // so the shuffle partitions evenly. Candidate-derived sides below
-    // are small but data-dependent (a dup-heavy corpus inflates them):
+      explode(array(bandStructs: _*)).as("bucket"))
+    // Band self-join is a SHUFFLE join on bucket: bands is O(corpus)
+    // (4 rows/doc), so broadcasting it would hit the memory wall at
+    // scale. Buckets are minhash-derived — uniformly spread — so the
+    // shuffle partitions evenly. Candidate-derived sides below are
+    // small but data-dependent (a dup-heavy corpus inflates them):
     // no forced broadcast() — AQE sizes them at runtime.
     // Tracked in CacheScope: the cache must outlive this method (three
     // downstream branches read it) but not the operator RUN — the
     // runner (Verify/Bench/spec) frees it after forcing the result.
     val cand = graft.CacheScope.track(bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
         col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
@@ -365,17 +375,17 @@ object Dedup {
     def bands(df: DataFrame): DataFrame = {
       val sig = df.select(col("doc_id"),
         HashFunctions.minhashSketch(split(col("text"), " ")).as("sk"))
+      // (band, 4 values) folded into one 64-bit bucket key — see
+      // dedupMinhash; collisions only add candidates, Jaccard filters.
       val bandStructs = (0 until 4).map { bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws(":", (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*).as("bucket"))
+        xxhash64(lit(bnd) +: (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*)
       }
       sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
-        explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        explode(array(bandStructs: _*)).as("bucket"))
     }
     val cand = graft.CacheScope.track(bands(corpus(spark, dir)).as("t")
       .join(broadcast(bands(evalDocs).as("e")),
-        col("t.band") === col("e.band") && col("t.bucket") === col("e.bucket") &&
+        col("t.bucket") === col("e.bucket") &&
           col("t.doc_id") =!= col("e.doc_id"))
       .select(col("t.doc_id").as("train_id"), col("t.sz").as("sz_t"),
         col("e.doc_id").as("eval_id"), col("e.sz").as("sz_e")).distinct()
