@@ -758,6 +758,134 @@ object Stats {
        |FROM scored ORDER BY event_type, day""".stripMargin
   }
 
+  /** Cluster-robust standard errors (CRSE) — THE readout method of the
+    * reference's switchback notebooks: `smf.ols('KPI ~ group_binary')
+    * .fit(cov_type="cluster", cov_kwds={'groups': time_unit})` appears
+    * in 8 notebooks (counterpart_method.ipynb CRSE_CI,
+    * switchback_analysis_*.ipynb CRSE_significance, …). Orders inside
+    * one switchback time unit share shocks, so the OLS slope's SE must
+    * cluster on the randomization unit.
+    *
+    * For a binary regressor OLS is closed-form: β₁ = ȳ₁ − ȳ₀,
+    * β₀ = ȳ₀; the Liang–Zeger sandwich needs only per-cluster score
+    * sums u_g = Σ_{i∈g} e_i·[1, d_i]:
+    *   Var(β̂₁) = c · (N₁²·M₁₁ − 2·N₁·N·M₁₂ + N²·M₂₂) / det²,
+    * det = N₁·N₀, M = Σ_g u_g u_gᵀ, with statsmodels' small-sample
+    * correction c = G/(G−1) · (N−1)/(N−2) and df = G−1 for the t.
+    *
+    * Determinism: per-cluster moments are exact DECIMAL sums; the
+    * cluster score sums are derived ALGEBRAICALLY from them
+    * (su_g = S_g − n_{g1}·m̄₁ − n_{g0}·m̄₀ — no float accumulation over
+    * rows); the meat sums round each cluster's product to
+    * DECIMAL(30,12) per row, then sum exactly (order-invariant).
+    * Scale: rows → clusters is one map-side-combinable aggregation;
+    * everything after runs on |event_type|·|clusters| rows. */
+  def crse(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(28, 6); val d12 = DecimalType(30, 12)
+    val cluster = expr("unix_micros(date_trunc('hour', ts)) div 3600000000") * 10 +
+      col("user_id") % 10
+    val g = Tables.events(spark, dir)
+      .withColumn("d", when(onOff === "On", 1L).otherwise(0L))
+      .withColumn("cl", cluster)
+      .groupBy("event_type", "cl")
+      .agg(count(lit(1)).as("n_g"), sum("d").as("n1_g"),
+        sum(col("value").cast(d6)).as("s_g"),
+        sum((col("value") * col("d")).cast(d6)).as("s1_g"))
+    val w = Window.partitionBy("event_type")
+    val tot = g.select(col("event_type"),
+      col("n_g"), col("n1_g"), col("s_g"), col("s1_g"),
+      sum("n_g").over(w).as("n"), sum("n1_g").over(w).as("n1"),
+      sum("s_g").over(w).cast(DoubleType).as("s"),
+      sum("s1_g").over(w).cast(DoubleType).as("s1"))
+    val m1 = col("s1") / col("n1")
+    val m0 = (col("s") - col("s1")) / (col("n") - col("n1"))
+    val su = col("s_g").cast(DoubleType) - col("n1_g") * m1 -
+      (col("n_g") - col("n1_g")) * m0
+    val sd = col("s1_g").cast(DoubleType) - col("n1_g") * m1
+    val scored = tot.select(col("event_type"), col("n"), col("n1"),
+      m1.as("m1"), m0.as("m0"), su.as("su"), sd.as("sd"))
+    val agg = scored.groupBy("event_type").agg(
+      count(lit(1)).as("g_clusters"),
+      max("n").as("n"), max("n1").as("n1"), max("m1").as("m1"), max("m0").as("m0"),
+      sum((col("su") * col("su")).cast(d12)).cast(DoubleType).as("m11"),
+      sum((col("su") * col("sd")).cast(d12)).cast(DoubleType).as("m12"),
+      sum((col("sd") * col("sd")).cast(d12)).cast(DoubleType).as("m22"))
+      .filter(col("n1") >= 1 && col("n") - col("n1") >= 1 &&
+        col("g_clusters") >= 2 && col("n") > 2)
+    val det = col("n1").cast(DoubleType) * (col("n") - col("n1"))
+    val varRaw = (col("n1") * col("n1") * col("m11") -
+      lit(2.0) * col("n1") * col("n") * col("m12") +
+      col("n") * col("n") * col("m22")) / (det * det)
+    val c = (col("g_clusters") / (col("g_clusters") - lit(1.0))) *
+      ((col("n") - lit(1.0)) / (col("n") - lit(2.0)))
+    val base = agg.select(col("event_type"), col("g_clusters"), col("n"),
+      (col("m1") - col("m0")).as("beta1_raw"), col("m0").as("beta0_raw"),
+      sqrt(c * varRaw).as("se_raw"),
+      (col("g_clusters") - lit(1.0)).as("dfc"))
+      .withColumn("t_raw", col("beta1_raw") / col("se_raw"))
+      .withColumn("tcrit", expr(tInvCfSql("1.959963984540054", "dfc")))
+    base.select(col("event_type"), col("g_clusters"), col("n"),
+      r4(col("beta0_raw")).as("beta0"), r6(col("beta1_raw")).as("beta1"),
+      r6(col("se_raw")).as("se"), r4(col("t_raw")).as("t_stat"),
+      col("dfc").cast("long").as("df"),
+      r6(expr(pTwoSidedTSql("t_raw", "dfc", spark = true))).as("p_t"),
+      r6(col("beta1_raw") - col("tcrit") * col("se_raw")).as("ci_lo"),
+      r6(col("beta1_raw") + col("tcrit") * col("se_raw")).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  private val crseOracle = {
+    val m1 = "(s1 / n1)"; val m0 = "((s - s1) / (n - n1))"
+    val det = "(CAST(n1 AS DOUBLE) * (n - n1))"
+    val varRaw = s"((n1 * n1 * m11 - 2.0 * n1 * n * m12 + n * n * m22) / ($det * $det))"
+    val corr = "((g_clusters / (g_clusters - 1.0)) * ((n - 1.0) / (n - 2.0)))"
+    s"""WITH cl AS (
+       |  SELECT event_type,
+       |    (epoch_us(date_trunc('hour', ts)) // 3600000000) * 10 + user_id % 10 AS cl,
+       |    COUNT(*) AS n_g,
+       |    CAST(SUM(CASE WHEN $onOffSql = 'On' THEN 1 ELSE 0 END) AS BIGINT) AS n1_g,
+       |    SUM(CAST("value" AS DECIMAL(28,6))) AS s_g,
+       |    SUM(CAST("value" * (CASE WHEN $onOffSql = 'On' THEN 1 ELSE 0 END) AS DECIMAL(28,6))) AS s1_g
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, n_g, n1_g, s_g, s1_g,
+       |    CAST(SUM(n_g) OVER w AS BIGINT) AS n, CAST(SUM(n1_g) OVER w AS BIGINT) AS n1,
+       |    CAST(SUM(s_g) OVER w AS DOUBLE) AS s,
+       |    CAST(SUM(s1_g) OVER w AS DOUBLE) AS s1
+       |  FROM cl WINDOW w AS (PARTITION BY event_type)),
+       |scored AS (
+       |  SELECT event_type, n, n1, $m1 AS m1, $m0 AS m0,
+       |    CAST(s_g AS DOUBLE) - n1_g * $m1 - (n_g - n1_g) * $m0 AS su,
+       |    CAST(s1_g AS DOUBLE) - n1_g * $m1 AS sd
+       |  FROM tot),
+       |agg AS (
+       |  SELECT event_type, COUNT(*) AS g_clusters,
+       |    MAX(n) AS n, MAX(n1) AS n1, MAX(m1) AS m1, MAX(m0) AS m0,
+       |    CAST(SUM(CAST(su * su AS DECIMAL(30,12))) AS DOUBLE) AS m11,
+       |    CAST(SUM(CAST(su * sd AS DECIMAL(30,12))) AS DOUBLE) AS m12,
+       |    CAST(SUM(CAST(sd * sd AS DECIMAL(30,12))) AS DOUBLE) AS m22
+       |  FROM scored GROUP BY 1
+       |  HAVING MAX(n1) >= 1 AND MAX(n) - MAX(n1) >= 1 AND COUNT(*) >= 2 AND MAX(n) > 2),
+       |base AS (
+       |  SELECT event_type, g_clusters, n,
+       |    (m1 - m0) AS beta1_raw, m0 AS beta0_raw,
+       |    sqrt($corr * $varRaw) AS se_raw,
+       |    (g_clusters - 1.0) AS dfc
+       |  FROM agg),
+       |tstats AS (
+       |  SELECT *, beta1_raw / se_raw AS t_raw,
+       |    ${tInvCfSql("1.959963984540054", "dfc")} AS tcrit
+       |  FROM base)
+       |SELECT event_type, g_clusters, n,
+       |  ${rSql("beta0_raw", 4)} AS beta0, ${rSql("beta1_raw", 6)} AS beta1,
+       |  ${rSql("se_raw", 6)} AS se, ${rSql("t_raw", 4)} AS t_stat,
+       |  CAST(dfc AS BIGINT) AS df,
+       |  ${rSql(pTwoSidedTSql("t_raw", "dfc", spark = false), 6)} AS p_t,
+       |  ${rSql("beta1_raw - tcrit * se_raw", 6)} AS ci_lo,
+       |  ${rSql("beta1_raw + tcrit * se_raw", 6)} AS ci_hi
+       |FROM tstats ORDER BY event_type""".stripMargin
+  }
+
   /** Fixed-width histogram of `value` (the notebooks' pd.cut binning
     * for distribution plots). */
   def histogram(spark: SparkSession, dir: String): DataFrame =
@@ -915,6 +1043,7 @@ object Stats {
     Op("q_winsorize", winsorize, Some(winsorizeOracle)),
     Op("q_ratio_delta", ratioDelta, Some(ratioDeltaOracle)),
     Op("q_msprt", msprt, Some(msprtOracle)),
+    Op("q_crse", crse, Some(crseOracle)),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
     Op("q_power_ttest", powerTtest, Some(powerTtestOracle)),
     Op("q_solve_n", solveN, Some(solveNOracle)),

@@ -133,4 +133,52 @@ class StatsSpec extends SparkSpec {
     assert(mw.length === 5)
     mw.foreach(r => assert(r.getAs[Double]("p_value") >= 0.0))
   }
+
+  test("CRSE matches an independent OLS cluster-sandwich computation") {
+    // Brute-force Liang–Zeger sandwich in plain Scala (collected rows,
+    // naive float sums — none of the operator's decimal machinery).
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("ts"), col("value"))
+      .withColumn("hr", expr("unix_micros(date_trunc('hour', ts)) div 3600000000"))
+      .select("event_type", "hr", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = operators.Stats.crse(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, evs) =>
+      val data = evs.map { case (_, hr, uid, v) =>
+        val d = if ((hr + uid % 10) % 2 == 0) 1.0 else 0.0
+        (hr * 10 + uid % 10, d, v)
+      }
+      val n = data.length.toDouble
+      val n1 = data.map(_._2).sum
+      val m1 = data.filter(_._2 == 1.0).map(_._3).sum / n1
+      val m0 = data.filter(_._2 == 0.0).map(_._3).sum / (n - n1)
+      val beta1 = m1 - m0
+      val byCl = data.groupBy(_._1).values.toSeq
+      val gG = byCl.size.toDouble
+      var m11 = 0.0; var m12 = 0.0; var m22 = 0.0
+      byCl.foreach { cl =>
+        var su = 0.0; var sd = 0.0
+        cl.foreach { case (_, d, v) =>
+          val e = v - (if (d == 1.0) m1 else m0)
+          su += e; sd += e * d
+        }
+        m11 += su * su; m12 += su * sd; m22 += sd * sd
+      }
+      val det = n1 * (n - n1)
+      val varRaw = (n1 * n1 * m11 - 2.0 * n1 * n * m12 + n * n * m22) / (det * det)
+      val c = (gG / (gG - 1.0)) * ((n - 1.0) / (n - 2.0))
+      val se = math.sqrt(c * varRaw)
+      val r = got(et)
+      assert(r.getAs[Long]("g_clusters") === byCl.size)
+      assert(math.abs(r.getAs[Double]("beta1") - beta1) < 1e-5, s"$et beta1")
+      assert(math.abs(r.getAs[Double]("se") - se) < 1e-5, s"$et se")
+      assert(math.abs(r.getAs[Double]("t_stat") - beta1 / se) < 1e-3, s"$et t")
+      // CI brackets beta1 and p is a probability
+      assert(r.getAs[Double]("ci_lo") < beta1 && beta1 < r.getAs[Double]("ci_hi"))
+      val p = r.getAs[Double]("p_t")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
 }
