@@ -354,6 +354,47 @@ object Dedup {
       .replaceFirst("WITH docs", "WITH RECURSIVE docs")
   }
 
+  /** Leakage-safe train/val/test split: members of one near-dup
+    * cluster MUST land in the same split, or val/test leaks training
+    * content (the standard eval-integrity failure in LLM data prep).
+    * Each document's split is decided by its cluster REPRESENTATIVE
+    * (CC min-label for near-dup docs, own id for singletons), mixed
+    * through the same two-round 31-bit LCG as q_permutation (portable
+    * integer arithmetic → oracle-backed), 80/10/10.
+    *
+    * Scale: CC runs only on the near-dup edge list (pair-bounded); the
+    * corpus-wide work is one left join of docs to the (tiny) cluster
+    * label table plus scan-local integer mixing. */
+  def splitSafe(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgram(spark, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+    val mixed = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("component"), col("doc_id")))
+      .withColumn("mix", expr(
+        "((((rep % 2147483648) * 1103515245 + 12345) % 2147483648) * 1103515245 + 12345) % 2147483648 % 10"))
+    mixed.select(col("doc_id"), col("rep"),
+      when(col("mix") < 8, "train").when(col("mix") === 8, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val splitSafeOracle = {
+    // reuse the recursive-CTE cluster labeling over the ngram pairs
+    val clusterCte = dedupClustersOracle
+      .substring(0, dedupClustersOracle.indexOf("SELECT component,")).trim
+    s"""$clusterCte,
+       |mixed AS (
+       |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS rep,
+       |    ((((COALESCE(l.component, d.doc_id) % 2147483648) * 1103515245 + 12345) % 2147483648) * 1103515245 + 12345) % 2147483648 % 10 AS mix
+       |  FROM documents d LEFT JOIN labeled l ON d.doc_id = l.node)
+       |SELECT doc_id, rep,
+       |  CASE WHEN mix < 8 THEN 'train' WHEN mix = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM mixed ORDER BY doc_id""".stripMargin
+  }
+
   /** Fuzzy benchmark decontamination — the MinHash/LSH companion to
     * TextAnalysis.decontaminate: verbatim 8-gram overlap misses
     * lightly-edited eval leaks, so match TRAINING docs against the
@@ -420,6 +461,7 @@ object Dedup {
     Op("q_dedup_exact", dedupExact, Some(dedupExactOracle), headline = true),
     Op("q_decontam_fuzzy", fuzzyDecontam, None),
     Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    Op("q_split_safe", splitSafe, Some(splitSafeOracle)),
     Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     Op("q_dedup_minhash", dedupMinhash, None, headline = true),
     Op("q_dedup_simhash", dedupSimhash, None),

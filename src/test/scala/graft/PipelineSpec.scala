@@ -26,6 +26,21 @@ class PipelineSpec extends SparkSpec {
     assert(exact.exists { case (a, b, _) => b - a == 1000000 })
   }
 
+  test("leakage-safe split keeps near-dup pairs in one split, ~80/10/10") {
+    val split = operators.Dedup.splitSafe(spark, sfDir)
+    val byDoc = split.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = operators.Dedup.dedupNgram(spark, sfDir)
+      .select("id_a", "id_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(byDoc(r.getLong(0)) === byDoc(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across partitions")
+    }
+    val frac = byDoc.values.groupBy(identity).view.mapValues(_.size.toDouble / byDoc.size).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.05)
+  }
+
   test("knn: identical vector ranks first with cosine 1") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val q = emb.filter(col("vec_id") === 0)
