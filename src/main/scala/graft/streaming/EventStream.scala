@@ -15,6 +15,23 @@ final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
 private final case class SessionState(startUs: Long, lastUs: Long,
     n: Long, sum: Double)
 
+/** One experiment day's On/Off moments, accumulating in state until the
+  * watermark passes the day boundary. Value sums are micro-scaled longs
+  * (exact, order-invariant); squared sums are doubles. */
+private final case class DayMoments(dayUs: Long,
+    n1: Long, s1Micro: Long, ss1: Double,
+    n2: Long, s2Micro: Long, ss2: Double)
+
+private final case class MsprtState(open: List[DayMoments],
+    cumN1: Long, cumS1Micro: Long, cumSs1: Double,
+    cumN2: Long, cumS2Micro: Long, cumSs2: Double,
+    minP: Double)
+
+/** Daily anytime-valid readout emitted when a day finalizes. */
+final case class MsprtReadout(event_type: String, day: java.sql.Timestamp,
+    n1: Long, n2: Long, delta: Double, log_lambda: Double,
+    p_seq: Double, p_avp: Double)
+
 /** Structured Streaming twins of the batch operators (SURVEY.md §2
   * block D): the same switchback aggregations the reference computes
   * daily, expressed incrementally.
@@ -91,6 +108,86 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming mixture-SPRT monitor — the incremental twin of
+    * operators.Stats.msprt: per event_type, cumulative On/Off moments
+    * advance one experiment DAY at a time as the watermark passes each
+    * day boundary, emitting the running mean difference, the
+    * normal-mixture log likelihood ratio, and the running-min
+    * anytime-valid p. Continuous monitoring is exactly the workload the
+    * reference's notebooks simulate by re-reading live tests daily —
+    * here every emitted row is a peek-safe readout.
+    *
+    * Chop-robustness: counts and value sums accumulate as longs
+    * (micro-scaled — exact and commutative across micro-batch
+    * boundaries), so delta is bit-identical however the stream is
+    * chopped; only the squared-sum term is a float accumulation
+    * (documented ~1e-9 relative tolerance in the spec). Emission
+    * happens ONLY at day finalization, so no partial-day readout can
+    * leak. State per key is the open (un-watermarked) day buckets plus
+    * seven cumulative scalars — bounded by the watermark horizon. */
+  def msprtMonitor(events: Dataset[Event]): Dataset[MsprtReadout] = {
+    import events.sparkSession.implicits._
+    val dayUsLen = 86400000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MsprtState, MsprtReadout](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (eventType: String, it: Iterator[Event], state: GroupState[MsprtState]) =>
+          var st = state.getOption.getOrElse(
+            MsprtState(Nil, 0L, 0L, 0.0, 0L, 0L, 0.0, 1.0))
+          // fold this batch's events into per-day buckets
+          it.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val day = us - java.lang.Math.floorMod(us, dayUsLen)
+            val hour = java.lang.Math.floorDiv(us, 3600000000L)
+            val on = (hour + e.user_id % 10) % 2 == 0
+            val vMicro = java.lang.Math.round(e.value * 1e6)
+            val cur = st.open.find(_.dayUs == day).getOrElse(
+              DayMoments(day, 0L, 0L, 0.0, 0L, 0L, 0.0))
+            val upd =
+              if (on) cur.copy(n1 = cur.n1 + 1, s1Micro = cur.s1Micro + vMicro,
+                ss1 = cur.ss1 + e.value * e.value)
+              else cur.copy(n2 = cur.n2 + 1, s2Micro = cur.s2Micro + vMicro,
+                ss2 = cur.ss2 + e.value * e.value)
+            st = st.copy(open = upd :: st.open.filterNot(_.dayUs == day))
+          }
+          // finalize every day fully below the watermark, in day order
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = st.open.partition(_.dayUs + dayUsLen <= wmUs)
+          val out = done.sortBy(_.dayUs).flatMap { d =>
+            st = st.copy(
+              cumN1 = st.cumN1 + d.n1, cumS1Micro = st.cumS1Micro + d.s1Micro,
+              cumSs1 = st.cumSs1 + d.ss1,
+              cumN2 = st.cumN2 + d.n2, cumS2Micro = st.cumS2Micro + d.s2Micro,
+              cumSs2 = st.cumSs2 + d.ss2)
+            if (st.cumN1 > 1 && st.cumN2 > 1) {
+              val n1 = st.cumN1.toDouble; val n2 = st.cumN2.toDouble
+              val s1 = st.cumS1Micro / 1e6; val s2 = st.cumS2Micro / 1e6
+              val delta = s1 / n1 - s2 / n2
+              val sig2 = ((st.cumSs1 - s1 * s1 / n1) +
+                (st.cumSs2 - s2 * s2 / n2)) / (n1 + n2 - 2.0)
+              val se2 = sig2 * (1.0 / n1 + 1.0 / n2)
+              val logLambda = 0.5 * math.log(se2 / (se2 + sig2)) +
+                sig2 * delta * delta / (2.0 * se2 * (se2 + sig2))
+              val pSeq = math.min(1.0, math.exp(-logLambda))
+              st = st.copy(minP = math.min(st.minP, pSeq))
+              Some(MsprtReadout(eventType, new java.sql.Timestamp(d.dayUs / 1000L),
+                st.cumN1, st.cumN2, delta, logLambda, pSeq, st.minP))
+            } else None
+          }
+          st = st.copy(open = open)
+          // cumulative-by-design: state persists for the experiment's
+          // lifetime (one row of scalars per event_type)
+          state.update(st)
+          // wake up when the earliest open day can finalize (strictly
+          // above the current watermark by construction of `open`)
+          open.map(_.dayUs + dayUsLen).sorted.headOption
+            .foreach(us => state.setTimeoutTimestamp(us / 1000L))
+          out.iterator
+      }
+  }
 
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): emits a ClosedSession whenever a user is

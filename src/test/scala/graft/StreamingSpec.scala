@@ -141,4 +141,52 @@ class StreamingSpec extends SparkSpec {
     assert(u1.exists(s => s.n_events == 2 && s.sum_value == 3.0),
       s"expected first session of user 1 closed, got ${closed.mkString(", ")}")
   }
+
+  test("streaming mSPRT monitor: daily peeks, chop-robust, p_avp non-increasing") {
+    implicit val sqlCtx = spark.sqlContext
+    // 3 days × 48 events/day with a planted On-vs-Off effect
+    val dayMin = 1440L
+    val events = (0 until 144).map { i =>
+      val t = ts(i * 30L) // every 30 min across 3 days
+      val us = t.getTime * 1000L
+      val hour = java.lang.Math.floorDiv(us, 3600000000L)
+      val uid = i % 10L
+      val on = (hour + uid % 10) % 2 == 0
+      Event(i.toLong, t, uid, "click", (if (on) 12.0 else 10.0) + (i % 7) * 0.5)
+    }
+    def run(chunks: Seq[Seq[Event]], name: String): Seq[graft.streaming.MsprtReadout] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.msprtMonitor(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(dayMin * 5), 0L, "click", 0.0)) // watermark past day 3
+      q.processAllAvailable(); q.stop()
+      spark.table(name).as[graft.streaming.MsprtReadout].collect().toSeq
+        .sortBy(_.day.getTime)
+    }
+    val oneShot = run(Seq(events), "msprt_a")
+    val chopped = run(Seq(events.take(30), events.slice(30, 31), events.drop(31)), "msprt_b")
+    assert(oneShot.nonEmpty, "no finalized days emitted")
+    assert(oneShot.map(_.day.getTime) === chopped.map(_.day.getTime))
+    oneShot.zip(chopped).foreach { case (a, b) =>
+      assert(a.n1 === b.n1 && a.n2 === b.n2)
+      assert(a.delta === b.delta) // long-accumulated: bit-identical
+      assert(math.abs(a.log_lambda - b.log_lambda) < 1e-9)
+      assert(math.abs(a.p_avp - b.p_avp) < 1e-9)
+    }
+    // anytime-valid p is a running min and the planted effect drives it down
+    oneShot.sliding(2).foreach { case Seq(x, y) => assert(y.p_avp <= x.p_avp); case _ => }
+    // agrees with the batch mSPRT math on the same cumulative moments
+    val last = oneShot.last
+    val all = events.filter(e => oneShot.map(_.day.getTime).max + 86400000L > e.ts.getTime)
+    val (onV, offV) = all.partition { e =>
+      val hour = java.lang.Math.floorDiv(e.ts.getTime * 1000L, 3600000000L)
+      (hour + e.user_id % 10) % 2 == 0
+    }
+    val n1 = onV.size.toDouble; val n2 = offV.size.toDouble
+    val s1 = onV.map(_.value).sum; val s2 = offV.map(_.value).sum
+    val delta = s1 / n1 - s2 / n2
+    assert(math.abs(last.delta - delta) < 1e-9, s"delta ${last.delta} vs $delta")
+  }
 }
