@@ -83,6 +83,26 @@ class InfraSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
   }
 
+  test("bucketed tables join with zero shuffles") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    Sources.writeBucketed(orders, "graft_orders_bkt", "o_custkey", 8)
+    Sources.writeBucketed(cust, "graft_cust_bkt", "o_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_orders_bkt")
+        .join(spark.table("graft_cust_bkt"), "o_custkey")
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("RectPipRule rewrites literal-rectangle pip to pushed-down ranges") {
     import graft.functions.PointInPolygon
     val prev = spark.experimental.extraOptimizations
