@@ -286,7 +286,56 @@ object TextAnalysis {
       |  CAST(SUM(len_before - len_after) AS BIGINT) AS chars_removed
       |FROM scrubbed GROUP BY 1 ORDER BY n_redactions""".stripMargin
 
+  /** Token-budget batch packing — group documents into ≈`budget`-token
+    * bins for training-batch construction. True first-fit bin packing
+    * is sequential; the scalable formulation packs WITHIN power-of-two
+    * length classes (docs in one class have near-equal length, so
+    * greedy order-fill is near-optimal there), where each class is an
+    * independent window partition: lc = bit-length of the BPE-ish
+    * subtoken count, bin = exclusive-running-token-sum div budget.
+    * All-integer arithmetic → oracle hash-exact.
+    *
+    * Scale: one scan-local token count, then cumulative sums
+    * partitioned by length class — no global sort; class cardinality
+    * (~20) bounds skew and each partition's window is a linear pass. */
+  def packBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))")
+          .as("n_subtok"))
+      .withColumn("lc", length(expr("bin(n_subtok)")).cast("long"))
+    val w = Window.partitionBy("lc").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum", coalesce(sum("n_subtok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum div $budget"))
+      .groupBy("lc", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_subtok").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lc", "bin")
+  }
+
+  private val packBudgetOracle =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_subtok, CAST(length(bin(n_subtok)) AS BIGINT) AS lc FROM d),
+      |s AS (
+      |  SELECT doc_id, n_subtok, lc,
+      |    CAST(COALESCE(SUM(n_subtok) OVER (PARTITION BY lc ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      |  FROM c)
+      |SELECT lc, cum // 2048 AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_subtok) AS BIGINT) AS bin_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM s GROUP BY 1, 2 ORDER BY lc, bin""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_pack_budget", packBudget, Some(packBudgetOracle)),
     Op("q_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     Op("q_lang_id", langId, Some(langIdOracle)),
     Op("q_quality_score", qualityScore, Some(qualityScoreOracle)),

@@ -41,6 +41,20 @@ class PipelineSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.05)
   }
 
+  test("budget packing covers every doc once; bins near budget") {
+    val bins = operators.TextAnalysis.packBudget(spark, sfDir).collect()
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    // a bin overflows the 2048 budget by at most one doc of its class
+    // (class max length = 2^lc - 1)
+    bins.foreach { r =>
+      val lc = r.getAs[Long]("lc")
+      val cap = 2048L + (1L << lc) - 1
+      assert(r.getAs[Long]("bin_tokens") <= cap,
+        s"bin (lc=$lc) holds ${r.getAs[Long]("bin_tokens")} > $cap")
+    }
+  }
+
   test("knn: identical vector ranks first with cosine 1") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val q = emb.filter(col("vec_id") === 0)
