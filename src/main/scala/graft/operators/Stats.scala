@@ -758,6 +758,78 @@ object Stats {
        |FROM scored ORDER BY event_type, day""".stripMargin
   }
 
+  /** Method-evaluation FPR harness — method_evaluation.ipynb's core
+    * loop: re-randomize assignment under the NULL many times, run the
+    * test each time, and check the false-positive rate sits at the
+    * nominal 5% (the notebooks' evidence that naive per-order tests
+    * are or aren't valid on switchback data). R=48 LCG relabelings
+    * (portable integer arithmetic, like q_permutation), each scored
+    * with the pooled two-sample t at the z critical value; everything
+    * folds into ONE aggregation pass: per replicate only (n₁, Σv) vary
+    * — Σv² is assignment-independent, so the pooled variance needs no
+    * per-replicate squared sums. */
+  def fprEval(spark: SparkSession, dir: String, replicates: Int = 48): DataFrame = {
+    val dec = DecimalType(28, 6)
+    def lcgOn(b: Int): String = // identical text both engines
+      s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
+        s" * 1103515245 + 12345) % 2147483648 < 1073741824)"
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_tot"),
+        sum(col("value").cast(dec)).cast(DoubleType).as("s_tot"),
+        sum((col("value") * col("value")).cast(dec)).cast(DoubleType).as("ss_tot")) ++
+      (0 until replicates).flatMap { b =>
+        val on = expr(lcgOn(b))
+        Seq(sum(when(on, 1L).otherwise(0L)).as(s"n1_$b"),
+          sum(when(on, col("value").cast(dec))).cast(DoubleType).as(s"s1_$b"))
+      }
+    def tAbsSql(n1: String, s1: String): String = {
+      val n0 = s"(n_tot - $n1)"; val s0 = s"(s_tot - $s1)"
+      val d = s"($s1 / $n1 - $s0 / $n0)"
+      val sp2 = s"((ss_tot - $s1 * $s1 / $n1 - $s0 * $s0 / $n0) / (n_tot - 2))"
+      s"abs($d / sqrt($sp2 * (1.0 / $n1 + 1.0 / $n0)))"
+    }
+    val rejects = (0 until replicates)
+      .map(b => s"(CASE WHEN ${tAbsSql(s"n1_$b", s"s1_$b")} > 1.959963984540054 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n_tot"),
+        lit(replicates).cast("long").as("n_reps"),
+        expr(s"CAST($rejects AS BIGINT)").as("n_reject"),
+        r6(expr(s"CAST($rejects AS DOUBLE) / $replicates")).as("fpr"))
+      .orderBy("event_type")
+  }
+
+  private def fprEvalOracle(replicates: Int = 48): String = {
+    def lcgOn(b: Int): String =
+      s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
+        s" * 1103515245 + 12345) % 2147483648 < 1073741824)"
+    val repAggs = (0 until replicates).map { b =>
+      s"""    COUNT(*) FILTER (WHERE ${lcgOn(b)}) AS n1_$b,
+         |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE ${lcgOn(b)}) AS DOUBLE) AS s1_$b""".stripMargin
+    }.mkString(",\n")
+    def tAbsSql(n1: String, s1: String): String = {
+      val n0 = s"(n_tot - $n1)"; val s0 = s"(s_tot - $s1)"
+      val d = s"($s1 / $n1 - $s0 / $n0)"
+      val sp2 = s"((ss_tot - $s1 * $s1 / $n1 - $s0 * $s0 / $n0) / (n_tot - 2))"
+      s"abs($d / sqrt($sp2 * (1.0 / $n1 + 1.0 / $n0)))"
+    }
+    val rejects = (0 until replicates)
+      .map(b => s"(CASE WHEN ${tAbsSql(s"n1_$b", s"s1_$b")} > 1.959963984540054 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH m AS (
+       |  SELECT event_type, COUNT(*) AS n_tot,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS s_tot,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) AS DOUBLE) AS ss_tot,
+       |$repAggs
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n_tot, CAST($replicates AS BIGINT) AS n_reps,
+       |  CAST($rejects AS BIGINT) AS n_reject,
+       |  ${rSql(s"CAST($rejects AS DOUBLE) / $replicates", 6)} AS fpr
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** Cluster-robust standard errors (CRSE) — THE readout method of the
     * reference's switchback notebooks: `smf.ols('KPI ~ group_binary')
     * .fit(cov_type="cluster", cov_kwds={'groups': time_unit})` appears
@@ -1044,6 +1116,7 @@ object Stats {
     Op("q_ratio_delta", ratioDelta, Some(ratioDeltaOracle)),
     Op("q_msprt", msprt, Some(msprtOracle)),
     Op("q_crse", crse, Some(crseOracle)),
+    Op("q_fpr_eval", (s, dir) => fprEval(s, dir), Some(fprEvalOracle())),
     Op("q_power_ztest", powerZtest, Some(powerZtestOracle)),
     Op("q_power_ttest", powerTtest, Some(powerTtestOracle)),
     Op("q_solve_n", solveN, Some(solveNOracle)),
