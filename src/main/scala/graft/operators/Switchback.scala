@@ -313,6 +313,92 @@ object Switchback {
        |FROM v ORDER BY window_hours, grp""".stripMargin
   }
 
+  /** The counterpart method's INFERENCE step (counterpart_method
+    * .ipynb): each adjacent On→Off window pair yields one delta, and
+    * the method's readout is the paired t over those deltas — the
+    * pairing controls for time-of-day, so the paired test is the
+    * point of the whole construction.
+    *
+    * Determinism: per-pair deltas are scalar doubles from exact
+    * decimal window sums; cross-pair moments round each delta (and
+    * its square) to DECIMAL(30,12) per row before the exact decimal
+    * sum (the ratioDelta/crse discipline). Inference uses the
+    * portable t CDF and Cornish–Fisher quantile at df = n_pairs−1. */
+  def counterpartTtest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StatFunctions.{pTwoSidedTSql, tInvCfSql}
+    val d12 = DecimalType(30, 12)
+    val perWindow = Tables.events(spark, dir)
+      .withColumn("on_off", onOff)
+      .groupBy(col("event_type"), zoneId.as("zone_id"),
+        date_trunc("hour", col("ts")).as("window_start"), col("on_off"))
+      .agg((sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) /
+        count(lit(1))).as("wmean"))
+    val w = Window.partitionBy("event_type", "zone_id").orderBy("window_start")
+    val pairs = perWindow
+      .withColumn("next_on_off", lead("on_off", 1).over(w))
+      .withColumn("next_wmean", lead("wmean", 1).over(w))
+      .filter(col("on_off") === "On" && col("next_on_off") === "Off")
+      .select(col("event_type"), (col("wmean") - col("next_wmean")).as("d"))
+    val m = pairs.groupBy("event_type").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("d").cast(d12)).cast(DoubleType).as("sd1"),
+      sum((col("d") * col("d")).cast(d12)).cast(DoubleType).as("sd2"))
+      .filter(col("n_pairs") > 1)
+    val mean = col("sd1") / col("n_pairs")
+    val sd = sqrt((col("sd2") - col("sd1") * col("sd1") / col("n_pairs")) /
+      (col("n_pairs") - 1))
+    val base = m.select(col("event_type"), col("n_pairs"),
+      mean.as("mean_raw"),
+      (sd / sqrt(col("n_pairs").cast(DoubleType))).as("se_raw"),
+      (col("n_pairs") - lit(1.0)).as("dfc"))
+      .withColumn("t_raw", col("mean_raw") / col("se_raw"))
+      .withColumn("tcrit", expr(tInvCfSql("1.959963984540054", "dfc")))
+    base.select(col("event_type"), col("n_pairs"),
+      r6(col("mean_raw")).as("mean_delta"), r6(col("se_raw")).as("se"),
+      r4(col("t_raw")).as("t_stat"),
+      r6(expr(pTwoSidedTSql("t_raw", "dfc", spark = true))).as("p_t"),
+      r6(col("mean_raw") - col("tcrit") * col("se_raw")).as("ci_lo"),
+      r6(col("mean_raw") + col("tcrit") * col("se_raw")).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  private val counterpartTtestOracle = {
+    import graft.functions.StatFunctions.{pTwoSidedTSql, tInvCfSql}
+    s"""WITH per_window AS (
+       |  SELECT event_type, user_id % 10 AS zone_id, date_trunc('hour', ts) AS window_start, $onOffSql AS on_off,
+       |    CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS wmean
+       |  FROM events GROUP BY 1, 2, 3, 4),
+       |paired AS (
+       |  SELECT event_type, on_off, wmean,
+       |    LEAD(on_off) OVER (PARTITION BY event_type, zone_id ORDER BY window_start) AS next_on_off,
+       |    LEAD(wmean) OVER (PARTITION BY event_type, zone_id ORDER BY window_start) AS next_wmean
+       |  FROM per_window),
+       |deltas AS (
+       |  SELECT event_type, (wmean - next_wmean) AS d
+       |  FROM paired WHERE on_off = 'On' AND next_on_off = 'Off'),
+       |m AS (
+       |  SELECT event_type, COUNT(*) AS n_pairs,
+       |    CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) AS sd1,
+       |    CAST(SUM(CAST(d * d AS DECIMAL(30,12))) AS DOUBLE) AS sd2
+       |  FROM deltas GROUP BY 1 HAVING COUNT(*) > 1),
+       |base AS (
+       |  SELECT event_type, n_pairs, (sd1 / n_pairs) AS mean_raw,
+       |    (sqrt((sd2 - sd1 * sd1 / n_pairs) / (n_pairs - 1)) / sqrt(CAST(n_pairs AS DOUBLE))) AS se_raw,
+       |    (n_pairs - 1.0) AS dfc
+       |  FROM m),
+       |tstats AS (
+       |  SELECT *, mean_raw / se_raw AS t_raw,
+       |    ${tInvCfSql("1.959963984540054", "dfc")} AS tcrit
+       |  FROM base)
+       |SELECT event_type, n_pairs,
+       |  ${rSql("mean_raw", 6)} AS mean_delta, ${rSql("se_raw", 6)} AS se,
+       |  ${rSql("t_raw", 4)} AS t_stat,
+       |  ${rSql(pTwoSidedTSql("t_raw", "dfc", spark = false), 6)} AS p_t,
+       |  ${rSql("mean_raw - tcrit * se_raw", 6)} AS ci_lo,
+       |  ${rSql("mean_raw + tcrit * se_raw", 6)} AS ci_hi
+       |FROM tstats ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_sb_assign", sbAssign, Some(sbAssignOracle)),
     Op("q_stderr_sweep", stderrSweep, Some(stderrSweepOracle)),
@@ -320,6 +406,7 @@ object Switchback {
     Op("q_window_sweep", windowSweep, Some(windowSweepOracle)),
     Op("q_sb_metrics", sbMetrics, Some(sbMetricsOracle), headline = true),
     Op("q_counterpart", counterpart, Some(counterpartOracle)),
+    Op("q_counterpart_ttest", counterpartTtest, Some(counterpartTtestOracle)),
     Op("q_srm_chisq", srmChisq, Some(srmChisqOracle)),
   )
 }
