@@ -6,36 +6,26 @@ import org.apache.spark.sql.SparkSession
   * and prints ONE JSON line. A trivial warmup action first so JVM/
   * codegen startup isn't attributed to the first query. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val headline = Registry.ops.filter(_.headline)
-    // warmup: touch each table once (fs metadata, codec init, codegen)
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.lineitem(spark, sfDir).count()
-
-    // One UNTIMED execution per query, then best of 2 timed runs: the
-    // first execution of each plan pays one-off janino codegen, C1/C2
-    // JIT, and AQE planning costs that a fresh JVM (the driver's bench
-    // harness) otherwise attributes to the query; steady-state
-    // throughput is what compares across engines.
-    // Forcing is a noop-sink WRITE, not count(): count() lets Catalyst
-    // prune every column (and the windows/sorts feeding them) out of
-    // the measured plan; a write materializes all output columns and
-    // keeps the final orderBy, so the timed work is the real query.
-    // A failing query must be VISIBLE: it records "err" (not a bogus
-    // short time) and the process exits nonzero, so a regression can
-    // never produce a green-looking bench line.
-    val results: Seq[(String, Either[String, Double])] = headline.map { op =>
+  /** Time `ops` on `sfDir`: one UNTIMED execution per query, then best
+    * of 2 timed runs. The untimed run pays the one-off janino codegen,
+    * C1/C2 JIT, and AQE planning costs that a fresh JVM (the driver's
+    * bench harness) otherwise attributes to the query; steady-state
+    * throughput is what compares across engines.
+    *
+    * Forcing is a noop-sink WRITE, not count(): count() lets Catalyst
+    * prune every column (and the windows/sorts feeding them) out of
+    * the measured plan; a write materializes all output columns and
+    * keeps the final orderBy, so the timed work is the real query.
+    *
+    * A failing query must be VISIBLE: it records "err" (not a bogus
+    * short time) and main exits nonzero, so a regression can never
+    * produce a green-looking bench line. BenchSpec guards this.
+    *
+    * @return (the single-line JSON report, number of failed queries)
+    */
+  def run(spark: SparkSession, sfDir: String, ops: Seq[Op]): (String, Int) = {
+    val results: Seq[(String, Either[String, Double])] = ops.map { op =>
       try op.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failure re-surfaces in the timed runs
       finally CacheScope.releaseAll()
@@ -59,7 +49,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
     val errs = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${Json.str(sfDir)}}""",
+      errs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warmup: touch each table once (fs metadata, codec init, codegen)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).count()
+
+    val (json, errs) = run(spark, sfDir, Registry.ops.filter(_.headline))
+    println(json)
     spark.stop()
     if (errs > 0) sys.exit(1)
   }

@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The bench harness must never hide a failing query (round-2 verdict:
+  * "a deliberately-broken query visibly fails the bench"). */
+class BenchSpec extends SparkSpec {
+
+  test("bench reports err and nonzero count for a broken query") {
+    val good = Op("good_q",
+      (s, dir) => Tables.nation(s, dir).select(col("n_nationkey")), None)
+    val bad = Op("bad_q",
+      (s, _) => s.sql("SELECT * FROM table_that_does_not_exist"), None)
+    val (json, errs) = Bench.run(spark, sfDir, Seq(good, bad))
+    assert(errs === 1)
+    assert(json.contains("\"bad_q\":\"err: "), json)
+    assert(json.contains("\"errors\":1"), json)
+    // the good query still records a real time
+    assert(json.contains("\"good_q\":0") || json.contains("\"good_q\":1"), json)
+    // the JSON stays single-line parseable even with exception text
+    assert(!json.contains("\n"))
+  }
+}
