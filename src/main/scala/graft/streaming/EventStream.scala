@@ -109,6 +109,26 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Live sample-ratio-mismatch guard — the streaming twin of
+    * Switchback.srmChisq per tumbling window: a broken assignment
+    * (e.g. a zone dropping out of one arm) shows up as a chi-square
+    * spike on finalized windows, hours before a daily batch check
+    * would see it. Pure post-aggregation scalar math, append mode. */
+  def srmGuard(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("on_off",
+        when((expr("unix_micros(date_trunc('hour', ts)) div 3600000000") +
+          col("user_id") % 10) % 2 === 0, "On").otherwise("Off"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("on_off") === "On", 1L).otherwise(0L)).as("n_on"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("n_on"), (col("n") - col("n_on")).as("n_off"),
+        ((col("n_on") - col("n") / 2.0) * (col("n_on") - col("n") / 2.0) / (col("n") / 2.0) +
+          ((col("n") - col("n_on")) - col("n") / 2.0) *
+            ((col("n") - col("n_on")) - col("n") / 2.0) / (col("n") / 2.0)).as("chisq"))
+
   /** Streaming mixture-SPRT monitor — the incremental twin of
     * operators.Stats.msprt: per event_type, cumulative On/Off moments
     * advance one experiment DAY at a time as the watermark passes each

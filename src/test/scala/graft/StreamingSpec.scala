@@ -142,6 +142,37 @@ class StreamingSpec extends SparkSpec {
       s"expected first session of user 1 closed, got ${closed.mkString(", ")}")
   }
 
+  test("streaming SRM guard equals the batch chi-square per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // skew the assignment deliberately: users 0-4 only → zones 0-4
+    val events = (0 until 200).map { i =>
+      Event(i.toLong, ts(i / 4L), i % 5L, "click", 1.0)
+    }
+    val q = EventStream.srmGuard(input.toDF())
+      .writeStream.format("memory").queryName("srm_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(events)
+    input.addData(Event(999L, ts(2000L), 0L, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("srm_out")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getAs[Long]("n"),
+        r.getAs[Long]("n_on"), r.getAs[Double]("chisq"))).toSet
+    assert(streamed.nonEmpty)
+    // recompute per-window chi-square in plain Scala
+    val batch = events.groupBy(e => e.ts.getTime / 3600000L * 3600000L).map { case (w, es) =>
+      val n = es.size.toDouble
+      val nOn = es.count { e =>
+        val hour = java.lang.Math.floorDiv(e.ts.getTime * 1000L, 3600000000L)
+        (hour + e.user_id % 10) % 2 == 0
+      }.toDouble
+      val chisq = (nOn - n / 2) * (nOn - n / 2) / (n / 2) +
+        ((n - nOn) - n / 2) * ((n - nOn) - n / 2) / (n / 2)
+      (w, n.toLong, nOn.toLong, chisq)
+    }.toSet
+    assert(batch.subsetOf(streamed), s"missing: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming mSPRT monitor: daily peeks, chop-robust, p_avp non-increasing") {
     implicit val sqlCtx = spark.sqlContext
     // 3 days × 48 events/day with a planted On-vs-Off effect
