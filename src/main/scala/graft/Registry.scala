@@ -12,6 +12,7 @@ object Registry {
       operators.Dedup.ops ++
       operators.Similarity.ops ++
       operators.TextAnalysis.ops ++
+      operators.Corpus.ops ++
       operators.Multimodal.ops ++
       operators.Approx.ops
 

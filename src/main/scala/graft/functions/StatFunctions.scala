@@ -39,6 +39,25 @@ object StatFunctions {
     s"(CASE WHEN ($x) >= 0 THEN 1.0 - 0.5 * $e ELSE 0.5 * $e END)"
   }
 
+  /** Kolmogorov asymptotic survival function Q_KS(z) =
+    * 2 Σ_{k≥1} (−1)^{k−1} exp(−2k²z²), truncated at a FIXED 24 terms
+    * and clamped to [0,1] — the two-sample KS p-value at
+    * z = √(n₁n₂/(n₁+n₂))·D (scipy.stats.ks_2samp mode='asymp').
+    * Truncation error ≤ 2·exp(−2·625·z²) (first dropped term): < 1e-12
+    * for z ≥ 0.15; below that the true value is 1 − O(z) and the clamp
+    * holds. Emitted as SQL text evaluated by BOTH engines (pure
+    * {*,+,exp} arithmetic), so results are bit-identical pre-rounding.
+    */
+  def ksPSql(z: String): String = {
+    val x = s"(($z) * ($z))"
+    val terms = (1 to 24).map { k =>
+      val c = 2 * k * k
+      val sign = if (k % 2 == 1) "+" else "-"
+      s"$sign exp(-$c.0 * $x)"
+    }.mkString(" ")
+    s"least(1.0, greatest(0.0, 2.0 * (0.0 $terms)))"
+  }
+
   /** The same formula as DuckDB SQL, for oracle construction. */
   def pTwoSidedNormalSql(z: String): String = {
     val x = s"(abs($z) / sqrt(2))"

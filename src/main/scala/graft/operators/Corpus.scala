@@ -1,0 +1,329 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.Compat._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Corpus-level operators for training-data curation (SURVEY.md §2
+  * block C): retrieval scoring (BM25), n-gram language-model scoring
+  * (the CCNet/Gopher-style "perplexity filter"), cross-document
+  * repeated-substring detection (the suffix-array-dedup signal at
+  * word-gram granularity), training-mix rebalancing (domain weights),
+  * and a C4-style quality-rule funnel.
+  *
+  * Scale notes: every operator is explode → groupBy/join on corpus-
+  * bounded keys (vocabulary, grams, domains). Nothing collects to the
+  * driver; the only sub-linear sides (per-term document frequencies,
+  * domain totals) are vocabulary- or domain-cardinality-sized and
+  * broadcast. Determinism follows SURVEY §4: integer/decimal exact
+  * until the final double division, `ln` applied per row then
+  * half-away-from-zero rounded BEFORE any floating sum (sums of
+  * rounded terms go through DECIMAL, so accumulation order never
+  * matters).
+  */
+object Corpus {
+
+  // ---------------------------------------------------------------- BM25
+
+  private val bm25Terms = Seq("spark", "join", "vector", "stream")
+  private val k1 = "1.2"
+  private val b = "0.75"
+
+  /** BM25 relevance of every document against a fixed query term set —
+    * the retrieval-quality scoring pass of a data pipeline (e.g.
+    * "select documents relevant to a target domain"). Robertson/
+    * Sparck-Jones idf with the standard +1 stabilizer.
+    *
+    * Per-term tf comes from one conditional aggregation over the
+    * exploded token table (no per-term scans); N, avgdl and per-term
+    * document frequencies form a ONE-ROW frame cross-joined (broadcast)
+    * into the per-doc side. Top-15 by rounded score — the rounding
+    * makes the ordering engine-portable.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tfAggs = count(lit(1)).as("dl") +:
+      bm25Terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val statAggs = count(lit(1)).as("n_docs") +: sum("dl").as("sum_dl") +:
+      bm25Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    def contrib(t: String): Column = {
+      val idf = expr(s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5))")
+      val tf = col(s"tf_$t").cast(DoubleType)
+      when(col(s"tf_$t") > 0,
+        idf * tf * (lit(k1.toDouble) + 1.0) /
+          (tf + lit(k1.toDouble) * (lit(1.0) - lit(b.toDouble) + lit(b.toDouble) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    val score = bm25Terms.map(contrib).reduce(_ + _) // fixed left-to-right order
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), r4(score).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  private val bm25Oracle = {
+    val tfCols = bm25Terms.map(t =>
+      s"COUNT(*) FILTER (WHERE word = '$t') AS tf_$t").mkString(",\n    ")
+    val dfCols = bm25Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    val score = bm25Terms.map { t =>
+      val idf = s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5))"
+      s"""(CASE WHEN tf_$t > 0 THEN $idf * CAST(tf_$t AS DOUBLE) * ($k1 + 1.0) /
+         |      (CAST(tf_$t AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / $avgdl)) ELSE 0.0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |    $tfCols
+       |  FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM perdoc)
+       |SELECT doc_id, dl, ${rSql(s"($score)", 4)} AS bm25
+       |FROM perdoc CROSS JOIN stats
+       |WHERE ${rSql(s"($score)", 4)} > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+  }
+
+  // ------------------------------------------------- bigram LM scoring
+
+  /** Bigram language-model scoring — the distributed version of the
+    * CCNet/Gopher "perplexity filter": train add-half-smoothed bigram
+    * counts over the WHOLE corpus in one pass, then score a document
+    * sample by average log-probability. Low (very negative) scores =
+    * improbable word salad; high = in-distribution text.
+    *
+    * lp(w1,w2) = ln((c(w1,w2) + 0.5) / (c(w1) + 0.5·V)).
+    *
+    * Determinism: each bigram's lp is rounded to 6 decimals and summed
+    * in DECIMAL, so the per-doc total is independent of accumulation
+    * order; the final mean divides once in double.
+    *
+    * Scale: bigram/unigram count tables are vocabulary-bounded
+    * (|V|², |V|) — they shuffle-join against the scored sample's
+    * occurrence table; AQE broadcasts them when small. No driver
+    * collection.
+    */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("word", "w1")
+    val vocab = toks.select(countDistinct(col("word")).as("v"))
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = bigrams(docs.filter(col("doc_id") % 5 === 0))
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", r6(expr("ln((c2 + 0.5) / (c1 + 0.5 * v))")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("sum_lp") / col("n_bigrams")).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  private val ngramLmOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |uni AS (SELECT word AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
+       |vocab AS (SELECT COUNT(DISTINCT word) AS v FROM toks),
+       |bi_all AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+       |      i -> {'w1': string_split(text, ' ')[i], 'w2': string_split(text, ' ')[i+1]})) AS bg
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |bi_occ AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi_all),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi_occ GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT o.doc_id,
+       |    ${rSql("ln((c2 + 0.5) / (c1 + 0.5 * v))", 6)} AS lp
+       |  FROM bi_occ o
+       |  JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+       |  WHERE o.doc_id % 5 = 0)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  ${rSql("(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 4)} AS avg_logprob
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- cross-doc repeated substrings
+
+  /** Cross-document repeated-substring detection at word-12-gram
+    * granularity — the signal behind suffix-array dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * verbatim spans appearing in ≥2 distinct documents mark
+    * boilerplate/templated text. True suffix arrays don't distribute;
+    * fixed-width gram hashing is the standard scalable surrogate.
+    *
+    * Per doc: total distinct 12-grams, how many are shared with any
+    * other document, and the shared ratio. Only docs with at least one
+    * shared span are emitted.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 12)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 11), i -> array_join(slice(toks, i, 12), ' '))"))
+        .as("gram"))
+      .distinct()
+    val shared = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    grams.join(shared, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        r4(col("n_shared").cast(DoubleType) / col("n_grams")).as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstringOracle =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 11),
+       |      i -> array_to_string(string_split(text, ' ')[i:i+11], ' '))) AS gram
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 12),
+       |shared AS (
+       |  SELECT gram, COUNT(*) AS n_docs FROM grams GROUP BY 1 HAVING COUNT(*) >= 2),
+       |agg AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |    SUM(CASE WHEN s.n_docs IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+       |  FROM grams g LEFT JOIN shared s USING (gram)
+       |  GROUP BY g.doc_id)
+       |SELECT doc_id, n_grams, CAST(n_shared AS BIGINT) AS n_shared,
+       |  ${rSql("(CAST(n_shared AS DOUBLE) / n_grams)", 4)} AS shared_ratio
+       |FROM agg WHERE n_shared > 0 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- training-mix plan
+
+  /** Training-mix rebalancing plan — given target domain shares (the
+    * LLaMA-style data-mixture table), compute per-domain sampling plans
+    * against a token^W document budget: planned n, sampling rate, and
+    * the repeat factor ("epochs") where a domain must be upsampled.
+    * Target shares here derive deterministically from the domain index
+    * (share ∝ index+1) so both engines bind identical weights.
+    *
+    * Pure aggregation arithmetic on domain-cardinality rows — the
+    * actual materialization pass is q_stratified_sample's
+    * hash-threshold sampling at these rates.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("k", regexp_extract(col("source"), "([0-9]+)", 1).cast("long"))
+    val total = perSrc.agg(sum("n_docs").as("total"),
+      sum(col("k") + 1).as("w_sum"))
+    perSrc.crossJoin(broadcast(total))
+      .withColumn("target_share", (col("k") + 1).cast(DoubleType) / col("w_sum"))
+      .withColumn("budget", floor(col("total") * 0.6).cast("long"))
+      .withColumn("planned_n",
+        least(col("n_docs"), floor(col("target_share") * col("budget")).cast("long")))
+      .select(col("source"), col("n_docs"),
+        r6(col("target_share")).as("target_share"),
+        col("planned_n"),
+        r6(col("planned_n").cast(DoubleType) / col("n_docs")).as("rate"),
+        r4(col("target_share") * col("budget") / col("n_docs")).as("epochs"))
+      .orderBy("source")
+  }
+
+  private val domainMixOracle =
+    s"""WITH persrc AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS k
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, CAST(SUM(k + 1) AS BIGINT) AS w_sum FROM persrc),
+       |plan AS (
+       |  SELECT source, n_docs,
+       |    CAST(k + 1 AS DOUBLE) / w_sum AS target_share,
+       |    CAST(FLOOR(total * 0.6) AS BIGINT) AS budget
+       |  FROM persrc CROSS JOIN tot),
+       |planned AS (
+       |  SELECT source, n_docs, target_share, budget,
+       |    LEAST(n_docs, CAST(FLOOR(target_share * budget) AS BIGINT)) AS planned_n
+       |  FROM plan)
+       |SELECT source, n_docs,
+       |  ${rSql("target_share", 6)} AS target_share, planned_n,
+       |  ${rSql("(CAST(planned_n AS DOUBLE) / n_docs)", 6)} AS rate,
+       |  ${rSql("(target_share * budget / n_docs)", 4)} AS epochs
+       |FROM planned ORDER BY source""".stripMargin
+
+  // ------------------------------------------------ C4 quality funnel
+
+  /** C4-style quality-rule funnel (Raffel et al. 2020 §2.2 analog):
+    * per-document boolean rules — minimum length, mean word length in
+    * range, stopword evidence, repetition — rolled up per source as a
+    * drop-reason funnel plus the surviving count. Every rule is a
+    * scan-local expression; the rollup is one domain-cardinality
+    * aggregation.
+    */
+  def c4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val meanWl = (length(col("text")) - nTok + 1).cast(DoubleType) / nTok
+    val stopHits = expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is')))")
+    val distinctRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
+    val fLen = nTok >= 20
+    val fWl = meanWl >= 3.0 && meanWl <= 8.0
+    val fStop = stopHits >= 2
+    val fRep = distinctRatio >= 0.2
+    Tables.documents(spark, dir)
+      .select(col("source"), fLen.as("f_len"), fWl.as("f_wl"),
+        fStop.as("f_stop"), fRep.as("f_rep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("f_len"), 1L).otherwise(0L)).as("drop_len"),
+        sum(when(col("f_len") && !col("f_wl"), 1L).otherwise(0L)).as("drop_wordlen"),
+        sum(when(col("f_len") && col("f_wl") && !col("f_stop"), 1L).otherwise(0L)).as("drop_stopword"),
+        sum(when(col("f_len") && col("f_wl") && col("f_stop") && !col("f_rep"), 1L).otherwise(0L)).as("drop_repetition"),
+        sum(when(col("f_len") && col("f_wl") && col("f_stop") && col("f_rep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  private val c4FiltersOracle = {
+    val nTok = "len(string_split(text, ' '))"
+    val meanWl = s"(CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok)"
+    val stop = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is')))"
+    val dr = s"(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)"
+    s"""WITH flags AS (
+       |  SELECT source,
+       |    ($nTok >= 20) AS f_len,
+       |    ($meanWl >= 3.0 AND $meanWl <= 8.0) AS f_wl,
+       |    ($stop >= 2) AS f_stop,
+       |    ($dr >= 0.2) AS f_rep
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT f_len THEN 1 ELSE 0 END) AS BIGINT) AS drop_len,
+       |  CAST(SUM(CASE WHEN f_len AND NOT f_wl THEN 1 ELSE 0 END) AS BIGINT) AS drop_wordlen,
+       |  CAST(SUM(CASE WHEN f_len AND f_wl AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS drop_stopword,
+       |  CAST(SUM(CASE WHEN f_len AND f_wl AND f_stop AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS drop_repetition,
+       |  CAST(SUM(CASE WHEN f_len AND f_wl AND f_stop AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("q_bm25", bm25, Some(bm25Oracle)),
+    Op("q_ngram_lm", ngramLm, Some(ngramLmOracle)),
+    Op("q_dedup_substring", dedupSubstring, Some(dedupSubstringOracle)),
+    Op("q_domain_mix", domainMix, Some(domainMixOracle)),
+    Op("q_c4_filters", c4Filters, Some(c4FiltersOracle)),
+  )
+}

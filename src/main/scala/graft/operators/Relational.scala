@@ -576,6 +576,34 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** CUBE over (status, priority) with explicit grouping flags — the
+    * every-marginal companion to [[rollupAgg]]'s hierarchy (dashboard
+    * feeds slice both ways). `grouping()` flags disambiguate a real
+    * NULL group from a subtotal row, which COALESCE labels alone
+    * cannot. One pass; Spark expands grouping sets map-side, so the
+    * shuffle carries 4× the group cardinality, not 4× the data. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"), col("revenue"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+
+  private val cubeAggOracle =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
   /** Set operations: INTERSECT/EXCEPT on key sets (the reference's
     * vendor-set comparisons between test configurations).
     *
@@ -643,6 +671,7 @@ object Relational {
   val ops: Seq[Op] = Seq(
     Op("q_topn_native", topNNative, Some(topNNativeOracle)),
     Op("q_rollup", rollupAgg, Some(rollupAggOracle)),
+    Op("q_cube", cubeAgg, Some(cubeAggOracle)),
     Op("q_set_ops", setOps, Some(setOpsOracle)),
     Op("q_skew_join", skewJoin, Some(skewJoinOracle)),
     Op("q_profile", profile, Some(profileOracle)),

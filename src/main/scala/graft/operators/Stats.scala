@@ -1105,7 +1105,84 @@ object Stats {
        |FROM grps CROSS JOIN mom ORDER BY grp""".stripMargin
   }
 
+  /** Two-sample Kolmogorov–Smirnov test per event_type, On vs Off —
+    * the distribution-level complement to the mean-level t and
+    * rank-level MWU readouts (scipy.stats.ks_2samp, mode='asymp').
+    *
+    * Built on the same per-DISTINCT-VALUE cumulative table as MWU (no
+    * global sort of raw rows): the ECDF gap at value v is
+    * cum_on/n₁ − cum_off/n₂, and D = max|gap| is found EXACTLY with
+    * the integer cross-multiplication |cum_on·n₂ − cum_off·n₁| (no FP
+    * until the final division), so D is partition- and engine-exact.
+    * p = Q_KS(√(n₁n₂/n)·D) via [[graft.functions.StatFunctions.ksPSql]].
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("cnt_on"))
+    val wCum = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("event_type")
+    val gaps = counts
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("cum_on", sum("cnt_on").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("n1", sum("cnt_on").over(wAll))
+      .withColumn("num",
+        abs(col("cum_on") * (col("n") - col("n1")) - (col("cum") - col("cum_on")) * col("n1")))
+    val agg = gaps.groupBy("event_type").agg(
+      max("n1").as("n_on"),
+      (max("n") - max("n1")).as("n_off"),
+      max("num").as("d_num"))
+    val d = col("d_num").cast(DoubleType) /
+      (col("n_on") * col("n_off")).cast(DoubleType)
+    val z = sqrt((col("n_on") * col("n_off")).cast(DoubleType) /
+      (col("n_on") + col("n_off")).cast(DoubleType)) * col("d_raw")
+    agg.select(col("event_type"), col("n_on"), col("n_off"), d.as("d_raw"))
+      .select(col("event_type"), col("n_on"), col("n_off"), col("d_raw"),
+        z.as("z_raw"))
+      .select(col("event_type"), col("n_on"), col("n_off"),
+        r6(col("d_raw")).as("ks_d"), r4(col("z_raw")).as("ks_z"),
+        r6(expr(ksPSql("z_raw"))).as("p_value"))
+      .orderBy("event_type")
+  }
+
+  private val ksTestOracle = {
+    val d = "(CAST(d_num AS DOUBLE) / CAST(n_on * n_off AS DOUBLE))"
+    val z = "(sqrt(CAST(n_on * n_off AS DOUBLE) / CAST(n_on + n_off AS DOUBLE)) * d_raw)"
+    s"""WITH counts AS (
+       |  SELECT event_type, "value" AS v, COUNT(*) AS cnt,
+       |    CAST(COUNT(*) FILTER (WHERE $onOffSql = 'On') AS BIGINT) AS cnt_on
+       |  FROM events GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT event_type, cnt, cnt_on,
+       |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt_on) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_on,
+       |    SUM(cnt) OVER (PARTITION BY event_type) AS n,
+       |    SUM(cnt_on) OVER (PARTITION BY event_type) AS n1
+       |  FROM counts),
+       |agg AS (
+       |  SELECT event_type,
+       |    CAST(MAX(n1) AS BIGINT) AS n_on,
+       |    CAST(MAX(n) - MAX(n1) AS BIGINT) AS n_off,
+       |    CAST(MAX(abs(cum_on * (n - n1) - (cum - cum_on) * n1)) AS BIGINT) AS d_num
+       |  FROM cums GROUP BY event_type),
+       |ds AS (
+       |  SELECT event_type, n_on, n_off, $d AS d_raw FROM agg),
+       |zs AS (
+       |  SELECT event_type, n_on, n_off, d_raw, $z AS z_raw FROM ds)
+       |SELECT event_type, n_on, n_off,
+       |  ${rSql("d_raw", 6)} AS ks_d, ${rSql("z_raw", 4)} AS ks_z,
+       |  ${rSql(ksPSql("z_raw"), 6)} AS p_value
+       |FROM zs ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_ks_test", ksTest, Some(ksTestOracle)),
     Op("q_histogram", histogram, Some(histogramOracle)),
     Op("q_fdr_bh", fdrBh, Some(fdrBhOracle)),
     Op("q_cuped", cuped, Some(cupedOracle)),

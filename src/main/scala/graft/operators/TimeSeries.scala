@@ -284,7 +284,71 @@ object TimeSeries {
        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
   }
 
+  /** Sample autocorrelation of the daily KPI series at lags 1–3 per
+    * event_type (statsmodels acf convention: full-series mean and
+    * denominator) — the carryover/seasonality diagnostic behind "is a
+    * 1h switchback window long enough?" (interference shows up as
+    * positive short-lag autocorrelation in the interval series).
+    *
+    * Determinism: daily means are r6-rounded (engine-identical), the
+    * full-series mean is a decimal-exact mean of those, and every
+    * product term (x_t−x̄)(x_{t−k}−x̄) is rounded to 6 decimals BEFORE
+    * the decimal sum — so numerator and denominator never depend on FP
+    * accumulation order. The series is |days| per event_type: the three
+    * lag branches run over a dimension-sized frame, one shuffle each.
+    */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(r6(sum(col("value").cast(d)).cast(DoubleType) / count(lit(1))).as("x"))
+    val mu = daily.groupBy("event_type")
+      .agg((sum(col("x").cast(d)).cast(DoubleType) / count(lit(1))).as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val base = daily.join(mu, Seq("event_type"))
+      .withColumn("dev", col("x") - col("mu"))
+    val branches = (1 to 3).map { k =>
+      base.withColumn("dev_k", lag(col("dev"), k).over(w))
+        .groupBy("event_type")
+        .agg(
+          count(col("dev_k")).as("n_pairs"),
+          sum(r6(col("dev") * col("dev_k")).cast(d)).cast(DoubleType).as("num"),
+          sum(r6(col("dev") * col("dev")).cast(d)).cast(DoubleType).as("den"))
+        .select(col("event_type"), lit(k.toLong).as("lag"), col("n_pairs"),
+          r4(col("num") / col("den")).as("acf"))
+    }
+    branches.reduce(_ unionAll _).orderBy("event_type", "lag")
+  }
+
+  private val acfOracle = {
+    val xExpr = rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)
+    val branch = (k: Int) =>
+      s"""SELECT event_type, CAST($k AS BIGINT) AS lag,
+         |  COUNT(dev_k$k) AS n_pairs,
+         |  ${rSql(s"(CAST(SUM(CAST(${rSql(s"(dev * dev_k$k)", 6)} AS DECIMAL(28,6))) AS DOUBLE) / CAST(SUM(CAST(${rSql("(dev * dev)", 6)} AS DECIMAL(28,6))) AS DOUBLE))", 4)} AS acf
+         |FROM lagged GROUP BY event_type""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day, $xExpr AS x
+       |  FROM events GROUP BY 1, 2),
+       |mu AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM daily GROUP BY 1),
+       |devs AS (
+       |  SELECT d.event_type, d.day, d.x - mu.mu AS dev
+       |  FROM daily d JOIN mu USING (event_type)),
+       |lagged AS (
+       |  SELECT event_type, day, dev,
+       |    LAG(dev, 1) OVER (PARTITION BY event_type ORDER BY day) AS dev_k1,
+       |    LAG(dev, 2) OVER (PARTITION BY event_type ORDER BY day) AS dev_k2,
+       |    LAG(dev, 3) OVER (PARTITION BY event_type ORDER BY day) AS dev_k3
+       |  FROM devs)
+       |${branch(1)} UNION ALL ${branch(2)} UNION ALL ${branch(3)}
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_acf", acf, Some(acfOracle)),
     Op("q_growth", growth, Some(growthOracle)),
     Op("q_cusum", cusum, Some(cusumOracle)),
     Op("q_iqr_outliers", iqrOutliers, Some(iqrOutliersOracle)),

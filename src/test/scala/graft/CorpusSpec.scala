@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the corpus-curation block (operators.Corpus)
+  * and the round-4 stat additions (KS test, ACF, CUBE). */
+class CorpusSpec extends SparkSpec {
+
+  test("bm25: scores positive, sorted descending, at most 15 rows") {
+    val rows = operators.Corpus.bm25(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sorted.reverse), "not sorted desc")
+  }
+
+  test("ngram LM: log-probs negative, sample-only docs scored") {
+    val rows = operators.Corpus.ngramLm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("avg_logprob") < 0), "lp must be < 0")
+    assert(rows.forall(_.getAs[Long]("doc_id") % 5 == 0), "sample is doc_id % 5")
+    // a smoothed bigram prob is at least 0.5 / (c1max + 0.5V) — bounded below
+    assert(rows.forall(_.getAs[Double]("avg_logprob") > -25))
+  }
+
+  test("dedup substring: shared grams imply a counterpart doc shares them") {
+    val df = operators.Corpus.dedupSubstring(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "synthetic near-dups must share 12-gram spans")
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("shared_ratio")
+      assert(ratio > 0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_grams"))
+    }
+    // shared spans are symmetric: can't have exactly one doc flagged
+    assert(rows.length >= 2)
+  }
+
+  test("domain mix: rates in (0,1], planned within budget and supply") {
+    val rows = operators.Corpus.domainMix(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rate") > 0 && r.getAs[Double]("rate") <= 1.0)
+      assert(r.getAs[Long]("planned_n") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("epochs") > 0)
+    }
+    val shares = rows.map(_.getAs[Double]("target_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3, s"target shares sum to $shares")
+  }
+
+  test("c4 funnel: drop reasons + kept partition the corpus per source") {
+    val rows = operators.Corpus.c4Filters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("drop_len") + r.getAs[Long]("drop_wordlen") +
+        r.getAs[Long]("drop_stopword") + r.getAs[Long]("drop_repetition") +
+        r.getAs[Long]("n_kept")
+      assert(total == r.getAs[Long]("n_docs"),
+        s"${r.getAs[String]("source")}: funnel stages don't partition")
+    }
+  }
+
+  test("KS test: D and p in [0,1]; agrees with a brute-force ECDF scan") {
+    val rows = operators.Stats.ksTest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ks_d") >= 0 && r.getAs[Double]("ks_d") <= 1)
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0 && p <= 1)
+    }
+    // brute-force D for one event_type computed driver-side
+    val et = rows.head.getAs[String]("event_type")
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("event_type") === et)
+      .select(col("value"),
+        when((expr("unix_micros(date_trunc('hour', ts)) div 3600000000") +
+          col("user_id") % 10) % 2 === 0, "On").otherwise("Off").as("g"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    val on = evs.filter(_._2 == "On").map(_._1).sorted
+    val off = evs.filter(_._2 == "Off").map(_._1).sorted
+    val d = evs.map(_._1).distinct.map { v =>
+      math.abs(on.count(_ <= v).toDouble / on.length -
+        off.count(_ <= v).toDouble / off.length)
+    }.max
+    assert(math.abs(d - rows.head.getAs[Double]("ks_d")) < 1e-5,
+      s"KS D mismatch: brute $d vs ${rows.head.getAs[Double]("ks_d")}")
+  }
+
+  test("ACF: values in [-1,1], three lags per event_type") {
+    val rows = operators.TimeSeries.acf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0001 && a <= 1.0001, s"acf out of range: $a")
+    }
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (et, rs) =>
+      assert(rs.map(_.getAs[Long]("lag")).sorted.sameElements(Array(1L, 2L, 3L)), et)
+    }
+  }
+
+  test("CUBE: the (ALL, ALL) cell equals the table total") {
+    val rows = operators.Relational.cubeAgg(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    val grand = rows.filter(r =>
+      r.getAs[Long]("g_status") == 1 && r.getAs[Long]("g_priority") == 1)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == total)
+    // marginals over status sum back to the grand total
+    val statusCells = rows.filter(r =>
+      r.getAs[Long]("g_status") == 0 && r.getAs[Long]("g_priority") == 1)
+    assert(statusCells.map(_.getAs[Long]("n")).sum == total)
+  }
+}
