@@ -1181,8 +1181,85 @@ object Stats {
        |FROM zs ORDER BY event_type""".stripMargin
   }
 
+  /** Brown–Forsythe variance-equality test per event_type, On vs Off
+    * (scipy.stats.levene(center='median')) — the methodology gate the
+    * notebooks apply before choosing pooled vs Welch t: reject → use
+    * Welch. One-way ANOVA F on |x − group median|; with k=2 groups,
+    * F(1, ν) = t²(ν), so the p-value reuses the portable Student-t CF
+    * (p_F = p_two_sided_t(√W, N−2)) — no new special function.
+    *
+    * Group medians are exact interpolated percentiles rounded to 6
+    * decimals (the grid both engines agree on), deviations accumulate
+    * in DECIMAL, and the two-group F assembles from those exact
+    * moments in fixed order — partitioning- and engine-deterministic.
+    */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val med = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy("event_type", "g")
+      .agg(r6(expr("percentile(value, 0.5)")).as("med"))
+    val z = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .join(broadcast(med), Seq("event_type", "g"))
+      .withColumn("z", abs(col("value") - col("med")))
+    val moments = z.groupBy("event_type").agg(
+      sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g") === "On", col("z").cast(dec))).cast(DoubleType).as("s1"),
+      sum(when(col("g") === "On", (col("z") * col("z")).cast(dec))).cast(DoubleType).as("ss1"),
+      sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+      sum(when(col("g") === "Off", col("z").cast(dec))).cast(DoubleType).as("s2"),
+      sum(when(col("g") === "Off", (col("z") * col("z")).cast(dec))).cast(DoubleType).as("ss2"))
+    val m1 = col("s1") / col("n1"); val m2 = col("s2") / col("n2")
+    val mg = (col("s1") + col("s2")) / (col("n1") + col("n2"))
+    val ssb = col("n1") * (m1 - mg) * (m1 - mg) + col("n2") * (m2 - mg) * (m2 - mg)
+    val ssw = (col("ss1") - col("s1") * col("s1") / col("n1")) +
+      (col("ss2") - col("s2") * col("s2") / col("n2"))
+    val w = ssb / (ssw / (col("n1") + col("n2") - 2))
+    moments
+      .select(col("event_type"), col("n1").as("n_on"), col("n2").as("n_off"),
+        w.as("w_raw"), (col("n1") + col("n2") - 2).cast(DoubleType).as("df_raw"))
+      .select(col("event_type"), col("n_on"), col("n_off"),
+        r4(col("w_raw")).as("w_stat"),
+        r6(expr(pTwoSidedTSql("sqrt(w_raw)", "df_raw", spark = true))).as("p_value"))
+      .orderBy("event_type")
+  }
+
+  private val leveneOracle = {
+    val m1 = "(s1 / n1)"; val m2 = "(s2 / n2)"
+    val mg = "((s1 + s2) / (n1 + n2))"
+    val ssb = s"(n1 * ($m1 - $mg) * ($m1 - $mg) + n2 * ($m2 - $mg) * ($m2 - $mg))"
+    val ssw = "((ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2))"
+    val w = s"($ssb / ($ssw / (n1 + n2 - 2)))"
+    s"""WITH med AS (
+       |  SELECT event_type, $onOffSql AS g,
+       |    ${rSql("quantile_cont(\"value\", 0.5)", 6)} AS med
+       |  FROM events GROUP BY 1, 2),
+       |z AS (
+       |  SELECT e.event_type, $onOffSql AS g, abs(e."value" - m.med) AS z
+       |  FROM events e JOIN med m ON e.event_type = m.event_type AND $onOffSql = m.g),
+       |moments AS (
+       |  SELECT event_type,
+       |    COUNT(*) FILTER (WHERE g = 'On') AS n1,
+       |    CAST(SUM(CAST(z AS DECIMAL(28,6))) FILTER (WHERE g = 'On') AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(z * z AS DECIMAL(28,6))) FILTER (WHERE g = 'On') AS DOUBLE) AS ss1,
+       |    COUNT(*) FILTER (WHERE g = 'Off') AS n2,
+       |    CAST(SUM(CAST(z AS DECIMAL(28,6))) FILTER (WHERE g = 'Off') AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST(z * z AS DECIMAL(28,6))) FILTER (WHERE g = 'Off') AS DOUBLE) AS ss2
+       |  FROM z GROUP BY 1),
+       |stats AS (
+       |  SELECT event_type, n1 AS n_on, n2 AS n_off, $w AS w_raw,
+       |    CAST(n1 + n2 - 2 AS DOUBLE) AS df_raw
+       |  FROM moments)
+       |SELECT event_type, n_on, n_off,
+       |  ${rSql("w_raw", 4)} AS w_stat,
+       |  ${rSql(pTwoSidedTSql("sqrt(w_raw)", "df_raw", spark = false), 6)} AS p_value
+       |FROM stats ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_ks_test", ksTest, Some(ksTestOracle)),
+    Op("q_levene", levene, Some(leveneOracle)),
     Op("q_histogram", histogram, Some(histogramOracle)),
     Op("q_fdr_bh", fdrBh, Some(fdrBhOracle)),
     Op("q_cuped", cuped, Some(cupedOracle)),

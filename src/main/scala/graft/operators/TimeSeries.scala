@@ -347,8 +347,42 @@ object TimeSeries {
        |ORDER BY event_type, lag""".stripMargin
   }
 
+  /** Per-user trailing-1h rolling metrics through a RANGE window frame
+    * (time-based, not row-based: the frame is "all my events in the
+    * last hour", however many rows that is) — the per-entity rate/
+    * velocity feature (fraud counters, rate limits, engagement
+    * velocity). RANGE frames include order-key peers identically in
+    * Spark and DuckDB; the key is exact integer microseconds
+    * (unix_micros ↔ epoch_us — the source data is µs-grained), the
+    * rolling sum decimal-exact.
+    *
+    * Scale: partitioned by user — shuffles once on user_id, each
+    * partition an independent ordered pass; no global sort. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("value").cast(dec)).over(w).cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("n_1h"),
+        r4(col("sum_1h")).as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  private val windowRangeOracle =
+    s"""SELECT event_id, user_id,
+       |  COUNT(*) OVER w AS n_1h,
+       |  ${rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) OVER w AS DOUBLE)", 4)} AS sum_1h
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_acf", acf, Some(acfOracle)),
+    Op("q_window_range", windowRange, Some(windowRangeOracle)),
     Op("q_growth", growth, Some(growthOracle)),
     Op("q_cusum", cusum, Some(cusumOracle)),
     Op("q_iqr_outliers", iqrOutliers, Some(iqrOutliersOracle)),

@@ -80,6 +80,24 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("n"),
         col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p95"))
 
+  /** Live per-window heavy hitters through the mergeable SpaceSaving
+    * aggregate ([[graft.functions.TopKAgg]]) — the streaming twin of
+    * the batch q_heavy_hitters ("what's trending this hour"). The
+    * aggregate's state is its serialized counter buffer, merged
+    * incrementally exactly like the batch map-side combine; with
+    * capacity ≥ |distinct items| the result is exact and therefore
+    * batch-chop-invariant (the spec's claim), and at real cardinality
+    * it degrades to the usual ε-bounded approximation at fixed state
+    * size — which is what makes it safe for unbounded streams. */
+  def windowedHeavyHitters(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKAgg.topkItems(col("event_type"), 3).as("top"))
+      .select(col("window.start").as("window_start"), posexplode(col("top")))
+      .select(col("window_start"), (col("pos") + 1).as("rank"),
+        col("col.item").as("event_type"), col("col.cnt").as("cnt"))
+
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks so the
     * join state is bounded — Spark buffers only an hour of clicks per

@@ -99,6 +99,54 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("Levene/Brown-Forsythe matches a driver-side brute force") {
+    val rows = operators.Stats.levene(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val et = rows.head.getAs[String]("event_type")
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("event_type") === et)
+      .select(col("value"),
+        when((expr("unix_micros(date_trunc('hour', ts)) div 3600000000") +
+          col("user_id") % 10) % 2 === 0, "On").otherwise("Off").as("g"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val on = evs.filter(_._2 == "On").map(_._1)
+    val off = evs.filter(_._2 == "Off").map(_._1)
+    val zOn = on.map(v => math.abs(v - median(on)))
+    val zOff = off.map(v => math.abs(v - median(off)))
+    val (n1, n2) = (zOn.length.toDouble, zOff.length.toDouble)
+    val (m1, m2) = (zOn.sum / n1, zOff.sum / n2)
+    val mg = (zOn.sum + zOff.sum) / (n1 + n2)
+    val ssb = n1 * (m1 - mg) * (m1 - mg) + n2 * (m2 - mg) * (m2 - mg)
+    val ssw = zOn.map(z => (z - m1) * (z - m1)).sum + zOff.map(z => (z - m2) * (z - m2)).sum
+    val w = ssb / (ssw / (n1 + n2 - 2))
+    val got = rows.head.getAs[Double]("w_stat")
+    assert(math.abs(got - w) < 1e-2, s"levene W: brute $w vs $got")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0 && p <= 1)
+    }
+  }
+
+  test("range-frame window: trailing-1h counts match a brute force for one user") {
+    val rows = operators.TimeSeries.windowRange(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val uid = rows.head.getAs[Long]("user_id")
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id") === uid)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byId = rows.filter(_.getAs[Long]("user_id") == uid)
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_1h")).toMap
+    evs.foreach { case (eid, us) =>
+      val expected = evs.count { case (_, u2) => u2 >= us - 3600000000L && u2 <= us }
+      assert(byId(eid) == expected, s"event $eid: ${byId(eid)} vs $expected")
+    }
+  }
+
   test("CUBE: the (ALL, ALL) cell equals the table total") {
     val rows = operators.Relational.cubeAgg(spark, sfDir).collect()
     val total = Tables.orders(spark, sfDir).count()

@@ -86,6 +86,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.subsetOf(streamed))
   }
 
+  test("streaming heavy hitters equal the batch twin (batch-chop invariant)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // skewed type mix so ranks are unambiguous
+    val types = Array("click", "click", "click", "view", "view", "purchase")
+    val events = (0 until 180).map { i =>
+      Event(i.toLong, ts(i.toLong), i % 3L, types(i % types.length), 1.0)
+    }
+    val q = EventStream.windowedHeavyHitters(input.toDF())
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(events.take(37))
+    input.addData(events.slice(37, 120))
+    input.addData(events.drop(120))
+    input.addData(Event(999L, ts(600L), 0L, "click", 0.0)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hh_out")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1),
+        r.getString(2), r.getLong(3))).toSet
+    val batch = events.toDF()
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"))
+      .agg(graft.functions.TopKAgg.topkItems($"event_type", 3).as("top"))
+      .select($"window.start".as("window_start"),
+        org.apache.spark.sql.functions.posexplode($"top"))
+      .select($"window_start", ($"pos" + 1).as("rank"),
+        $"col.item".as("event_type"), $"col.cnt".as("cnt"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(batch.subsetOf(streamed), s"batch=$batch streamed=$streamed")
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
