@@ -319,8 +319,126 @@ object Corpus {
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------- quality classifier (GD)
+
+  private val lrIters = 8
+
+  /** Distributed logistic-regression quality classifier — the
+    * trainable analog of the fixed-rule q_c4_filters (real pipelines
+    * train a lightweight classifier on labeled good/bad docs and score
+    * the corpus with it). Full-batch gradient descent, η=1, a fixed
+    * 8 iterations: each iteration is ONE map-side-combined aggregation
+    * producing the 4 gradient components; the driver holds only the
+    * 4-double weight vector (dimension-bounded, like IVF centroids).
+    * Features are scan-local ratios; the label is a held-out quality
+    * rule the continuous features must approximate (not re-derive).
+    *
+    * Oracle-backed DESPITE being iterative ML: per-row gradient terms
+    * are rounded to 6 decimals and summed in DECIMAL, so every
+    * intermediate weight is bit-reproducible — the DuckDB oracle
+    * unrolls the same 8 iterations as a CTE chain and must land on the
+    * identical weights, predictions, and confusion counts.
+    *
+    * Scale: the feature frame is computed once and persisted
+    * ([[graft.CacheScope]]); 8 passes × one aggregation each — the
+    * same pass structure distributed L-BFGS/SGD systems use. */
+  private def lrFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopHits =
+      expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is')))")
+    val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
+    Tables.documents(spark, dir).select(
+      col("source"),
+      uniqRatio.as("x1"),
+      (stopHits.cast(DoubleType) / nTok).as("x2"),
+      ((length(col("text")) - nTok + 1).cast(DoubleType) / nTok / 10.0).as("x3"),
+      when(stopHits >= 2 && uniqRatio >= 0.3, 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** Full-batch GD on the persisted feature frame; the driver holds
+    * only the 4-double weight vector. Gradient terms r6-round before
+    * the DECIMAL sum, so the weight path is bit-reproducible. */
+  private def trainLr(features: DataFrame): Array[Double] = {
+    val dec = DecimalType(28, 6)
+    val n = features.count()
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to lrIters) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+      val g = features.agg(
+        sum(r6(err).cast(dec)).cast(DoubleType),
+        sum(r6(err * col("x1")).cast(dec)).cast(DoubleType),
+        sum(r6(err * col("x2")).cast(dec)).cast(DoubleType),
+        sum(r6(err * col("x3")).cast(dec)).cast(DoubleType)).head()
+      w = Array.tabulate(4)(j => w(j) - g.getDouble(j) / n.toDouble)
+    }
+    w
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val features = graft.CacheScope.track(lrFeatures(spark, dir).persist())
+    val w = trainLr(features)
+    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    features
+      .withColumn("pred", when(z > 0, 1.0).otherwise(0.0))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1.0 && col("pred") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0.0 && col("pred") === 1.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 0.0 && col("pred") === 0.0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") === 1.0 && col("pred") === 0.0, 1L).otherwise(0L)).as("fn"))
+      .select(col("source"), col("n_docs"), col("tp"), col("fp"), col("tn"), col("fn"),
+        r4((col("tp") + col("tn")).cast(DoubleType) / col("n_docs")).as("accuracy"))
+      .orderBy("source")
+  }
+
+  /** The final trained weights, driver-side — exposed for the spec's
+    * exactness pin against an independent single-machine GD. */
+  def qualityClassifierWeights(spark: SparkSession, dir: String): Array[Double] =
+    trainLr(graft.CacheScope.track(lrFeatures(spark, dir).persist()))
+
+  private val qualityClassifierOracle = {
+    val nTok = "len(string_split(text, ' '))"
+    val stop = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is')))"
+    val x1 = s"(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)"
+    val x2 = s"(CAST($stop AS DOUBLE) / $nTok)"
+    val x3 = s"(CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok / 10.0)"
+    val y = s"(CASE WHEN $stop >= 2 AND $x1 >= 0.3 THEN 1.0 ELSE 0.0 END)"
+    def sig = "(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))))"
+    def gSum(xj: String) =
+      s"CAST(SUM(CAST(${rSql(s"(($sig - y) * $xj)", 6)} AS DECIMAL(28,6))) AS DOUBLE)"
+    val iterCtes = (1 to lrIters).map { k =>
+      s"""it$k AS (
+         |  SELECT w0 - ${gSum("1.0")} / CAST(n AS DOUBLE) AS w0,
+         |         w1 - ${gSum("x1")} / CAST(n AS DOUBLE) AS w1,
+         |         w2 - ${gSum("x2")} / CAST(n AS DOUBLE) AS w2,
+         |         w3 - ${gSum("x3")} / CAST(n AS DOUBLE) AS w3
+         |  FROM f CROSS JOIN it${k - 1} CROSS JOIN cnt
+         |  GROUP BY w0, w1, w2, w3, n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT source, $x1 AS x1, $x2 AS x2, $x3 AS x3, $y AS y FROM documents),
+       |cnt AS (SELECT COUNT(*) AS n FROM f),
+       |it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$iterCtes,
+       |scored AS (
+       |  SELECT source, y,
+       |    CASE WHEN (w0 + w1 * x1 + w2 * x2 + w3 * x3) > 0 THEN 1.0 ELSE 0.0 END AS pred
+       |  FROM f CROSS JOIN it$lrIters)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN y = 1.0 AND pred = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN y = 0.0 AND pred = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN y = 0.0 AND pred = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(SUM(CASE WHEN y = 1.0 AND pred = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  ${rSql("(CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))", 4)} AS accuracy
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_bm25", bm25, Some(bm25Oracle)),
+    Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
     Op("q_ngram_lm", ngramLm, Some(ngramLmOracle)),
     Op("q_dedup_substring", dedupSubstring, Some(dedupSubstringOracle)),
     Op("q_domain_mix", domainMix, Some(domainMixOracle)),

@@ -29,6 +29,15 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(ddl).json(path)
 
+  /** ORC with explicit schema — the columnar alternative where the
+    * surrounding stack (Hive-era warehouses) is ORC-native; same
+    * pushdown/pruning properties as parquet in Spark. */
+  def readOrc(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.schema(ddl).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** WRITE_TRUNCATE-style overwrite (the analysis script's upload). */
   def writeTruncate(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)

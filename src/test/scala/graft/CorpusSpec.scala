@@ -99,6 +99,48 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: GD matches an independent local implementation") {
+    // independent single-machine GD over the same features, plain
+    // double sums (no decimal machinery) — the distributed trainer must
+    // land within rounding distance of it, and beat the majority class
+    val feats = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0)).map { text =>
+        val toks = text.split(" ", -1)
+        val nTok = toks.length.toDouble
+        val x1 = toks.distinct.length / nTok
+        val stop = toks.count(Set("the", "a", "of", "and", "is"))
+        val x2 = stop / nTok
+        val x3 = (text.length - nTok + 1) / nTok / 10.0
+        val y = if (stop >= 2 && x1 >= 0.3) 1.0 else 0.0
+        (x1, x2, x3, y)
+      }
+    val n = feats.length.toDouble
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 8) {
+      val g = Array(0.0, 0.0, 0.0, 0.0)
+      feats.foreach { case (x1, x2, x3, y) =>
+        val z = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+        val e = 1.0 / (1.0 + math.exp(-z)) - y
+        g(0) += e; g(1) += e * x1; g(2) += e * x2; g(3) += e * x3
+      }
+      w = Array.tabulate(4)(j => w(j) - g(j) / n)
+    }
+    val got = operators.Corpus.qualityClassifierWeights(spark, sfDir)
+    CacheScope.releaseAll()
+    (0 to 3).foreach { j =>
+      assert(math.abs(got(j) - w(j)) < 1e-3, s"w$j: ${got(j)} vs ${w(j)}")
+    }
+    val rows = operators.Corpus.qualityClassifier(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    val (correct, total, pos) = rows.foldLeft((0L, 0L, 0L)) { case ((c, t, p), r) =>
+      (c + r.getAs[Long]("tp") + r.getAs[Long]("tn"), t + r.getAs[Long]("n_docs"),
+        p + r.getAs[Long]("tp") + r.getAs[Long]("fn"))
+    }
+    val majority = math.max(pos, total - pos).toDouble / total
+    assert(correct.toDouble / total >= majority,
+      s"classifier ${correct.toDouble / total} must beat majority $majority")
+  }
+
   test("Levene/Brown-Forsythe matches a driver-side brute force") {
     val rows = operators.Stats.levene(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -83,6 +83,21 @@ class InfraSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
   }
 
+  test("orc round-trip preserves rows and pushes predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Sources.writeOrc(Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal"), dir)
+    val back = Sources.readOrc(spark, dir,
+      "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE")
+    assert(back.count() === Tables.customer(spark, sfDir).count())
+    val filtered = back.filter(col("c_acctbal") > 5000)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("c_acctbal"), s"no ORC pushdown in:\n$plan")
+    assert(filtered.count() ===
+      Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000).count())
+  }
+
   test("bucketed tables join with zero shuffles") {
     val orders = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_totalprice"))
