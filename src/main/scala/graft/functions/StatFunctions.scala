@@ -138,6 +138,15 @@ object StatFunctions {
     s"(CASE WHEN ($x) < ((($a) + 1.0) / (($a) + ($b) + 2.0)) THEN $fwd ELSE $rev END)"
   }
 
+  /** Upper-tail F probability P(F_{d1,d2} > f) = I_x(d2/2, d1/2) at
+    * x = d2/(d2 + d1·f) — the one-way ANOVA p-value. Same generated-
+    * text-for-both-engines discipline as the t CDF (the d1=1 case is
+    * exactly pTwoSidedTSql(√f, d2); this generalizes to k groups). */
+  def pFSql(f: String, d1: String, d2: String, spark: Boolean): String = {
+    val x = s"(($d2) / (($d2) + ($d1) * ($f)))"
+    s"least(1.0, greatest(0.0, ${ibetaSql(s"(($d2) / 2.0)", s"(($d1) / 2.0)", x, spark)}))"
+  }
+
   // ---------------------------------------------------------------------
   // Noncentral-t power analysis (the reference's tt_ind_solve_power /
   // TTestIndPower usage — switchback_analysis.ipynb,

@@ -1257,9 +1257,83 @@ object Stats {
        |FROM stats ORDER BY event_type""".stripMargin
   }
 
+  /** One-way ANOVA across the four hour-positions of a 4h switchback
+    * block, per event_type — the F-test readout of the propagation
+    * question ("does the KPI level depend on where in the block the
+    * hour sits?"; q_propagation shows the per-position deltas, this
+    * tests them jointly). Decimal-exact per-position moments pivot
+    * into ONE row per event_type via conditional aggregation (no
+    * second shuffle); F assembles from the exact sums in fixed order;
+    * p = P(F₍₃,N₋₄₎ > F) through the portable incomplete-beta CF. */
+  def anovaPosition(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val pos = expr("(unix_micros(date_trunc('hour', ts)) div 3600000000) % 4")
+    val aggs = (0 to 3).flatMap { j =>
+      Seq(
+        sum(when(col("pos") === j, 1L).otherwise(0L)).as(s"n$j"),
+        sum(when(col("pos") === j, col("value").cast(dec))).cast(DoubleType).as(s"s$j"),
+        sum(when(col("pos") === j, (col("value") * col("value")).cast(dec)))
+          .cast(DoubleType).as(s"ss$j"))
+    }
+    val moments = Tables.events(spark, dir)
+      .withColumn("pos", pos)
+      .groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+    val nTot = (0 to 3).map(j => col(s"n$j")).reduce(_ + _)
+    val sTot = (0 to 3).map(j => col(s"s$j")).reduce(_ + _)
+    val grand = sTot / nTot.cast(DoubleType)
+    val ssb = (0 to 3).map { j =>
+      val m = col(s"s$j") / col(s"n$j")
+      col(s"n$j") * (m - grand) * (m - grand)
+    }.reduce(_ + _)
+    val ssw = (0 to 3).map { j =>
+      col(s"ss$j") - col(s"s$j") * col(s"s$j") / col(s"n$j")
+    }.reduce(_ + _)
+    val f = (ssb / 3.0) / (ssw / (nTot - 4).cast(DoubleType))
+    moments
+      .select(col("event_type"), nTot.as("n"), f.as("f_raw"),
+        (nTot - 4).cast(DoubleType).as("df2_raw"))
+      .select(col("event_type"), col("n"),
+        r4(col("f_raw")).as("f_stat"),
+        r6(expr(pFSql("f_raw", "3.0", "df2_raw", spark = true))).as("p_value"))
+      .orderBy("event_type")
+  }
+
+  private val anovaPositionOracle = {
+    val posSql = "(epoch_us(date_trunc('hour', ts)) // 3600000000) % 4"
+    val momCols = (0 to 3).map { j =>
+      s"""    COUNT(*) FILTER (WHERE $posSql = $j) AS n$j,
+         |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $posSql = $j) AS DOUBLE) AS s$j,
+         |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $posSql = $j) AS DOUBLE) AS ss$j""".stripMargin
+    }.mkString(",\n")
+    val nTot = "(((n0 + n1) + n2) + n3)"
+    val sTot = "(((s0 + s1) + s2) + s3)"
+    val grand = s"($sTot / CAST($nTot AS DOUBLE))"
+    val ssb = (0 to 3).map { j =>
+      s"(n$j * ((s$j / n$j) - $grand) * ((s$j / n$j) - $grand))"
+    }.reduce((a, b) => s"($a + $b)")
+    val ssw = (0 to 3).map { j =>
+      s"(ss$j - s$j * s$j / n$j)"
+    }.reduce((a, b) => s"($a + $b)")
+    val f = s"(($ssb / 3.0) / ($ssw / CAST($nTot - 4 AS DOUBLE)))"
+    s"""WITH moments AS (
+       |  SELECT event_type,
+       |$momCols
+       |  FROM events GROUP BY 1),
+       |stats AS (
+       |  SELECT event_type, CAST($nTot AS BIGINT) AS n, $f AS f_raw,
+       |    CAST($nTot - 4 AS DOUBLE) AS df2_raw
+       |  FROM moments)
+       |SELECT event_type, n,
+       |  ${rSql("f_raw", 4)} AS f_stat,
+       |  ${rSql(pFSql("f_raw", "3.0", "df2_raw", spark = false), 6)} AS p_value
+       |FROM stats ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_ks_test", ksTest, Some(ksTestOracle)),
     Op("q_levene", levene, Some(leveneOracle)),
+    Op("q_anova", anovaPosition, Some(anovaPositionOracle)),
     Op("q_histogram", histogram, Some(histogramOracle)),
     Op("q_fdr_bh", fdrBh, Some(fdrBhOracle)),
     Op("q_cuped", cuped, Some(cupedOracle)),

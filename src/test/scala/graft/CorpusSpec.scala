@@ -86,6 +86,34 @@ class CorpusSpec extends SparkSpec {
       s"KS D mismatch: brute $d vs ${rows.head.getAs[Double]("ks_d")}")
   }
 
+  test("ANOVA over block positions matches a driver-side brute force") {
+    val rows = operators.Stats.anovaPosition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val et = rows.head.getAs[String]("event_type")
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("event_type") === et)
+      .select(expr("(unix_micros(date_trunc('hour', ts)) div 3600000000) % 4").as("pos"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val groups = evs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(groups.keySet === Set(0L, 1L, 2L, 3L))
+    val n = evs.length.toDouble
+    val grand = evs.map(_._2).sum / n
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length; g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { g =>
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum
+    }.sum
+    val f = (ssb / 3.0) / (ssw / (n - 4))
+    assert(math.abs(rows.head.getAs[Double]("f_stat") - f) < 1e-2,
+      s"F: brute $f vs ${rows.head.getAs[Double]("f_stat")}")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0 && p <= 1)
+    }
+  }
+
   test("ACF: values in [-1,1], three lags per event_type") {
     val rows = operators.TimeSeries.acf(spark, sfDir).collect()
     assert(rows.nonEmpty)
