@@ -604,6 +604,31 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_priority, status, priority""".stripMargin
 
+  /** Semi-join through the bloom-filter reduction
+    * ([[graft.functions.Bloom.bloomSemiJoin]]): orders of high-balance
+    * customers, but the fact side is pre-filtered SCAN-LOCALLY by a
+    * bloom filter over the dim keys before anything shuffles — at
+    * 100 TB the shuffle carries matches (+fpp·misses) instead of the
+    * whole table. The exact second phase makes the bloom invisible in
+    * results, so the oracle is the plain semi-join. */
+  def bloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+    graft.functions.Bloom
+      .bloomSemiJoin(Tables.orders(spark, dir), dim,
+        "o_custkey", "c_custkey", expectedKeys = 100000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bloomSemiOracle =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** Set operations: INTERSECT/EXCEPT on key sets (the reference's
     * vendor-set comparisons between test configurations).
     *
@@ -672,6 +697,7 @@ object Relational {
     Op("q_topn_native", topNNative, Some(topNNativeOracle)),
     Op("q_rollup", rollupAgg, Some(rollupAggOracle)),
     Op("q_cube", cubeAgg, Some(cubeAggOracle)),
+    Op("q_bloom_semi", bloomSemi, Some(bloomSemiOracle)),
     Op("q_set_ops", setOps, Some(setOpsOracle)),
     Op("q_skew_join", skewJoin, Some(skewJoinOracle)),
     Op("q_profile", profile, Some(profileOracle)),

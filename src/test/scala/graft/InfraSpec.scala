@@ -98,6 +98,23 @@ class InfraSpec extends SparkSpec {
       Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000).count())
   }
 
+  test("bloom semi-join: filters the fact side, result exactly the plain semi-join") {
+    val fact = Tables.orders(spark, sfDir)
+    val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 9000)
+    val pre = fact.filter(graft.functions.Bloom.mightContain(
+      dim, "c_custkey", col("o_custkey"), 100000L, 0.01))
+    val preN = pre.count()
+    val factN = fact.count()
+    assert(preN < factN, s"bloom did not filter: $preN of $factN")
+    val viaBloom = graft.functions.Bloom
+      .bloomSemiJoin(fact, dim, "o_custkey", "c_custkey", 100000L)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = fact.join(dim, fact("o_custkey") === dim("c_custkey"), "left_semi")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === plain)
+    assert(plain.size <= preN, "bloom must have no false negatives")
+  }
+
   test("bucketed tables join with zero shuffles") {
     val orders = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_totalprice"))
