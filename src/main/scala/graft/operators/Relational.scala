@@ -629,6 +629,67 @@ object Relational {
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Distributed MERGE (CDC apply): one full-outer join of the base
+    * table with a changeset carrying insert/update/delete ops, CASE
+    * logic resolving each key — the upsert primitive behind nightly
+    * dimension refreshes (Delta/Iceberg MERGE INTO expressed as a
+    * plain Spark plan). One shuffle on the key (bucketed layouts make
+    * it zero — see Sources.writeBucketed); the changeset here derives
+    * deterministically from the base so both engines bind identical
+    * ops: %25 keys delete, else %10 update (+100.00, status 'U'),
+    * %50 keys also insert a sibling (+10⁸ key, status 'N').
+    * Oracle states the same semantics as anti-join + UNION ALL — a
+    * different formulation proving the merge is implementation-
+    * invisible. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val src = Tables.orders(spark, dir)
+    val dels = src.filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("new_status"),
+        lit(null).cast("double").as("new_price"))
+    val upds = src.filter(col("o_orderkey") % 25 =!= 0 && col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit("U").as("new_status"), (col("o_totalprice") + 100.0).as("new_price"))
+    val ins = src.filter(col("o_orderkey") % 50 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("I").as("op"),
+        lit("N").as("new_status"), col("o_totalprice").as("new_price"))
+    val changes = dels.unionAll(upds).unionAll(ins)
+    val merged = base.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("o_orderkey"),
+        when(col("op").isNotNull, col("new_status")).otherwise(col("o_orderstatus"))
+          .as("status"),
+        when(col("op").isNotNull, col("new_price")).otherwise(col("o_totalprice"))
+          .as("price"))
+    merged.groupBy("status")
+      .agg(count(lit(1)).as("n"), sumMoney(col("price")).as("revenue"))
+      .orderBy("status")
+  }
+
+  private val mergeUpsertOracle =
+    """WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 25 = 0),
+      |upds AS (
+      |  SELECT o_orderkey, 'U' AS status, o_totalprice + 100.0 AS price
+      |  FROM orders WHERE o_orderkey % 25 <> 0 AND o_orderkey % 10 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS status, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 50 = 0),
+      |untouched AS (
+      |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+      |  FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upds)),
+      |merged AS (
+      |  SELECT * FROM untouched
+      |  UNION ALL SELECT * FROM upds
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT status, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM merged GROUP BY 1 ORDER BY status""".stripMargin
+
   /** Set operations: INTERSECT/EXCEPT on key sets (the reference's
     * vendor-set comparisons between test configurations).
     *
@@ -698,6 +759,7 @@ object Relational {
     Op("q_rollup", rollupAgg, Some(rollupAggOracle)),
     Op("q_cube", cubeAgg, Some(cubeAggOracle)),
     Op("q_bloom_semi", bloomSemi, Some(bloomSemiOracle)),
+    Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Op("q_set_ops", setOps, Some(setOpsOracle)),
     Op("q_skew_join", skewJoin, Some(skewJoinOracle)),
     Op("q_profile", profile, Some(profileOracle)),

@@ -380,9 +380,34 @@ object TimeSeries {
        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  /** SCD type-2 history construction: each observation of a per-user
+    * measure becomes a validity interval [valid_from, valid_to), the
+    * open current row carrying NULL valid_to — the lead()-based
+    * dimension-history build every warehouse runs on entity snapshots.
+    * Ordering ties on ts break by event_id so the intervals are
+    * deterministic. Window partitioned by user: one shuffle, no global
+    * sort. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 5)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("valid_to"), col("value"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  private val scd2Oracle =
+    """SELECT user_id, event_id, ts AS valid_from,
+      |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  "value"
+      |FROM events WHERE user_id < 5
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_acf", acf, Some(acfOracle)),
     Op("q_window_range", windowRange, Some(windowRangeOracle)),
+    Op("q_scd2", scd2, Some(scd2Oracle)),
     Op("q_growth", growth, Some(growthOracle)),
     Op("q_cusum", cusum, Some(cusumOracle)),
     Op("q_iqr_outliers", iqrOutliers, Some(iqrOutliersOracle)),

@@ -217,6 +217,38 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("MERGE upsert: counts reconcile with base minus deletes plus inserts") {
+    val rows = operators.Relational.mergeUpsert(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val dels = orders.count(_ % 25 == 0)
+    val ins = orders.count(_ % 50 == 0)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == orders.length - dels + ins,
+      s"merged rows $total != ${orders.length} - $dels + $ins")
+    val statuses = rows.map(_.getAs[String]("status")).toSet
+    assert(statuses.contains("U") && statuses.contains("N"))
+    val nU = rows.find(_.getAs[String]("status") == "U").get.getAs[Long]("n")
+    assert(nU == orders.count(k => k % 25 != 0 && k % 10 == 0))
+  }
+
+  test("SCD2: intervals chain per user with exactly one open row") {
+    val rows = operators.TimeSeries.scd2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[java.sql.Timestamp]("valid_from").getTime,
+        r.getAs[Long]("event_id")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"), s"user $uid: gap in chain")
+        case _ =>
+      }
+      assert(rs.count(_.getAs[java.sql.Timestamp]("valid_to") == null) == 1,
+        s"user $uid: open rows != 1")
+    }
+  }
+
   test("CUBE: the (ALL, ALL) cell equals the table total") {
     val rows = operators.Relational.cubeAgg(spark, sfDir).collect()
     val total = Tables.orders(spark, sfDir).count()
