@@ -404,10 +404,91 @@ object TimeSeries {
       |FROM events WHERE user_id < 5
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Cohort retention matrix: users cohort by their first-activity
+    * week; each later active week increments (cohort, offset) — the
+    * canonical product-analytics triangle. Two aggregations (first
+    * week per user, distinct user-weeks) joined on user: both shuffle
+    * on user_id, the matrix itself is |weeks|² — dimension-sized. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val retentionOracle =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM weeks JOIN cohorts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** First-touch funnel per day: click → view → purchase, each step
+    * counted only when its FIRST event follows the previous step's
+    * first event (strictly increasing first-touch chain — the
+    * deterministic funnel definition that needs no per-row sequence
+    * scan). One aggregation pivots the three first-touch timestamps
+    * per (user, day); a second counts step survivors per day. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val s1 = col("t_click").isNotNull
+    val s2 = s1 && col("t_view").isNotNull && col("t_view") > col("t_click")
+    val s3 = s2 && col("t_purchase").isNotNull && col("t_purchase") > col("t_view")
+    firsts.groupBy("day")
+      .agg(
+        sum(when(s1, 1L).otherwise(0L)).as("n_click"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_view_after"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_purchase_after"))
+      .filter(col("n_click") > 0)
+      .select(col("day"), col("n_click"), col("n_view_after"), col("n_purchase_after"),
+        r4(col("n_purchase_after").cast(DoubleType) / col("n_click")).as("conversion"))
+      .orderBy("day")
+  }
+
+  private val funnelOracle =
+    s"""WITH firsts AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+       |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+       |  FROM events GROUP BY 1, 2),
+       |flags AS (
+       |  SELECT day,
+       |    (t_click IS NOT NULL) AS s1,
+       |    (t_click IS NOT NULL AND t_view IS NOT NULL AND t_view > t_click) AS s2,
+       |    (t_click IS NOT NULL AND t_view IS NOT NULL AND t_view > t_click
+       |      AND t_purchase IS NOT NULL AND t_purchase > t_view) AS s3
+       |  FROM firsts)
+       |SELECT day,
+       |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       |  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_after,
+       |  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after,
+       |  ${rSql("(CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(CASE WHEN s1 THEN 1 ELSE 0 END))", 4)} AS conversion
+       |FROM flags GROUP BY 1
+       |HAVING SUM(CASE WHEN s1 THEN 1 ELSE 0 END) > 0
+       |ORDER BY day""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_acf", acf, Some(acfOracle)),
     Op("q_window_range", windowRange, Some(windowRangeOracle)),
     Op("q_scd2", scd2, Some(scd2Oracle)),
+    Op("q_retention", retention, Some(retentionOracle)),
+    Op("q_funnel", funnel, Some(funnelOracle)),
     Op("q_growth", growth, Some(growthOracle)),
     Op("q_cusum", cusum, Some(cusumOracle)),
     Op("q_iqr_outliers", iqrOutliers, Some(iqrOutliersOracle)),

@@ -249,6 +249,32 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("retention: offset-0 cell equals cohort size; offsets non-negative") {
+    val rows = operators.TimeSeries.retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("week_offset") >= 0))
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      val zero = rs.filter(_.getAs[Long]("week_offset") == 0)
+      assert(zero.length == 1, s"cohort $cw must have an offset-0 cell")
+      // offset 0 is the cohort's own first week: the max cell of the row
+      assert(rs.forall(_.getAs[Long]("n_users") <= zero.head.getAs[Long]("n_users")),
+        s"cohort $cw: later week exceeds cohort size")
+    }
+  }
+
+  test("funnel: step counts are monotone non-increasing") {
+    val rows = operators.TimeSeries.funnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, v, p) = (r.getAs[Long]("n_click"), r.getAs[Long]("n_view_after"),
+        r.getAs[Long]("n_purchase_after"))
+      assert(c >= v && v >= p, s"${r.getAs[java.sql.Date]("day")}: $c/$v/$p")
+      val conv = r.getAs[Double]("conversion")
+      assert(conv >= 0 && conv <= 1)
+    }
+  }
+
   test("CUBE: the (ALL, ALL) cell equals the table total") {
     val rows = operators.Relational.cubeAgg(spark, sfDir).collect()
     val total = Tables.orders(spark, sfDir).count()
