@@ -156,9 +156,59 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Johnson–Lindenstrauss random projection 64→8 dims with an
+    * Achlioptas ±1 (Rademacher) matrix — the dimensionality-reduction
+    * pass in front of ANN indexing / clustering at scale. Signs derive
+    * from the MID bits of a portable LCG on (k·64+j) (the low bit of
+    * an LCG alternates — the classic trap), so unlike the murmur3 LSH
+    * hyperplanes this is expressible in both engines and ORACLE-backed:
+    * every projected coordinate is a left-to-right fold both engines
+    * replay bit-for-bit. The emitted `norm_ratio` = ‖y‖²/‖x‖² is the
+    * JL distortion itself — E[ratio] = 1 by construction.
+    *
+    * Scale: pure per-row expression (zero shuffles); the projection
+    * matrix is program text, never materialized. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val kDims = 8
+    def proj(k: Int): Column = expr(
+      s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+         |  (v, j) -> CAST(v AS DOUBLE) *
+         |    (CASE WHEN ((1103515245L * CAST($k * 64 + j AS BIGINT) + 12345L) div 1024L) % 2L = 0
+         |     THEN 1.0 ELSE -1.0 END)),
+         |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / sqrt(${kDims}.0)""".stripMargin)
+    val x2 = expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    val y2 = (0 until kDims).map(k => proj(k) * proj(k)).reduce(_ + _)
+    val cols = col("vec_id") +: col("label") +:
+      (0 until kDims).map(k => r6(proj(k)).as(s"y$k")) :+
+      r4(y2 / x2).as("norm_ratio")
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 50)
+      .select(cols: _*)
+      .orderBy("vec_id")
+  }
+
+  private val randomProjectionOracle = {
+    val kDims = 8
+    def proj(k: Int) =
+      s"""(list_sum(list_transform(generate_series(0, len(embedding) - 1),
+         |  j -> CAST(embedding[j + 1] AS DOUBLE) *
+         |    (CASE WHEN ((CAST(1103515245 AS BIGINT) * CAST($k * 64 + j AS BIGINT) + 12345) // 1024) % 2 = 0
+         |     THEN 1.0 ELSE -1.0 END))) / sqrt(${kDims}.0))""".stripMargin
+    val x2 = "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    val y2 = (0 until kDims).map(k => s"(${proj(k)} * ${proj(k)})")
+      .reduce((a, b) => s"($a + $b)")
+    val yCols = (0 until kDims).map(k => s"${rSql(proj(k), 6)} AS y$k").mkString(",\n  ")
+    s"""SELECT vec_id, label,
+       |  $yCols,
+       |  ${rSql(s"($y2 / $x2)", 4)} AS norm_ratio
+       |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_knn_cosine", knnCosine, Some(knnCosineOracle), headline = true),
     Op("q_ann_lsh", annLsh, None),
     Op("q_ann_ivf", annIvf, None),
+    Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
   )
 }

@@ -275,6 +275,19 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("random projection: JL norm preservation on average, signs balanced") {
+    val rows = operators.Similarity.randomProjection(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.map(_.getAs[Double]("norm_ratio"))
+    ratios.foreach(r => assert(r > 0, "projected norm must be positive"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.4,
+      s"E[norm ratio] should be ~1 (Achlioptas), got $mean")
+    // the LCG mid-bit signs must not be degenerate (the low-bit trap
+    // would give strictly alternating signs and ratio exactly constant)
+    assert(ratios.distinct.length > 1)
+  }
+
   test("CUBE: the (ALL, ALL) cell equals the table total") {
     val rows = operators.Relational.cubeAgg(spark, sfDir).collect()
     val total = Tables.orders(spark, sfDir).count()
