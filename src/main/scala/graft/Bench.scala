@@ -25,7 +25,7 @@ object Bench {
     * @return (the single-line JSON report, number of failed queries)
     */
   def run(spark: SparkSession, sfDir: String, ops: Seq[Op]): (String, Int) = {
-    val results: Seq[(String, Either[String, Double])] = ops.map { op =>
+    val results: Seq[(String, Either[String, Double], Seq[Double])] = ops.map { op =>
       try op.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failure re-surfaces in the timed runs
       finally CacheScope.releaseAll()
@@ -40,16 +40,23 @@ object Bench {
         } finally CacheScope.releaseAll() // free scoped caches between runs
       }
       val ok = runs.collect { case Right(t) => t }
-      op.name -> (if (ok.nonEmpty) Right(ok.min)
-                  else runs.collectFirst { case Left(m) => Left(m) }.get)
+      (op.name,
+        if (ok.nonEmpty) Right(ok.min)
+        else runs.collectFirst { case Left(m) => Left(m) }.get,
+        ok)
     }
     val qs = results.map {
-      case (k, Right(t)) => Json.str(k) + ":" + t
-      case (k, Left(m))  => Json.str(k) + ":" + Json.str("err: " + m)
+      case (k, Right(t), _) => Json.str(k) + ":" + t
+      case (k, Left(m), _)  => Json.str(k) + ":" + Json.str("err: " + m)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(t)) => t }.sum
+    // every timed run, not just the best-of: a one-off outlier (GC,
+    // box contention) must be diagnosable from the artifact alone
+    val perRun = results.map { case (k, _, ok) =>
+      Json.str(k) + ":" + ok.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(t), _) => t }.sum
     val errs = results.count(_._2.isLeft)
-    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${Json.str(sfDir)}}""",
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"sf":${Json.str(sfDir)}}""",
       errs)
   }
 

@@ -22,13 +22,32 @@ import org.apache.spark.sql.DataFrame
   * honoring this today are Verify, Bench, and the specs — all strictly
   * sequential. A future multi-query runner must scope releases itself
   * (build → force → releaseAll as one critical section, or one process
-  * per query); do NOT call releaseAll() from concurrent threads.
+  * per query). The contract is ENFORCED, not just documented: the
+  * registry remembers which thread registered the live caches, and a
+  * `releaseAll()` (or a new registration) arriving from a DIFFERENT
+  * thread while caches are live throws IllegalStateException instead
+  * of silently freeing blocks out from under the owning operator.
   */
 object CacheScope {
   private val pending = mutable.Buffer.empty[() => Unit]
+  private var ownerThread: Long = -1L
+
+  /** Caller must hold the monitor. Binds ownership on first
+    * registration; rejects cross-thread registration while another
+    * operator's caches are live. */
+  private def noteOwner(): Unit = {
+    val t = Thread.currentThread().getId
+    if (pending.isEmpty) ownerThread = t
+    else if (ownerThread != t)
+      throw new IllegalStateException(
+        s"CacheScope: thread $t registered a cache while thread " +
+          s"$ownerThread's operator caches are still live — one operator " +
+          "run at a time per process (see CacheScope doc)")
+  }
 
   /** Track a persisted DataFrame for deferred unpersist. */
   def track(df: DataFrame): DataFrame = synchronized {
+    noteOwner()
     pending += (() => df.unpersist(blocking = false))
     df
   }
@@ -36,11 +55,23 @@ object CacheScope {
   /** Track an arbitrary release action (e.g. freeing a locally-
     * checkpointed generation's materialized RDD, which
     * `Dataset.unpersist` cannot reach). */
-  def defer(f: () => Unit): Unit = synchronized { pending += f }
+  def defer(f: () => Unit): Unit = synchronized {
+    noteOwner()
+    pending += f
+  }
 
-  /** Free every tracked cache. Safe to call repeatedly. */
+  /** Free every tracked cache. Safe to call repeatedly from the owning
+    * thread (or any thread when nothing is live); fails fast when
+    * another thread's caches are registered. */
   def releaseAll(): Unit = synchronized {
+    if (pending.nonEmpty && ownerThread != Thread.currentThread().getId)
+      throw new IllegalStateException(
+        s"CacheScope.releaseAll() from thread ${Thread.currentThread().getId} " +
+          s"while thread $ownerThread's operator caches are live — a " +
+          "concurrent runner must scope its own build→force→release " +
+          "critical section (see CacheScope doc)")
     pending.foreach(f => f())
     pending.clear()
+    ownerThread = -1L
   }
 }

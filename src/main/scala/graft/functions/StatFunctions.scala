@@ -44,9 +44,12 @@ object StatFunctions {
     * and clamped to [0,1] — the two-sample KS p-value at
     * z = √(n₁n₂/(n₁+n₂))·D (scipy.stats.ks_2samp mode='asymp').
     * Truncation error ≤ 2·exp(−2·625·z²) (first dropped term): < 1e-12
-    * for z ≥ 0.15; below that the true value is 1 − O(z) and the clamp
-    * holds. Emitted as SQL text evaluated by BOTH engines (pure
-    * {*,+,exp} arithmetic), so results are bit-identical pre-rounding.
+    * for z ≥ 0.15. Below z = 0.15 the truncated alternating series
+    * COLLAPSES toward 0 while the true survival function → 1, so that
+    * region short-circuits to the exact limit 1.0 (the clamp alone
+    * cannot repair an underestimate). Emitted as SQL text evaluated by
+    * BOTH engines (pure {*,+,exp} arithmetic plus one branch on the
+    * identical double), so results are bit-identical pre-rounding.
     */
   def ksPSql(z: String): String = {
     val x = s"(($z) * ($z))"
@@ -55,7 +58,8 @@ object StatFunctions {
       val sign = if (k % 2 == 1) "+" else "-"
       s"$sign exp(-$c.0 * $x)"
     }.mkString(" ")
-    s"least(1.0, greatest(0.0, 2.0 * (0.0 $terms)))"
+    s"(CASE WHEN ($z) < 0.15 THEN 1.0 " +
+      s"ELSE least(1.0, greatest(0.0, 2.0 * (0.0 $terms))) END)"
   }
 
   /** The same formula as DuckDB SQL, for oracle construction. */

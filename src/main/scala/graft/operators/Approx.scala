@@ -30,24 +30,41 @@ object Approx {
       .orderBy("event_type")
 
   /** Deterministic stratified sampling: per-class rates applied via a
-    * murmur3-derived uniform per row — reproducible (no RNG state, no
-    * partition-order dependence, unlike sampleBy) and exactly the
-    * class-rebalancing pass a training-data pipeline runs. Rows-only
-    * (murmur3 basis). */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val rates = Map("click" -> 0.1, "view" -> 0.1, "purchase" -> 1.0,
-      "signup" -> 1.0, "error" -> 0.5)
-    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
-      when(col("event_type") === k, v).otherwise(acc)
-    }
-    val u = pmod(hash(col("event_id"), lit(42)), lit(1000000))
-      .cast("double") / 1000000.0
+    * two-round portable-LCG uniform per row — reproducible (no RNG
+    * state, no partition-order dependence, unlike sampleBy) and exactly
+    * the class-rebalancing pass a training-data pipeline runs. The
+    * keep test is ALL-INTEGER (lcg_state < floor(rate·2^31)) with
+    * identical SQL text in both engines, so it is oracle-backed. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleFrame(spark, dir)
+
+  /** (rate → 2^31-scaled integer keep-threshold) per event class. */
+  private val sampleThresholds: Seq[(String, Long)] = Seq(
+    "click" -> 214748364L, "view" -> 214748364L,     // rate 0.1
+    "purchase" -> 2147483648L, "signup" -> 2147483648L, // rate 1.0
+    "error" -> 1073741824L)                           // rate 0.5
+
+  /** The row-keep predicate as SQL text shared verbatim by both
+    * engines (same LCG recipe as q_permutation, salt 42). */
+  private val keepSql: String = {
+    val st = s"(((((event_id % 2147483648) * 1103515245 + ${12345L + 42L * 1013904223L}) % 2147483648)" +
+      " * 1103515245 + 12345) % 2147483648)"
+    val whens = sampleThresholds
+      .map { case (k, t) => s"WHEN event_type = '$k' THEN $t" }.mkString(" ")
+    s"($st < (CASE $whens ELSE 0 END))"
+  }
+
+  private def stratifiedSampleFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .filter(u < rateCol)
+      .filter(expr(keepSql))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("event_type")
-  }
+
+  private val stratifiedSampleOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n_sampled
+       |FROM events WHERE $keepSql
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** Custom mergeable quantile sketch (functions.QuantileSketchAgg, the
     * DDSketch log-bucket construction) beside the exact percentiles:
@@ -77,6 +94,6 @@ object Approx {
   val ops: Seq[Op] = Seq(
     Op("q_approx_stats", approxStats, None),
     Op("q_qsketch", quantileSketchStats, None),
-    Op("q_stratified_sample", stratifiedSample, None),
+    Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
   )
 }

@@ -92,8 +92,61 @@ object Geo {
       |WHERE "value" >= 2.0 AND "value" < 8.0 AND y >= 20.0 AND y < 70.0
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Zone tagging with zones landed as WKT TEXT (the interchange form
+    * the reference's ST_ASTEXT round-trips): [[graft.functions.Wkt]]
+    * parses `POLYGON((x y, …))` into coordinate arrays ONCE on the
+    * O(cities) dimension side, then the identical broadcast +
+    * ray-cast + rollup as [[geoContains]]. The oracle parses the SAME
+    * WKT strings with DuckDB string/list functions and expresses the
+    * rectangles as range predicates — both engines bind their zone
+    * geometry from the text, so a parse divergence fails the hash. */
+  def geoWkt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zoneDf = zones.map { case (z, x0, x1, y0, y1) =>
+      (z, s"POLYGON(($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))")
+    }.toDF("zone", "wkt")
+      .select(col("zone"),
+        graft.functions.Wkt.xs(col("wkt")).as("xs"),
+        graft.functions.Wkt.ys(col("wkt")).as("ys"))
+    val pts = Tables.events(spark, dir)
+      .select(col("event_id"), col("value").as("x"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("double").as("y"))
+    pts.join(broadcast(zoneDf),
+        PointInPolygon(col("x"), col("y"), col("xs"), col("ys")))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_points"), sumMoney(col("x")).as("sum_x"))
+      .orderBy("zone")
+  }
+
+  private val geoWktOracle = {
+    val zoneRows = zones.map { case (z, x0, x1, y0, y1) =>
+      s"('$z', 'POLYGON(($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))')"
+    }.mkString(", ")
+    s"""WITH zw(zone, wkt) AS (VALUES $zoneRows),
+       |parsed AS (
+       |  SELECT zone,
+       |    list_transform(string_split(regexp_extract(wkt, 'POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)', 1), ','),
+       |      p -> CAST(string_split(trim(p), ' ')[1] AS DOUBLE)) AS xs,
+       |    list_transform(string_split(regexp_extract(wkt, 'POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)', 1), ','),
+       |      p -> CAST(string_split(trim(p), ' ')[2] AS DOUBLE)) AS ys
+       |  FROM zw),
+       |zones AS (
+       |  SELECT zone, list_min(xs) AS x0, list_max(xs) AS x1,
+       |    list_min(ys) AS y0, list_max(ys) AS y1
+       |  FROM parsed),
+       |pts AS (
+       |  SELECT event_id, "value" AS x,
+       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE) AS y
+       |  FROM events)
+       |SELECT zone, COUNT(*) AS n_points,
+       |  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sum_x
+       |FROM pts JOIN zones ON x >= x0 AND x < x1 AND y >= y0 AND y < y1
+       |GROUP BY 1 ORDER BY zone""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_geo_contains", geoContains, Some(geoContainsOracle)),
     Op("q_geo_filter", geoFilter, Some(geoFilterOracle)),
+    Op("q_geo_wkt", geoWkt, Some(geoWktOracle)),
   )
 }

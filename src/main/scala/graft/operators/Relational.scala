@@ -637,7 +637,9 @@ object Relational {
     * it zero — see Sources.writeBucketed); the changeset here derives
     * deterministically from the base so both engines bind identical
     * ops: %25 keys delete, else %10 update (+100.00, status 'U'),
-    * %50 keys also insert a sibling (+10⁸ key, status 'N').
+    * %50 keys also insert a sibling (key + max(o_orderkey) + 1, status
+    * 'N' — offset derived from the DATA, not a constant, so synthetic
+    * keys can never collide with real ones at any scale factor).
     * Oracle states the same semantics as anti-join + UNION ALL — a
     * different formulation proving the merge is implementation-
     * invisible. */
@@ -652,8 +654,14 @@ object Relational {
     val upds = src.filter(col("o_orderkey") % 25 =!= 0 && col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), lit("U").as("op"),
         lit("U").as("new_status"), (col("o_totalprice") + 100.0).as("new_price"))
+    // one-row max-key frame, broadcast: inserts land strictly above
+    // every existing key. Offset is max+1, NOT max — keys start at 0,
+    // and key 0 + max would collide with the real max-key row.
+    val maxKey = src.agg((max("o_orderkey") + 1L).as("key_offset"))
     val ins = src.filter(col("o_orderkey") % 50 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("I").as("op"),
+      .crossJoin(broadcast(maxKey))
+      .select((col("o_orderkey") + col("key_offset")).as("o_orderkey"),
+        lit("I").as("op"),
         lit("N").as("new_status"), col("o_totalprice").as("new_price"))
     val changes = dels.unionAll(upds).unionAll(ins)
     val merged = base.join(changes, Seq("o_orderkey"), "full_outer")
@@ -675,7 +683,8 @@ object Relational {
       |  SELECT o_orderkey, 'U' AS status, o_totalprice + 100.0 AS price
       |  FROM orders WHERE o_orderkey % 25 <> 0 AND o_orderkey % 10 = 0),
       |ins AS (
-      |  SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS status, o_totalprice AS price
+      |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+      |    'N' AS status, o_totalprice AS price
       |  FROM orders WHERE o_orderkey % 50 = 0),
       |untouched AS (
       |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price

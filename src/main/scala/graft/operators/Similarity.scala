@@ -178,14 +178,18 @@ object Similarity {
          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / sqrt(${kDims}.0)""".stripMargin)
     val x2 = expr(
       "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-    val y2 = (0 until kDims).map(k => proj(k) * proj(k)).reduce(_ + _)
-    val cols = col("vec_id") +: col("label") +:
-      (0 until kDims).map(k => r6(proj(k)).as(s"y$k")) :+
-      r4(y2 / x2).as("norm_ratio")
-    Tables.embeddings(spark, dir)
+    // materialize each 64-element fold ONCE (codegen does not CSE
+    // repeated lambda-aggregates — naive reuse costs 3× the folds),
+    // then derive the rounded outputs and norm_ratio from the columns
+    val raw = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 50)
-      .select(cols: _*)
-      .orderBy("vec_id")
+      .select(col("vec_id") +: col("label") +: x2.as("x2") +:
+        (0 until kDims).map(k => proj(k).as(s"yr$k")): _*)
+    val y2 = (0 until kDims).map(k => col(s"yr$k") * col(s"yr$k")).reduce(_ + _)
+    val cols = col("vec_id") +: col("label") +:
+      (0 until kDims).map(k => r6(col(s"yr$k")).as(s"y$k")) :+
+      r4(y2 / col("x2")).as("norm_ratio")
+    raw.select(cols: _*).orderBy("vec_id")
   }
 
   private val randomProjectionOracle = {
@@ -196,13 +200,18 @@ object Similarity {
          |    (CASE WHEN ((CAST(1103515245 AS BIGINT) * CAST($k * 64 + j AS BIGINT) + 12345) // 1024) % 2 = 0
          |     THEN 1.0 ELSE -1.0 END))) / sqrt(${kDims}.0))""".stripMargin
     val x2 = "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    val y2 = (0 until kDims).map(k => s"(${proj(k)} * ${proj(k)})")
+    val rawCols = (0 until kDims).map(k => s"${proj(k)} AS yr$k").mkString(",\n  ")
+    val y2 = (0 until kDims).map(k => s"(yr$k * yr$k)")
       .reduce((a, b) => s"($a + $b)")
-    val yCols = (0 until kDims).map(k => s"${rSql(proj(k), 6)} AS y$k").mkString(",\n  ")
-    s"""SELECT vec_id, label,
+    val yCols = (0 until kDims).map(k => s"${rSql(s"yr$k", 6)} AS y$k").mkString(",\n  ")
+    s"""WITH raw AS (
+       |  SELECT vec_id, label, $x2 AS x2,
+       |  $rawCols
+       |  FROM embeddings WHERE vec_id < 50)
+       |SELECT vec_id, label,
        |  $yCols,
-       |  ${rSql(s"($y2 / $x2)", 4)} AS norm_ratio
-       |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+       |  ${rSql(s"($y2 / x2)", 4)} AS norm_ratio
+       |FROM raw ORDER BY vec_id""".stripMargin
   }
 
   val ops: Seq[Op] = Seq(

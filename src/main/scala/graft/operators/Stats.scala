@@ -6,7 +6,7 @@ import graft.functions.StatFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Statistical significance tests (SURVEY.md §2 block B, part 2) — the
   * analysis layer of the reference:
@@ -432,43 +432,79 @@ object Stats {
        |FROM stats ORDER BY event_type""".stripMargin
   }
 
+  /** Poisson(1) inverse-CDF thresholds scaled to the LCG's 2^31 state
+    * space: state < floor(CDF(k)·2^31) ⇔ u < CDF(k), all-integer. */
+  private val poissonThresholds: Seq[Long] =
+    Seq(790015084L, 1580030168L, 1975037710L, 2106706891L, 2139624186L, 2146207645L)
+
   /** Bootstrap confidence interval for the per-group mean via POISSON
     * bootstrap (the notebooks bootstrap in pandas; at scale you cannot
     * index-resample, so each row contributes Poisson(1) weight per
     * replicate — the standard streaming/distributed bootstrap). Weights
-    * derive from murmur3(event_id, replicate) through the Poisson(1)
-    * inverse CDF, so the whole procedure is deterministic with no RNG
-    * state. Rows-only (murmur3 isn't portable SQL). */
+    * derive from the same two-round portable LCG as q_permutation
+    * (pure 63-bit-safe integer arithmetic, IDENTICAL text in both
+    * engines) through an all-integer Poisson(1) inverse-CDF threshold
+    * table — so unlike the earlier murmur3 formulation the whole
+    * procedure is ORACLE-backed. Replicate means are r6-rounded then
+    * averaged in exact DECIMAL (order-invariant). */
   def bootstrapCi(spark: SparkSession, dir: String, replicates: Int = 50): DataFrame = {
     val d = DecimalType(28, 6)
-    // u ∈ [0,1) from murmur3; Poisson(1) inverse CDF via cumulative table
-    def w(b: Int): Column = {
-      val u = pmod(hash(col("event_id"), lit(b)), lit(1000000)).cast(DoubleType) / 1000000.0
-      when(u < 0.367879, 0).when(u < 0.735759, 1).when(u < 0.919699, 2)
-        .when(u < 0.981012, 3).when(u < 0.996340, 4).when(u < 0.999406, 5).otherwise(6)
-    }
+    val w = bootstrapWeightSql _
     // All B replicates in ONE aggregation pass: 2B weighted partial
     // sums per group (map-side combined), instead of explode()ing every
     // row B times — shuffle input stays |events|, not B·|events|.
     val sums = (0 until replicates).flatMap { b =>
-      Seq(sum((w(b) * col("value")).cast(d)).cast(DoubleType).as(s"swv_$b"),
-        sum(w(b)).cast(DoubleType).as(s"sw_$b"))
+      Seq(sum((expr(w(b)) * col("value")).cast(d)).cast(DoubleType).as(s"swv_$b"),
+        sum(expr(w(b)).cast(LongType)).as(s"sw_$b"))
     }
     val wide = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))
       .groupBy("event_type")
       .agg(sums.head, sums.tail: _*)
-    // replicate means as an array → explode B rows per group (tiny)
+    // replicate means as an array → explode B rows per group (tiny);
+    // r6-round each mean so downstream stats are order- and
+    // engine-exact on the 6-decimal grid
     val repMeans = wide.select(col("event_type"), explode(array(
-      (0 until replicates).map(b => col(s"swv_$b") / col(s"sw_$b")): _*)).as("rep_mean"))
+      (0 until replicates).map(b => r6(col(s"swv_$b") / col(s"sw_$b"))): _*)).as("rep_mean"))
     repMeans.groupBy("event_type")
       .agg(
         count(lit(1)).as("n_replicates"),
-        r4(avg("rep_mean")).as("boot_mean"),
+        r4(sum(col("rep_mean").cast(d)).cast(DoubleType) / count(lit(1))).as("boot_mean"),
         r4(expr("percentile(rep_mean, 0.025)")).as("ci_lo"),
         r4(expr("percentile(rep_mean, 0.975)")).as("ci_hi"),
       )
       .orderBy("event_type")
+  }
+
+  /** Replicate-b Poisson weight as SQL text shared verbatim by both
+    * engines: two LCG rounds on (event_id, b), then the integer
+    * threshold ladder. */
+  private def bootstrapWeightSql(b: Int): String = {
+    val st = s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
+      s" * 1103515245 + 12345) % 2147483648)"
+    val whens = poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $st < $t THEN $k" }.mkString(" ")
+    s"(CASE $whens ELSE 6 END)"
+  }
+
+  private def bootstrapCiOracle(replicates: Int = 50): String = {
+    val repAggs = (0 until replicates).map { b =>
+      val w = bootstrapWeightSql(b)
+      s"""    CAST(SUM(CAST($w * "value" AS DECIMAL(28,6))) AS DOUBLE) AS swv_$b,
+         |    CAST(SUM($w) AS BIGINT) AS sw_$b""".stripMargin
+    }.mkString(",\n")
+    val means = (0 until replicates)
+      .map(b => rSql(s"(swv_$b / sw_$b)", 6)).mkString(", ")
+    s"""WITH wide AS (
+       |  SELECT event_type,
+       |$repAggs
+       |  FROM events GROUP BY 1),
+       |rep AS (SELECT event_type, unnest([$means]) AS rep_mean FROM wide)
+       |SELECT event_type, COUNT(*) AS n_replicates,
+       |  ${rSql("(CAST(SUM(CAST(rep_mean AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 4)} AS boot_mean,
+       |  ${rSql("quantile_cont(rep_mean, 0.025)", 4)} AS ci_lo,
+       |  ${rSql("quantile_cont(rep_mean, 0.975)", 4)} AS ci_hi
+       |FROM rep GROUP BY 1 ORDER BY event_type""".stripMargin
   }
 
   /** Permutation (randomization) test for the On/Off mean difference per
@@ -712,8 +748,16 @@ object Stats {
     val sig2 = ((col("ss1") - col("s1") * col("s1") / col("n1")) +
       (col("ss2") - col("s2") * col("s2") / col("n2"))) / (col("n1") + col("n2") - 2)
     val se2 = sig2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))
-    val logLambda = lit(0.5) * log(se2 / (se2 + sig2)) +
-      sig2 * delta * delta / (lit(2.0) * se2 * (se2 + sig2))
+    // r6-round each logLambda addend THEN sum in exact DECIMAL (the
+    // q_ngram_lm discipline): a 1-ulp engine divergence inside either
+    // transcendental chain can no longer flip the final half-way
+    // rounding, and p_seq derives from the ROUNDED log-lambda so both
+    // engines exponentiate the identical double.
+    val llTerm1 = lit(0.5) * log(se2 / (se2 + sig2))
+    val llTerm2 = sig2 * delta * delta / (lit(2.0) * se2 * (se2 + sig2))
+    val llDec = DecimalType(28, 6)
+    val logLambda = (r6(llTerm1).cast(llDec) + r6(llTerm2).cast(llDec))
+      .cast(DoubleType)
     val wMin = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum.select(col("event_type"), col("day"), col("n1"), col("n2"),
@@ -727,7 +771,12 @@ object Stats {
     val delta = "(s1 / n1 - s2 / n2)"
     val sig2 = "(((ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2)) / (n1 + n2 - 2))"
     val se2 = s"($sig2 * (1.0 / n1 + 1.0 / n2))"
-    val logLambda = s"(0.5 * ln($se2 / ($se2 + $sig2)) + $sig2 * $delta * $delta / (2.0 * $se2 * ($se2 + $sig2)))"
+    val llTerm1 = s"(0.5 * ln($se2 / ($se2 + $sig2)))"
+    val llTerm2 = s"($sig2 * $delta * $delta / (2.0 * $se2 * ($se2 + $sig2)))"
+    // r6-round each addend then sum in exact DECIMAL — mirrors the
+    // Spark side so the rounded log-lambda is the identical double.
+    val logLambda = s"CAST(CAST(${rSql(llTerm1, 6)} AS DECIMAL(28,6)) + " +
+      s"CAST(${rSql(llTerm2, 6)} AS DECIMAL(28,6)) AS DOUBLE)"
     s"""WITH daily AS (
        |  SELECT event_type, date_trunc('day', ts) AS day,
        |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS dn1,
@@ -739,9 +788,9 @@ object Stats {
        |  FROM events GROUP BY 1, 2),
        |cum AS (
        |  SELECT event_type, day,
-       |    SUM(dn1) OVER win AS n1, CAST(SUM(ds1) OVER win AS DOUBLE) AS s1,
+       |    CAST(SUM(dn1) OVER win AS BIGINT) AS n1, CAST(SUM(ds1) OVER win AS DOUBLE) AS s1,
        |    CAST(SUM(dss1) OVER win AS DOUBLE) AS ss1,
-       |    SUM(dn2) OVER win AS n2, CAST(SUM(ds2) OVER win AS DOUBLE) AS s2,
+       |    CAST(SUM(dn2) OVER win AS BIGINT) AS n2, CAST(SUM(ds2) OVER win AS DOUBLE) AS s2,
        |    CAST(SUM(dss2) OVER win AS DOUBLE) AS ss2
        |  FROM daily
        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
@@ -1125,20 +1174,27 @@ object Stats {
     val wCum = Window.partitionBy("event_type").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy("event_type")
+    // Cross-multiplication in DECIMAL(38,0): the BIGINT product
+    // cum_on·n₂ overflows once n₁·n₂ > 2^63 (~3e9 rows per arm) and
+    // Spark (non-ANSI) would wrap SILENTLY — decimal keeps the order
+    // statistic exact to 1e38, i.e. any realistic corpus.
+    val d380 = DecimalType(38, 0)
     val gaps = counts
-      .withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("cum_on", sum("cnt_on").over(wCum))
-      .withColumn("n", sum("cnt").over(wAll))
-      .withColumn("n1", sum("cnt_on").over(wAll))
+      .withColumn("cum", sum("cnt").over(wCum).cast(d380))
+      .withColumn("cum_on", sum("cnt_on").over(wCum).cast(d380))
+      .withColumn("n", sum("cnt").over(wAll).cast(d380))
+      .withColumn("n1", sum("cnt_on").over(wAll).cast(d380))
       .withColumn("num",
         abs(col("cum_on") * (col("n") - col("n1")) - (col("cum") - col("cum_on")) * col("n1")))
     val agg = gaps.groupBy("event_type").agg(
-      max("n1").as("n_on"),
-      (max("n") - max("n1")).as("n_off"),
+      max("n1").cast(LongType).as("n_on"),
+      (max("n") - max("n1")).cast(LongType).as("n_off"),
       max("num").as("d_num"))
+    // n_on·n_off likewise overflows long past ~3e9/arm: promote each
+    // factor to double FIRST (both engines, same order → same double).
     val d = col("d_num").cast(DoubleType) /
-      (col("n_on") * col("n_off")).cast(DoubleType)
-    val z = sqrt((col("n_on") * col("n_off")).cast(DoubleType) /
+      (col("n_on").cast(DoubleType) * col("n_off").cast(DoubleType))
+    val z = sqrt((col("n_on").cast(DoubleType) * col("n_off").cast(DoubleType)) /
       (col("n_on") + col("n_off")).cast(DoubleType)) * col("d_raw")
     agg.select(col("event_type"), col("n_on"), col("n_off"), d.as("d_raw"))
       .select(col("event_type"), col("n_on"), col("n_off"), col("d_raw"),
@@ -1150,8 +1206,11 @@ object Stats {
   }
 
   private val ksTestOracle = {
-    val d = "(CAST(d_num AS DOUBLE) / CAST(n_on * n_off AS DOUBLE))"
-    val z = "(sqrt(CAST(n_on * n_off AS DOUBLE) / CAST(n_on + n_off AS DOUBLE)) * d_raw)"
+    // factors promoted to double BEFORE multiplying — same order as the
+    // Spark side, so the (possibly inexact past 2^53) product is the
+    // identical double in both engines.
+    val d = "(CAST(d_num AS DOUBLE) / (CAST(n_on AS DOUBLE) * CAST(n_off AS DOUBLE)))"
+    val z = "(sqrt((CAST(n_on AS DOUBLE) * CAST(n_off AS DOUBLE)) / CAST(n_on + n_off AS DOUBLE)) * d_raw)"
     s"""WITH counts AS (
        |  SELECT event_type, "value" AS v, COUNT(*) AS cnt,
        |    CAST(COUNT(*) FILTER (WHERE $onOffSql = 'On') AS BIGINT) AS cnt_on
@@ -1338,7 +1397,7 @@ object Stats {
     Op("q_fdr_bh", fdrBh, Some(fdrBhOracle)),
     Op("q_cuped", cuped, Some(cupedOracle)),
     Op("q_ntile", ntileQuartiles, Some(ntileQuartilesOracle)),
-    Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), None),
+    Op("q_bootstrap_ci", (s, dir) => bootstrapCi(s, dir), Some(bootstrapCiOracle())),
     Op("q_permutation", (s, dir) => permutationTest(s, dir), Some(permutationOracle())),
     Op("q_winsorize", winsorize, Some(winsorizeOracle)),
     Op("q_ratio_delta", ratioDelta, Some(ratioDeltaOracle)),

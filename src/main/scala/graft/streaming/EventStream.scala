@@ -25,7 +25,7 @@ private final case class DayMoments(dayUs: Long,
 private final case class MsprtState(open: List[DayMoments],
     cumN1: Long, cumS1Micro: Long, cumSs1: Double,
     cumN2: Long, cumS2Micro: Long, cumSs2: Double,
-    minP: Double)
+    minP: Double, lastFinalUs: Long)
 
 /** Daily anytime-valid readout emitted when a day finalizes. */
 final case class MsprtReadout(event_type: String, day: java.sql.Timestamp,
@@ -174,22 +174,30 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (eventType: String, it: Iterator[Event], state: GroupState[MsprtState]) =>
           var st = state.getOption.getOrElse(
-            MsprtState(Nil, 0L, 0L, 0.0, 0L, 0L, 0.0, 1.0))
-          // fold this batch's events into per-day buckets
+            MsprtState(Nil, 0L, 0L, 0.0, 0L, 0L, 0.0, 1.0, Long.MinValue))
+          // fold this batch's events into per-day buckets; an event for
+          // a day that ALREADY finalized is dropped — its readout was
+          // emitted (append mode cannot retract), so folding it into the
+          // cumulative moments would double-count against every later
+          // day's readout. Spark's own late-record filter drops most of
+          // these at the watermark; this guard makes the contract hold
+          // even for records that race the watermark advance.
           it.foreach { e =>
             val us = e.ts.getTime * 1000L
             val day = us - java.lang.Math.floorMod(us, dayUsLen)
-            val hour = java.lang.Math.floorDiv(us, 3600000000L)
-            val on = (hour + e.user_id % 10) % 2 == 0
-            val vMicro = java.lang.Math.round(e.value * 1e6)
-            val cur = st.open.find(_.dayUs == day).getOrElse(
-              DayMoments(day, 0L, 0L, 0.0, 0L, 0L, 0.0))
-            val upd =
-              if (on) cur.copy(n1 = cur.n1 + 1, s1Micro = cur.s1Micro + vMicro,
-                ss1 = cur.ss1 + e.value * e.value)
-              else cur.copy(n2 = cur.n2 + 1, s2Micro = cur.s2Micro + vMicro,
-                ss2 = cur.ss2 + e.value * e.value)
-            st = st.copy(open = upd :: st.open.filterNot(_.dayUs == day))
+            if (day > st.lastFinalUs) {
+              val hour = java.lang.Math.floorDiv(us, 3600000000L)
+              val on = (hour + e.user_id % 10) % 2 == 0
+              val vMicro = java.lang.Math.round(e.value * 1e6)
+              val cur = st.open.find(_.dayUs == day).getOrElse(
+                DayMoments(day, 0L, 0L, 0.0, 0L, 0L, 0.0))
+              val upd =
+                if (on) cur.copy(n1 = cur.n1 + 1, s1Micro = cur.s1Micro + vMicro,
+                  ss1 = cur.ss1 + e.value * e.value)
+                else cur.copy(n2 = cur.n2 + 1, s2Micro = cur.s2Micro + vMicro,
+                  ss2 = cur.ss2 + e.value * e.value)
+              st = st.copy(open = upd :: st.open.filterNot(_.dayUs == day))
+            }
           }
           // finalize every day fully below the watermark, in day order
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -199,7 +207,7 @@ object EventStream {
               cumN1 = st.cumN1 + d.n1, cumS1Micro = st.cumS1Micro + d.s1Micro,
               cumSs1 = st.cumSs1 + d.ss1,
               cumN2 = st.cumN2 + d.n2, cumS2Micro = st.cumS2Micro + d.s2Micro,
-              cumSs2 = st.cumSs2 + d.ss2)
+              cumSs2 = st.cumSs2 + d.ss2, lastFinalUs = d.dayUs)
             if (st.cumN1 > 1 && st.cumN2 > 1) {
               val n1 = st.cumN1.toDouble; val n2 = st.cumN2.toDouble
               val s1 = st.cumS1Micro / 1e6; val s2 = st.cumS2Micro / 1e6

@@ -277,4 +277,82 @@ class InfraSpec extends SparkSpec {
     val revB = runWith(spark, sfDir, base).collect().map(_.getAs[Double]("revenue_per_order_on")).sum
     assert(math.abs(revD - 2 * revB) < 0.1)
   }
+
+  test("plan audit: bloom probe scan-side, merge join shape, retention/funnel single-pass") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    // q_bloom_semi: the might_contain probe must sit BELOW the exact
+    // join (scan-side) — that placement is the whole point of the
+    // operator: shuffle ∝ survivors, not ∝ the fact table
+    locally {
+      val plan = Registry.byName("q_bloom_semi").fn(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val probes = plan.collect {
+        case f: LFilter if f.condition.collectFirst {
+          case _: BloomFilterMightContain => () }.isDefined => f
+      }
+      assert(probes.nonEmpty, "bloom probe filter missing from the plan")
+      probes.foreach { f =>
+        assert(f.child.collect { case j: LJoin => j }.isEmpty,
+          s"bloom probe must be below the join, found above:\n$f")
+      }
+    }
+    // q_merge_upsert: ONE full-outer join on the key; the one-row
+    // max-key frame enters via broadcast, never a cartesian product
+    locally {
+      val exec = Registry.byName("q_merge_upsert").fn(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(exec.contains("FullOuter"), s"full-outer merge join missing:\n${exec.take(1500)}")
+      assert(!exec.contains("CartesianProduct"),
+        "one-row max-key frame must broadcast, not cartesian")
+    }
+    // q_retention / q_funnel: pure aggregation funnels — NO per-row
+    // sequence scan (Window) and a bounded number of fact passes
+    locally {
+      val ret = Registry.byName("q_retention").fn(spark, sfDir).queryExecution
+      assert(ret.optimizedPlan.collectLeaves().size <= 2,
+        "retention must read events at most twice (weeks + cohorts)")
+      assert(!ret.executedPlan.toString.contains("Window"),
+        "retention must not window-scan raw events")
+      val fun = Registry.byName("q_funnel").fn(spark, sfDir).queryExecution
+      assert(fun.optimizedPlan.collectLeaves().size === 1,
+        "funnel must read events exactly once")
+      assert(!fun.executedPlan.toString.contains("Window"),
+        "funnel must not window-scan raw events")
+    }
+  }
+
+  test("CacheScope enforces the single-runner contract across threads") {
+    import java.util.concurrent.atomic.AtomicReference
+    CacheScope.releaseAll() // clean slate (owning thread or empty: ok)
+    val df = spark.range(10).toDF("id").persist()
+    try {
+      CacheScope.track(df)
+      // releaseAll from a DIFFERENT thread while caches are live → throw
+      val crossRelease = new AtomicReference[Throwable]()
+      val t1 = new Thread(() =>
+        try CacheScope.releaseAll()
+        catch { case e: Throwable => crossRelease.set(e) })
+      t1.start(); t1.join()
+      assert(crossRelease.get().isInstanceOf[IllegalStateException],
+        s"cross-thread releaseAll must fail fast, got ${crossRelease.get()}")
+      assert(df.storageLevel.useMemory, "foreign thread must NOT have freed the cache")
+      // registering from a different thread while live → throw
+      val crossTrack = new AtomicReference[Throwable]()
+      val t2 = new Thread(() =>
+        try { CacheScope.defer(() => ()); () }
+        catch { case e: Throwable => crossTrack.set(e) })
+      t2.start(); t2.join()
+      assert(crossTrack.get().isInstanceOf[IllegalStateException])
+      // the owning thread still releases normally
+      CacheScope.releaseAll()
+      // and once empty, any thread may register (new owner binds)
+      val fresh = new AtomicReference[Throwable]()
+      val t3 = new Thread(() =>
+        try { CacheScope.defer(() => ()); CacheScope.releaseAll() }
+        catch { case e: Throwable => fresh.set(e) })
+      t3.start(); t3.join()
+      assert(fresh.get() === null, s"fresh-owner registration failed: ${fresh.get()}")
+    } finally df.unpersist(blocking = true)
+  }
 }

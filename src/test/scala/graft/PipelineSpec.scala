@@ -106,6 +106,28 @@ class PipelineSpec extends SparkSpec {
       s"point (${r.getDouble(0)}, ${r.getDouble(1)})"))
   }
 
+  test("wkt polygon text parses and drives the ray caster (closed ring, non-convex)") {
+    import graft.functions.Wkt
+    // the same U-shape as the PIP spec, serialized as closed-ring WKT
+    // with deliberately-irregular whitespace
+    val wkt = "POLYGON(( 0 0, 6 0,6 5, 4 5, 4 2,2 2, 2 5, 0 5, 0 0 ))"
+    val parsed = Seq(Tuple1(wkt)).toDF("wkt")
+      .select(Wkt.xs(col("wkt")).as("xs"), Wkt.ys(col("wkt")).as("ys"))
+    val row = parsed.head()
+    assert(row.getSeq[Double](0) === Seq(0.0, 6.0, 6.0, 4.0, 4.0, 2.0, 2.0, 0.0, 0.0))
+    assert(row.getSeq[Double](1) === Seq(0.0, 0.0, 5.0, 5.0, 2.0, 2.0, 5.0, 5.0, 0.0))
+    // the duplicate closing vertex must not change even-odd membership
+    val pts = Seq(
+      (1.0, 4.0, true), (5.0, 4.0, true), (3.0, 4.0, false),
+      (3.0, 1.0, true), (7.0, 1.0, false),
+    ).toDF("x", "y", "expected")
+    val out = pts.crossJoin(parsed)
+      .withColumn("got", PointInPolygon(col("x"), col("y"), col("xs"), col("ys")))
+      .collect()
+    out.foreach(r => assert(r.getAs[Boolean]("expected") === r.getAs[Boolean]("got"),
+      s"point (${r.getDouble(0)}, ${r.getDouble(1)})"))
+  }
+
   test("space-saving topk: exact under capacity, bounded over capacity") {
     import graft.functions.TopKAgg
     val words = (1 to 100).map(i => s"common$i") ++          // 100 singles

@@ -251,4 +251,40 @@ class StreamingSpec extends SparkSpec {
     val delta = s1 / n1 - s2 / n2
     assert(math.abs(last.delta - delta) < 1e-9, s"delta ${last.delta} vs $delta")
   }
+
+  test("streaming mSPRT monitor drops events for already-finalized days") {
+    implicit val sqlCtx = spark.sqlContext
+    // same planted-effect layout as the chop spec: 3 days × 48 events
+    val events = (0 until 144).map { i =>
+      val t = ts(i * 30L)
+      val us = t.getTime * 1000L
+      val hour = java.lang.Math.floorDiv(us, 3600000000L)
+      val uid = i % 10L
+      val on = (hour + uid % 10) % 2 == 0
+      Event(i.toLong, t, uid, "click", (if (on) 12.0 else 10.0) + (i % 7) * 0.5)
+    }
+    def run(chunks: Seq[Seq[Event]], name: String): Seq[graft.streaming.MsprtReadout] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.msprtMonitor(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(1440L * 5), 0L, "click", 0.0)) // push watermark past day 3
+      q.processAllAvailable(); q.stop()
+      spark.table(name).as[graft.streaming.MsprtReadout].collect().toSeq
+        .sortBy(r => (r.day.getTime, r.n1))
+    }
+    // chunk 1 reaches into day 3 (max ts 49.5h → watermark 47.5h), so
+    // day 1 (ends 24h) finalizes and emits before the late event lands
+    val head = events.take(100)
+    val late = Event(888L, ts(60L), 3L, "click", 99.0) // deep inside day 1
+    val tail = events.drop(100)
+    val withLate = run(Seq(head, Seq(late), tail), "msprt_late_a")
+    val withoutLate = run(Seq(head, tail), "msprt_late_b")
+    // the late event must be invisible: no duplicate day rows, no moment
+    // drift in any later readout — byte-identical output streams
+    assert(withLate.map(_.day.getTime).distinct.size === withLate.size,
+      "a finalized day re-emitted after a late event")
+    assert(withLate === withoutLate)
+  }
 }
