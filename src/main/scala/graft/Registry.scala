@@ -13,6 +13,8 @@ object Registry {
       operators.Similarity.ops ++
       operators.TextAnalysis.ops ++
       operators.Corpus.ops ++
+      operators.Causal.ops ++
+      operators.Graph.ops ++
       operators.Multimodal.ops ++
       operators.Approx.ops
 

@@ -227,9 +227,13 @@ object Corpus {
     * hash-threshold sampling at these rates.
     */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    // NULLIF guards the digitless-source case in BOTH engines: a bare
+    // CAST('' AS BIGINT) is silent NULL in Spark but a hard Conversion
+    // Error in DuckDB — asymmetric failure modes on unexpected data.
     val perSrc = Tables.documents(spark, dir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("k", regexp_extract(col("source"), "([0-9]+)", 1).cast("long"))
+      .withColumn("k", expr(
+        "coalesce(CAST(nullif(regexp_extract(source, '([0-9]+)', 1), '') AS BIGINT), 0)"))
     val total = perSrc.agg(sum("n_docs").as("total"),
       sum(col("k") + 1).as("w_sum"))
     perSrc.crossJoin(broadcast(total))
@@ -248,7 +252,7 @@ object Corpus {
   private val domainMixOracle =
     s"""WITH persrc AS (
        |  SELECT source, COUNT(*) AS n_docs,
-       |    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS k
+       |    COALESCE(CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '') AS BIGINT), 0) AS k
        |  FROM documents GROUP BY source),
        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, CAST(SUM(k + 1) AS BIGINT) AS w_sum FROM persrc),
        |plan AS (
@@ -436,8 +440,125 @@ object Corpus {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------- TF-IDF
+
+  /** TF-IDF keyword extraction: the top-3 characteristic terms of each
+    * sampled document, scored tf·idf with the sklearn-style smoothed
+    * idf = ln((1+N)/(1+df)) + 1 — the classic "what is this document
+    * about" signal used for topic tagging and mix analysis.
+    *
+    * Document frequencies come from the WHOLE corpus (one explode →
+    * distinct (doc,term) → per-term count — vocabulary-bounded, exactly
+    * the BM25 shuffle shape); only the scored sample (doc_id < 30) pays
+    * the per-doc ranking. idf is a per-term `ln` rounded with the score
+    * at the very end — a single transcendental per output row, no sums
+    * of transcendentals, so no decimal staging is needed.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val docTerm = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = docTerm.filter(col("doc_id") < 30)
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", r6(col("tf") *
+        (log((lit(1L) + col("n_docs")).cast(DoubleType) / (lit(1L) + col("df"))) + 1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfOracle = {
+    val score = rSql("(tf * (ln(CAST(1 + n_docs AS DOUBLE) / (1 + df)) + 1.0))", 6)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |docterm AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM docterm GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df, $score AS score
+       |  FROM docterm JOIN dfreq USING (term) CROSS JOIN n
+       |  WHERE doc_id < 30),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS "rank"
+       |  FROM scored)
+       |SELECT doc_id, "rank", term, tf, df, score
+       |FROM ranked WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin
+  }
+
+  // ------------------------------------------- entropy / KL divergence
+
+  /** Per-source unigram entropy and KL divergence against the corpus
+    * distribution — the domain-shift diagnostic behind training-mix
+    * decisions: low entropy = repetitive/templated source, high KL =
+    * source vocabulary diverges from the corpus at large.
+    *
+    * H(s) = −Σ_t p_ts·ln(p_ts),  KL(s‖corpus) = Σ_t p_ts·ln(p_ts/q_t),
+    * with p from per-source term counts and q from corpus-wide counts.
+    * Both are sums of per-term transcendentals, so each term is
+    * r6-rounded THEN summed in DECIMAL (SURVEY §4 order invariance) —
+    * the q_ngram_lm discipline. Every p_ts > 0 by construction and
+    * q_t > 0 whenever the (s,t) pair exists, so the logs are total.
+    *
+    * Scale: two vocabulary-bounded count tables (|source × term|,
+    * |term|) hash-join on term — AQE broadcasts the corpus side when
+    * small; no driver collection, no raw-row second pass.
+    */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val st = toks.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val corpus = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val corpusTot = corpus.agg(sum("c_t").as("n_tot"))
+    val p = col("c_st").cast(DoubleType) / col("n_s")
+    val q = col("c_t").cast(DoubleType) / col("n_tot")
+    st.join(srcTot, "source").join(corpus, "term")
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"), col("n_s"),
+        r6(-p * log(p)).as("h_term"), r6(p * log(p / q)).as("kl_term"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        sum(col("h_term").cast(d)).cast(DoubleType).as("entropy"),
+        sum(col("kl_term").cast(d)).cast(DoubleType).as("kl_corpus"))
+      .select(col("source"), col("n_tokens"),
+        r4(col("entropy")).as("entropy"), r4(col("kl_corpus")).as("kl_corpus"))
+      .orderBy("source")
+  }
+
+  private val entropyOracle = {
+    val p = "(CAST(c_st AS DOUBLE) / n_s)"
+    val q = "(CAST(c_t AS DOUBLE) / n_tot)"
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+       |st AS (SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+       |srctot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+       |corpus AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+       |corpustot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM corpus),
+       |terms AS (
+       |  SELECT source, n_s,
+       |    ${rSql(s"(-$p * ln($p))", 6)} AS h_term,
+       |    ${rSql(s"($p * ln($p / $q))", 6)} AS kl_term
+       |  FROM st JOIN srctot USING (source) JOIN corpus USING (term)
+       |    CROSS JOIN corpustot)
+       |SELECT source, MAX(n_s) AS n_tokens,
+       |  ${rSql("CAST(SUM(CAST(h_term AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS entropy,
+       |  ${rSql("CAST(SUM(CAST(kl_term AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS kl_corpus
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_bm25", bm25, Some(bm25Oracle)),
+    Op("q_tfidf", tfidf, Some(tfidfOracle)),
+    Op("q_entropy", entropy, Some(entropyOracle)),
     Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
     Op("q_ngram_lm", ngramLm, Some(ngramLmOracle)),
     Op("q_dedup_substring", dedupSubstring, Some(dedupSubstringOracle)),

@@ -483,8 +483,61 @@ object TimeSeries {
        |HAVING SUM(CASE WHEN s1 THEN 1 ELSE 0 END) > 0
        |ORDER BY day""".stripMargin
 
+  /** Day-of-week seasonal decomposition of the daily KPI per
+    * event_type — the weekday-effect profile a switchback analyst
+    * checks before choosing window lengths (weekday confounding is the
+    * reason the reference randomizes over day×hour windows at all).
+    * index = dow_mean / overall_mean of the daily value sum; >1 means
+    * that weekday runs hot. dow is pure integer arithmetic
+    * ((epoch_day + 4) % 7, 0 = Monday — 1970-01-01 was a Thursday), so
+    * both engines bucket identically; daily sums are decimal-exact and
+    * divided in a fixed order.
+    *
+    * Scale: one shuffle to |event_type × day| daily rows, then an
+    * aggregation over ≤7·|event_type| rows — the overall mean rides
+    * along via a window over the tiny dow frame, no second fact pass.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("value").cast(d)).as("day_sum"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+    val byDow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum("day_sum").as("dow_sum"))
+    val w = Window.partitionBy("event_type")
+    val dowMean = col("dow_sum").cast(DoubleType) / col("n_days")
+    val overallMean = sum("dow_sum").over(w).cast(DoubleType) /
+      sum("n_days").over(w)
+    byDow.select(col("event_type"), col("dow"), col("n_days"),
+        r6(dowMean).as("dow_mean"),
+        r6(dowMean / overallMean).as("seasonal_index"))
+      .orderBy("event_type", "dow")
+  }
+
+  private val seasonalityOracle =
+    s"""WITH daily AS (
+       |  SELECT event_type, (epoch_us(date_trunc('day', ts)) // 86400000000) AS day,
+       |    SUM(CAST("value" AS DECIMAL(28,6))) AS day_sum
+       |  FROM events GROUP BY 1, 2),
+       |bydow AS (
+       |  SELECT event_type, (day + 4) % 7 AS dow, COUNT(*) AS n_days,
+       |    SUM(day_sum) AS dow_sum
+       |  FROM daily GROUP BY 1, 2)
+       |SELECT event_type, dow, n_days,
+       |  ${rSql("(CAST(dow_sum AS DOUBLE) / n_days)", 6)} AS dow_mean,
+       |  ${rSql(
+          "((CAST(dow_sum AS DOUBLE) / n_days) / (CAST(SUM(dow_sum) OVER (PARTITION BY event_type) AS DOUBLE) / SUM(n_days) OVER (PARTITION BY event_type)))",
+          6)} AS seasonal_index
+       |FROM bydow ORDER BY event_type, dow""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_acf", acf, Some(acfOracle)),
+    Op("q_seasonality", seasonality, Some(seasonalityOracle)),
     Op("q_window_range", windowRange, Some(windowRangeOracle)),
     Op("q_scd2", scd2, Some(scd2Oracle)),
     Op("q_retention", retention, Some(retentionOracle)),

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators pinned against independent plain-Scala
+  * computations: DiD / covariate-OLS (Causal.scala), day-of-week
+  * seasonality (TimeSeries.scala), TF-IDF / entropy (Corpus.scala)
+  * and PageRank (Graph.scala). */
+class CausalGraphSpec extends SparkSpec {
+
+  private def r6d(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+
+  /** The switchback assignment, replicated from collected rows. */
+  private def isOn(ts: java.sql.Timestamp, userId: Long): Boolean = {
+    val hour = java.lang.Math.floorDiv(ts.getTime * 1000L, 3600000000L)
+    (hour + userId % 10) % 2 == 0
+  }
+
+  test("DiD matches an independent four-cell computation") {
+    val out = Registry.byName("q_did").fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select("event_type", "ts", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val days = rows.map { case (_, ts, _, _) =>
+      java.lang.Math.floorDiv(ts.getTime * 1000L, 86400000000L) }
+    val mid = (days.min + days.max + 1) / 2
+    val byType = rows.groupBy(_._1)
+    assert(out.nonEmpty && out.keySet == byType.keySet)
+    byType.foreach { case (et, evs) =>
+      def cellMean(on: Boolean, post: Boolean): Double = {
+        val vs = evs.filter { case (_, ts, uid, _) =>
+          isOn(ts, uid) == on &&
+            (java.lang.Math.floorDiv(ts.getTime * 1000L, 86400000000L) >= mid) == post
+        }.map(_._4)
+        vs.sum / vs.size
+      }
+      val did = (cellMean(on = true, post = true) - cellMean(on = true, post = false)) -
+        (cellMean(on = false, post = true) - cellMean(on = false, post = false))
+      assert(math.abs(out(et).getAs[Double]("did") - did) < 1e-4,
+        s"$et: ${out(et).getAs[Double]("did")} vs $did")
+      // t-stat is did/se of the same row (within the two roundings)
+      val r = out(et)
+      assert(math.abs(r.getAs[Double]("t_stat") -
+        r.getAs[Double]("did") / r.getAs[Double]("se")) < 1e-3)
+    }
+  }
+
+  test("covariate OLS matches an independent normal-equations solve") {
+    val out = Registry.byName("q_ols_multi").fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select("event_type", "ts", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (et, evs) =>
+      val x = evs.map { case (_, ts, uid, v) =>
+        (1.0, if (isOn(ts, uid)) 1.0 else 0.0, (uid % 10).toDouble, v) }
+      val n = x.size.toDouble
+      // accumulate XtX / Xty
+      val m = Array.ofDim[Double](3, 3); val b = new Array[Double](3)
+      x.foreach { case (c0, c1, c2, y) =>
+        val v = Array(c0, c1, c2)
+        for (i <- 0 until 3; j <- 0 until 3) m(i)(j) += v(i) * v(j)
+        for (i <- 0 until 3) b(i) += v(i) * y
+      }
+      // Cramer
+      def det(a: Array[Array[Double]]): Double =
+        a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+          a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+          a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+      val d0 = det(m)
+      def repl(k: Int): Array[Array[Double]] = {
+        val c = m.map(_.clone); for (i <- 0 until 3) c(i)(k) = b(i); c
+      }
+      val beta = (0 until 3).map(k => det(repl(k)) / d0)
+      val r = out(et)
+      assert(math.abs(r.getAs[Double]("beta0") - beta(0)) < 1e-4, s"$et beta0")
+      assert(math.abs(r.getAs[Double]("beta_treat") - beta(1)) < 1e-4, s"$et beta1")
+      assert(math.abs(r.getAs[Double]("beta_x") - beta(2)) < 1e-4, s"$et beta2")
+      assert(r.getAs[Long]("n") === x.size.toLong)
+    }
+  }
+
+  test("seasonality indexes weight-average to 1 per event_type") {
+    val out = Registry.byName("q_seasonality").fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
+      assert(rows.map(_.getAs[Long]("dow")).toSet.subsetOf((0L to 6L).toSet))
+      val w = rows.map(_.getAs[Long]("n_days").toDouble)
+      val idx = rows.map(_.getAs[Double]("seasonal_index"))
+      val dm = rows.map(_.getAs[Double]("dow_mean"))
+      // Σ n·mean / Σ n = overall mean ⇒ the n-weighted index mean is 1
+      val avgIdx = idx.zip(w).map { case (i, wt) => i * wt }.sum / w.sum
+      assert(math.abs(avgIdx - 1.0) < 1e-3, s"$et: $avgIdx")
+      assert(dm.forall(_ > 0.0))
+    }
+  }
+
+  test("tfidf ranks are per-doc descending and scores check out") {
+    val out = Registry.byName("q_tfidf").fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Double]("score")) ===
+        byRank.map(_.getAs[Double]("score")).sorted.reverse)
+      byRank.foreach { r =>
+        val expected = r6d(r.getAs[Long]("tf") *
+          (math.log((1.0 + nDocs) / (1 + r.getAs[Long]("df"))) + 1.0))
+        assert(math.abs(r.getAs[Double]("score") - expected) < 1e-9)
+      }
+    }
+  }
+
+  test("entropy is non-negative and KL(corpus source) is Gibbs-bounded") {
+    val out = Registry.byName("q_entropy").fn(spark, sfDir).collect()
+    assert(out.size >= 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("entropy") >= 0.0)
+      // KL ≥ 0 up to the per-term 1e-6 rounding budget
+      assert(r.getAs[Double]("kl_corpus") >= -0.01,
+        s"${r.getAs[String]("source")}: KL ${r.getAs[Double]("kl_corpus")}")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
+  test("pagerank matches an independent BigDecimal replay exactly") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // rebuild the ring+spoke edge set
+    val edges = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val ids = ds.map(_._1).sorted.toSeq
+      val hub = ids.head
+      val ring = ids.zip(ids.tail :+ hub).filter { case (a, b) => a != b }
+      val spokes = ids.filter(_ != hub).map(_ -> hub)
+      (ring ++ spokes).distinct
+    }
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val n = docs.length
+    var pr: Map[Long, Double] = docs.map(d => d._1 -> r6d(1.0 / n)).toMap
+    for (_ <- 1 to 5) {
+      val sums = edges
+        .map { case (s, dst) => dst -> BigDecimal(r6d(pr(s) / outDeg(s))) }
+        .groupBy(_._1).map { case (dst, cs) => dst -> cs.map(_._2).sum.toDouble }
+      pr = docs.map { d =>
+        d._1 -> r6d(0.15 / n + 0.85 * sums.getOrElse(d._1, 0.0)) }.toMap
+    }
+    val expectedTop = pr.toSeq.sortBy { case (id, p) => (-p, id) }.take(20)
+    val got = Registry.byName("q_pagerank").fn(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("pr")))
+    assert(got.toSeq === expectedTop, s"got ${got.toSeq}\nexp $expectedTop")
+    // hubs dominate: every source hub outranks its spokes
+    val hubs = docs.groupBy(_._2).map { case (_, ds) => ds.map(_._1).min }.toSet
+    assert(expectedTop.take(5).forall { case (id, _) => hubs.contains(id) })
+  }
+}
