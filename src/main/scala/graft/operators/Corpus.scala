@@ -555,10 +555,102 @@ object Corpus {
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------ BPE pair counting
+
+  /** The inner loop of distributed BPE tokenizer training: count every
+    * adjacent character pair inside every word across the corpus and
+    * rank the merge candidates — iteration 1 of the merge loop (Sennrich
+    * et al.; real training re-runs this after applying each merge).
+    *
+    * One explode → groupBy on a pair-alphabet-bounded key; the top-20
+    * readout is TakeOrderedAndProject with a total-order tie-break
+    * (count desc, pair asc), so no global sort and no ambiguity.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  private val bpePairsOracle =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+      |    i -> substring(word, i, 2))) AS pair
+      |  FROM words WHERE length(word) >= 2)
+      |SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY 1
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- PMI collocations
+
+  /** Pointwise-mutual-information collocation mining: adjacent word
+    * pairs that co-occur far more than their unigram frequencies
+    * predict — the phrase/multi-word-token discovery pass (Mikolov-
+    * style phrase building) run before vocabulary induction.
+    * pmi = ln(c₁₂·N / (c₁·c₂)), minimum support 5, top-20.
+    *
+    * Every factor is promoted to double BEFORE multiplying (fixed
+    * order, both engines) so counts can exceed 2^31.5 without integer
+    * overflow; the ranking key is the 1e-6-rounded pmi with a
+    * total-order tie-break. Vocabulary-bounded joins; corpus totals
+    * ride a one-row broadcast.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(explode(split(col("text"), " ")).as("word"))
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val bi = docs.select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val pmi = expr("ln((CAST(c12 AS DOUBLE) * CAST(n_tok AS DOUBLE)) / " +
+      "(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))")
+    bi.join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("c12"), r6(pmi).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val pmiOracle = {
+    val pmi = "ln((CAST(c12 AS DOUBLE) * CAST(n_tok AS DOUBLE)) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))"
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |uni AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1),
+       |ntok AS (SELECT COUNT(*) AS n_tok FROM toks),
+       |bi AS (
+       |  SELECT bg.w1 AS w1, bg.w2 AS w2 FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+       |      i -> {'w1': string_split(text, ' ')[i], 'w2': string_split(text, ' ')[i+1]})) AS bg
+       |    FROM documents WHERE len(string_split(text, ' ')) >= 2)),
+       |bic AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+       |SELECT w1, w2, c12, ${rSql(pmi, 6)} AS pmi
+       |FROM bic
+       |JOIN (SELECT word AS w1, c AS c1 FROM uni) USING (w1)
+       |JOIN (SELECT word AS w2, c AS c2 FROM uni) USING (w2)
+       |CROSS JOIN ntok
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_bm25", bm25, Some(bm25Oracle)),
     Op("q_tfidf", tfidf, Some(tfidfOracle)),
     Op("q_entropy", entropy, Some(entropyOracle)),
+    Op("q_bpe_pairs", bpePairs, Some(bpePairsOracle)),
+    Op("q_pmi", pmiCollocations, Some(pmiOracle)),
     Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
     Op("q_ngram_lm", ngramLm, Some(ngramLmOracle)),
     Op("q_dedup_substring", dedupSubstring, Some(dedupSubstringOracle)),

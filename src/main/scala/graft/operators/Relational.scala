@@ -604,6 +604,73 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_priority, status, priority""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * exactly the marginals a dashboard needs ((status,priority),
+    * (priority), ()) and nothing else, via Spark 4's native
+    * Dataset.groupingSets. Same one-pass map-side expansion as
+    * rollup/cube: the shuffle carries |sets|× the group cardinality,
+    * not |sets|× the data. grouping() flags disambiguate subtotal rows
+    * from real NULL groups. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"), col("revenue"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+
+  private val groupingSetsOracle =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
+  /** UNPIVOT (melt) — the wide→long inverse of [[pivotMetrics]], via
+    * Spark's native Dataset.unpivot (Catalyst Expand, one pass, no
+    * per-metric scans): a per-group metrics row becomes (group, metric,
+    * value) tall rows, the shape BI feeds and metric stores ingest.
+    * The oracle states the same melt as a stacked UNION ALL — a
+    * different formulation proving unpivot is implementation-invisible. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(DoubleType).as("n_events"),
+        sumMoney(col("value")).as("sum_value"),
+        r4(max("value")).as("max_value"))
+    wide.unpivot(
+        Array(col("event_type")),
+        Array(col("n_events"), col("sum_value"), col("max_value")),
+        "metric", "value")
+      .orderBy("event_type", "metric")
+  }
+
+  private val unpivotOracle =
+    """WITH wide AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_events,
+      |    CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |    (sign(MAX("value")) * floor(abs(MAX("value")) * 1e4 + 0.5) / 1e4) AS max_value
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, metric, "value" FROM (
+      |  SELECT event_type, 'n_events' AS metric, n_events AS "value" FROM wide
+      |  UNION ALL
+      |  SELECT event_type, 'sum_value', sum_value FROM wide
+      |  UNION ALL
+      |  SELECT event_type, 'max_value', max_value FROM wide)
+      |ORDER BY event_type, metric""".stripMargin
+
   /** Semi-join through the bloom-filter reduction
     * ([[graft.functions.Bloom.bloomSemiJoin]]): orders of high-balance
     * customers, but the fact side is pre-filtered SCAN-LOCALLY by a
@@ -767,6 +834,8 @@ object Relational {
     Op("q_topn_native", topNNative, Some(topNNativeOracle)),
     Op("q_rollup", rollupAgg, Some(rollupAggOracle)),
     Op("q_cube", cubeAgg, Some(cubeAggOracle)),
+    Op("q_grouping_sets", groupingSetsAgg, Some(groupingSetsOracle)),
+    Op("q_unpivot", unpivotMetrics, Some(unpivotOracle)),
     Op("q_bloom_semi", bloomSemi, Some(bloomSemiOracle)),
     Op("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Op("q_set_ops", setOps, Some(setOpsOracle)),

@@ -125,6 +125,71 @@ class CausalGraphSpec extends SparkSpec {
     }
   }
 
+  test("unpivot melts exactly 3 metric rows per group, values preserved") {
+    val out = Registry.byName("q_unpivot").fn(spark, sfDir).collect()
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    byType.foreach { case (et, rows) =>
+      assert(rows.map(_.getAs[String]("metric")).sorted.toSeq ===
+        Seq("max_value", "n_events", "sum_value"), s"$et")
+    }
+    // n_events round-trips the plain count
+    val counts = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.filter(_.getAs[String]("metric") == "n_events").foreach { r =>
+      assert(r.getAs[Double]("value") ===
+        counts(r.getAs[String]("event_type")).toDouble)
+    }
+  }
+
+  test("grouping sets emit exactly the requested marginals, consistently") {
+    val out = Registry.byName("q_grouping_sets").fn(spark, sfDir).collect()
+    val detail = out.filter(r => r.getAs[Long]("g_status") == 0 && r.getAs[Long]("g_priority") == 0)
+    val byPrio = out.filter(r => r.getAs[Long]("g_status") == 1 && r.getAs[Long]("g_priority") == 0)
+    val grand = out.filter(r => r.getAs[Long]("g_status") == 1 && r.getAs[Long]("g_priority") == 1)
+    assert(out.length === detail.length + byPrio.length + grand.length,
+      "only the three requested sets may appear")
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n") === detail.map(_.getAs[Long]("n")).sum)
+    // every priority marginal equals the sum of its detail rows
+    byPrio.foreach { p =>
+      val prio = p.getAs[String]("priority")
+      assert(p.getAs[Long]("n") ===
+        detail.filter(_.getAs[String]("priority") == prio).map(_.getAs[Long]("n")).sum)
+    }
+  }
+
+  test("bpe pairs are 2-char, ranked, and match a direct recount") {
+    val rows = Registry.byName("q_bpe_pairs").fn(spark, sfDir).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.toSeq === cnts.sorted.reverse.toSeq)
+    // independent recount of the top pair
+    val words = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.length >= 2)
+    val top = rows.head.getAs[String]("pair")
+    val expected = words.map(w => w.sliding(2).count(_ == top)).sum
+    assert(rows.head.getAs[Long]("cnt") === expected.toLong)
+  }
+
+  test("pmi collocations respect min support and the pmi formula") {
+    val rows = Registry.byName("q_pmi").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("c12") >= 5))
+    val toks = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+    val uni = toks.groupBy(identity).map { case (w, ws) => w -> ws.length }
+    val n = toks.length.toDouble
+    rows.foreach { r =>
+      val expect = r6d(math.log(
+        r.getAs[Long]("c12").toDouble * n /
+          (uni(r.getAs[String]("w1")).toDouble * uni(r.getAs[String]("w2")).toDouble)))
+      assert(math.abs(r.getAs[Double]("pmi") - expect) < 1e-9,
+        s"${r.getAs[String]("w1")} ${r.getAs[String]("w2")}")
+    }
+  }
+
   test("pagerank matches an independent BigDecimal replay exactly") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source").collect()
