@@ -214,8 +214,84 @@ object Similarity {
        |FROM raw ORDER BY vec_id""".stripMargin
   }
 
+  /** Per-label embedding centroids + cluster cohesion — the
+    * class-prototype pass behind centroid classifiers, cluster quality
+    * monitoring, and IVF coarse-quantizer seeding: element-wise mean
+    * vector per label, its norm, and the mean cosine of members to
+    * their own centroid.
+    *
+    * Determinism: each float element is widened to double and
+    * r6-rounded, component sums run in DECIMAL (order-invariant),
+    * centroid components re-round — so the centroid lives on the 1e-6
+    * grid and every later fold (norm, dot) is a fixed-order double
+    * chain both engines replay exactly; member cosines r6-round before
+    * the decimal cohesion mean.
+    *
+    * Scale: one posexplode shuffle to |labels|·dims component rows,
+    * centroids re-assembled with sort_array(collect_list) on the TINY
+    * (labels × dims) frame and broadcast back — the member pass is
+    * scan-local. No driver state.
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d = DecimalType(28, 6)
+    val emb = Tables.embeddings(spark, dir)
+    val comp = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(r6(col("v").cast(DoubleType)).cast(d)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        r6(col("s").cast(DoubleType) / col("n")).as("m"))
+    val cent = comp.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("carr"))
+      .withColumn("c_nrm", expr(
+        "sqrt(aggregate(carr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+    val cos = expr(
+      """(aggregate(zip_with(embedding, carr, (x, y) -> CAST(x AS DOUBLE) * y),
+        |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (v_nrm * c_nrm))""".stripMargin)
+    emb.withColumn("v_nrm", VectorFunctions.norm(col("embedding")))
+      .join(broadcast(cent), "label")
+      .select(col("label"), col("c_nrm"), r6(cos).as("cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(max("c_nrm")).as("centroid_norm"),
+        r4(sum(col("cos").cast(d)).cast(DoubleType) / count(lit(1))).as("cohesion"))
+      .orderBy("label")
+  }
+
+  private val embedCentroidsOracle = {
+    val vExpr = "CAST(embedding[i] AS DOUBLE)"
+    val dot = "list_sum(list_transform(list_zip(embedding, carr), x -> CAST(x[1] AS DOUBLE) * x[2]))"
+    s"""WITH comp AS (
+       |  SELECT label, u.pos,
+       |    ${rSql("(CAST(SUM(CAST(u.rv AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 6)} AS m
+       |  FROM embeddings,
+       |    LATERAL (SELECT unnest(list_transform(generate_series(1, len(embedding)),
+       |      i -> {'pos': i - 1, 'rv': ${rSql(vExpr, 6)}})) AS u)
+       |  GROUP BY label, u.pos),
+       |cent AS (
+       |  SELECT label, list(m ORDER BY pos) AS carr FROM comp GROUP BY label),
+       |cent2 AS (
+       |  SELECT label, carr,
+       |    sqrt(list_sum(list_transform(carr, x -> x * x))) AS c_nrm
+       |  FROM cent),
+       |scored AS (
+       |  SELECT e.label, c.c_nrm,
+       |    ${rSql(
+            s"($dot / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c_nrm))",
+            6)} AS cos
+       |  FROM embeddings e JOIN cent2 c ON e.label = c.label)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  ${rSql("MAX(c_nrm)", 6)} AS centroid_norm,
+       |  ${rSql("(CAST(SUM(CAST(cos AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 4)} AS cohesion
+       |FROM scored GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_knn_cosine", knnCosine, Some(knnCosineOracle), headline = true),
+    Op("q_embed_centroids", embedCentroids, Some(embedCentroidsOracle)),
     Op("q_ann_lsh", annLsh, None),
     Op("q_ann_ivf", annIvf, None),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),

@@ -190,6 +190,39 @@ class CausalGraphSpec extends SparkSpec {
     }
   }
 
+  test("embed centroids match an independent replay (cohesion exact)") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val out = Registry.byName("q_embed_centroids").fn(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    rows.groupBy(_._1).foreach { case (label, vs) =>
+      val dims = vs.head._2.length
+      val n = vs.length
+      val cent = (0 until dims).map { i =>
+        val s = vs.map(v => BigDecimal(r6d(v._2(i).toDouble))).sum
+        r6d(s.toDouble / n)
+      }.toArray
+      val cNrm = math.sqrt(cent.foldLeft(0.0)((a, x) => a + x * x))
+      val cohesion = {
+        val coss = vs.map { case (_, v) =>
+          var dot = 0.0; var nv = 0.0
+          for (i <- 0 until dims) {
+            dot += v(i).toDouble * cent(i); nv += v(i).toDouble * v(i).toDouble
+          }
+          BigDecimal(r6d(dot / (math.sqrt(nv) * cNrm)))
+        }
+        val m = coss.sum.toDouble / n
+        math.signum(m) * math.floor(math.abs(m) * 1e4 + 0.5) / 1e4
+      }
+      val r = out(label)
+      assert(r.getAs[Long]("n_vecs") === n.toLong)
+      assert(math.abs(r.getAs[Double]("centroid_norm") - r6d(cNrm)) < 1e-9, s"label $label norm")
+      assert(r.getAs[Double]("cohesion") === cohesion, s"label $label cohesion")
+      assert(r.getAs[Double]("cohesion") > 0.0 && r.getAs[Double]("cohesion") <= 1.0)
+    }
+  }
+
   test("pagerank matches an independent BigDecimal replay exactly") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source").collect()
