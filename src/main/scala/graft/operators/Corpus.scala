@@ -645,12 +645,74 @@ object Corpus {
        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------- Zipf-slope fit
+
+  /** Zipf rank-frequency fit per source: OLS slope of ln(freq) on
+    * ln(rank) over the top-100 terms — the vocabulary-health
+    * diagnostic (natural text sits near slope −1; templated/generated
+    * text flattens or steepens, a cheap corpus-quality tripwire).
+    *
+    * Ranks come from a per-source window over the VOCABULARY table
+    * (|source × term| rows, never raw tokens) with a total-order
+    * tie-break; ln(rank)/ln(freq) are logs of integers so both engines
+    * compute identical doubles, each moment term is r6-rounded then
+    * decimal-summed (SURVEY §4), and the closed-form slope/intercept
+    * divide once in a fixed expression order.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("term"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byRank))
+      .filter(col("rk") <= 100)
+      .select(col("source"),
+        log(col("rk").cast(DoubleType)).as("x"),
+        log(col("cnt").cast(DoubleType)).as("y"))
+    def ds(c: Column): Column = sum(r6(c).cast(d)).cast(DoubleType)
+    val m = ranked.groupBy("source").agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      ds(col("x")).as("sx"), ds(col("y")).as("sy"),
+      ds(col("x") * col("y")).as("sxy"), ds(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("source"), col("n").cast("long").as("n_terms"),
+        r4(slope).as("zipf_slope"),
+        r4((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+      .orderBy("source")
+  }
+
+  private val zipfOracle = {
+    def ds(e: String) = s"CAST(SUM(CAST(${rSql(e, 6)} AS DECIMAL(28,6))) AS DOUBLE)"
+    val slope = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+       |vocab AS (SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT source, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       |  FROM (SELECT source, cnt, ROW_NUMBER() OVER (PARTITION BY source
+       |          ORDER BY cnt DESC, term) AS rk FROM vocab)
+       |  WHERE rk <= 100),
+       |m AS (
+       |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${ds("x")} AS sx, ${ds("y")} AS sy,
+       |    ${ds("(x * y)")} AS sxy, ${ds("(x * x)")} AS sxx
+       |  FROM ranked GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n_terms,
+       |  ${rSql(slope, 4)} AS zipf_slope,
+       |  ${rSql(s"((sy - $slope * sx) / n)", 4)} AS intercept
+       |FROM m ORDER BY source""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_bm25", bm25, Some(bm25Oracle)),
     Op("q_tfidf", tfidf, Some(tfidfOracle)),
     Op("q_entropy", entropy, Some(entropyOracle)),
     Op("q_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     Op("q_pmi", pmiCollocations, Some(pmiOracle)),
+    Op("q_zipf", zipfFit, Some(zipfOracle)),
     Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
     Op("q_ngram_lm", ngramLm, Some(ngramLmOracle)),
     Op("q_dedup_substring", dedupSubstring, Some(dedupSubstringOracle)),

@@ -190,6 +190,34 @@ class CausalGraphSpec extends SparkSpec {
     }
   }
 
+  test("zipf slope matches an independent replay and sits near -1") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val out = Registry.byName("q_zipf").fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val counts = ds.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, ws) => w -> ws.length }.toSeq
+      val top = counts.sortBy { case (w, c) => (-c, w) }.take(100)
+      val pts = top.zipWithIndex.map { case ((_, c), i) =>
+        (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val n = pts.size.toDouble
+      def dsum(f: ((Double, Double)) => Double): Double =
+        pts.map(p => BigDecimal(r6d(f(p)))).sum.toDouble
+      val (sx, sy) = (dsum(_._1), dsum(_._2))
+      val sxy = dsum(p => p._1 * p._2); val sxx = dsum(p => p._1 * p._1)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val r = out(src)
+      assert(r.getAs[Long]("n_terms") === pts.size.toLong)
+      val got = r.getAs[Double]("zipf_slope")
+      assert(math.abs(got -
+        math.signum(slope) * math.floor(math.abs(slope) * 1e4 + 0.5) / 1e4) < 1e-12,
+        s"$src: $got vs $slope")
+      assert(got < 0.0, s"$src slope must be negative, got $got")
+    }
+  }
+
   test("embed centroids match an independent replay (cohesion exact)") {
     val rows = Tables.embeddings(spark, sfDir)
       .select("label", "embedding").collect()
