@@ -11,17 +11,28 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native MinHash sketching over a token array.
   *
   * `minhashSketch(toks)` emits 17 longs: 16 minhash values — one per
-  * permutation h_i(s) = (a_i·murmur3(s) + b_i) mod p over the doc's
+  * permutation h_i(s) = (a_i·H(s) + b_i) mod p over the doc's
   * word-bigram shingles — plus the distinct-shingle count. Equivalent
   * to explode-shingles → groupBy(doc) → 16×min() + count(), but as a
   * single per-row kernel: the sketch is computed at scan time with NO
   * shuffle, which is the difference between shuffling every shingle of
-  * 100 TB and shuffling 136 bytes per document. Murmur3 (seed 42)
-  * matches Spark's `hash()` so results are identical to the composed
-  * plan.
+  * 100 TB and shuffling 136 bytes per document.
+  *
+  * The base shingle hash H is a PORTABLE polynomial hash over the
+  * string's characters, h ← (h·1000003 + codepoint) mod p, h₀ = 7 —
+  * chosen over murmur3 deliberately: DuckDB can replay it verbatim
+  * (list_reduce over ascii(substring(...))), which upgrades every
+  * operator built on these kernels from rows-only to fully
+  * oracle-backed. The hash enters min() and set-membership only, so
+  * its (slightly weaker) avalanche behavior costs nothing: minima of
+  * any fixed injective-enough map of distinct shingles are equally
+  * valid MinHash estimators, and collisions (~n²/2³² per doc) merely
+  * merge two shingles IDENTICALLY in both engines.
   */
 object HashFunctions {
   val P: Long = 2147483647L
+  val PolyMul: Long = 1000003L
+  val PolySeed: Long = 7L
   val NumPerms = 16
   private val space = UTF8String.fromString(" ")
 
@@ -31,6 +42,36 @@ object HashFunctions {
 
   private val permA: Array[Long] = perms.map(_._1)
   private val permB: Array[Long] = perms.map(_._2)
+
+  /** Portable polynomial string hash in [0, P): identical to DuckDB's
+    * `list_reduce(list_prepend(7, list_transform(range(1, len(s)+1),
+    * i -> ascii(substring(s, i, 1)))), (h, c) -> (h*1000003 + c) % P)`.
+    * Iterates Java chars = BMP code points — the corpus is ASCII, and
+    * any non-BMP divergence would only re-bucket a shingle the same
+    * way on the Spark side of every operator that uses it. */
+  def polyHash(s: UTF8String): Long = polyHashWith(s, PolySeed, PolyMul)
+
+  def polyHashWith(s: UTF8String, seed: Long, mul: Long): Long = {
+    val str = s.toString
+    var h = seed
+    var i = 0
+    while (i < str.length) {
+      h = (h * mul + str.charAt(i).toLong) % P
+      i += 1
+    }
+    h
+  }
+
+  /** The same hash as DuckDB SQL text, for oracle construction. */
+  def polyHashSql(e: String, seed: Long = PolySeed, mul: Long = PolyMul): String =
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
+      s"list_transform(range(1, len($e) + 1), ch_i -> CAST(ascii(substring($e, ch_i, 1)) AS BIGINT))), " +
+      s"(ph_h, ph_c) -> (ph_h * $mul + ph_c) % $P)"
+
+  /** Column form of [[polyHashWith]] — a codegen'd scalar kernel for
+    * per-token hashing (SimHash bit sources etc.). */
+  def polyHashCol(s: Column, seed: Long, mul: Long): Column =
+    Bridge.column(PolyHashExpr(Bridge.expression(s), seed, mul))
 
   def sketch(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
@@ -44,10 +85,7 @@ object HashFunctions {
     var i = 0
     while (i < n - 1) {
       val shingle = UTF8String.concat(toks.getUTF8String(i), space, toks.getUTF8String(i + 1))
-      // identical to Spark's hash(shingle): Murmur3 seed 42 over UTF8 bytes
-      val h32 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes(shingle.getBaseObject, shingle.getBaseOffset, shingle.numBytes(), 42)
-      val key = h32.toLong
+      val key = polyHash(shingle) // portable base hash in [0, P)
       var slot = (key.toInt & (cap - 1))
       var fresh = false
       var probing = true
@@ -59,10 +97,9 @@ object HashFunctions {
       }
       if (fresh) {
         distinct += 1
-        val h = java.lang.Math.floorMod(key, P)
         var j = 0
         while (j < NumPerms) {
-          val v = java.lang.Math.floorMod(h * permA(j) + permB(j), P)
+          val v = (key * permA(j) + permB(j)) % P // key,a < 2^31: no overflow
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -79,17 +116,18 @@ object HashFunctions {
     new GenericArrayData(out)
   }
 
-  /** Distinct shingles deduplicate by 32-bit murmur3 here; the composed
-    * plan dedupes by full string. A 32-bit collision inside one doc
-    * would differ — ~n²/2³³ per doc, negligible, and both sides of the
-    * operator use the same sketch so results stay self-consistent. */
+  /** Distinct shingles deduplicate by the polynomial hash here; the
+    * composed plan dedupes by full string. A collision inside one doc
+    * (~n²/2³² per doc, negligible) merges two shingles the same way in
+    * both engines, so results stay self-consistent AND oracle-equal. */
   def minhashSketch(toks: Column): Column =
     Bridge.column(MinHashSketchExpr(Bridge.expression(toks)))
 
   /** Distinct word-bigram shingle hashes of a token array (the verify
-    * side of MinHash dedup): one native pass, emitting int32 murmur3
-    * values — joins on 4-byte keys instead of re-materialized shingle
-    * strings. Dedup discipline matches [[sketch]] (32-bit hash). */
+    * side of MinHash dedup): one native pass emitting the portable
+    * polynomial hashes — joins on 8-byte keys instead of
+    * re-materialized shingle strings, and DuckDB rebuilds the same
+    * values with list functions. Dedup discipline matches [[sketch]]. */
   def shingleHashes(toks: Column): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(toks)))
 
@@ -98,14 +136,12 @@ object HashFunctions {
     var cap = Integer.highestOneBit(math.max(4, n) * 4 - 1) << 1
     val table = new Array[Long](cap)
     java.util.Arrays.fill(table, Long.MinValue)
-    val out = new Array[Int](math.max(0, n - 1))
+    val out = new Array[Long](math.max(0, n - 1))
     var m = 0
     var i = 0
     while (i < n - 1) {
       val shingle = UTF8String.concat(toks.getUTF8String(i), space, toks.getUTF8String(i + 1))
-      val h32 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes(shingle.getBaseObject, shingle.getBaseOffset, shingle.numBytes(), 42)
-      val key = h32.toLong
+      val key = polyHash(shingle)
       var slot = (key.toInt & (cap - 1))
       var fresh = false
       var probing = true
@@ -115,15 +151,26 @@ object HashFunctions {
         else if (cur == key) probing = false
         else slot = (slot + 1) & (cap - 1)
       }
-      if (fresh) { out(m) = h32; m += 1 }
+      if (fresh) { out(m) = key; m += 1 }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 }
 
+case class PolyHashExpr(child: Expression, seed: Long, mul: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any): Any =
+    HashFunctions.polyHashWith(a.asInstanceOf[UTF8String], seed, mul)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.HashFunctions.polyHashWith($a, ${seed}L, ${mul}L)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(a: Any): Any =
     HashFunctions.shingleHashArray(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -95,9 +95,13 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash + LSH banding near-dup candidates (the 100 TB path).
-    * 16 permutations h_i(s) = (a_i·murmur3(s) + b_i) mod p, banded 4×4;
-    * docs sharing any band bucket are candidates, then verified by true
-    * Jaccard. murmur3 (Spark `hash`) isn't portable SQL → rows-only. */
+    * 16 permutations h_i(s) = (a_i·H(s) + b_i) mod p over word-bigram
+    * shingles, banded 4×4; docs sharing any band bucket are candidates,
+    * then verified by true Jaccard. H is the portable polynomial hash
+    * (HashFunctions.polyHash) and band buckets fold with plain integer
+    * arithmetic, so the ENTIRE pipeline — sketch, banding, candidate
+    * join, verify — is replayed verbatim by the DuckDB oracle:
+    * LSH pruning included, not just the verified survivors. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFunctions
     val docs = corpus(spark, dir)
@@ -118,14 +122,18 @@ object Dedup {
     // of that trade at any scale.
     sig.count()
     // 4 bands of 4 rows via one explode. The (band, 4 minhash values)
-    // tuple is folded into ONE 64-bit xxhash64 bucket key: an 8-byte
-    // join/shuffle key instead of a ~40-byte "v1:v2:v3:v4" string —
-    // less shuffle volume and cheaper hash/compare on the 4n-row band
-    // table, which at 100 TB is the largest thing this operator
-    // shuffles. A 64-bit collision only ADDS a candidate pair, which
-    // the true-Jaccard verify below filters — correctness unaffected.
+    // tuple is folded into ONE 64-bit bucket key by plain base-31
+    // integer arithmetic (values < 2^31 keep the fold < 2^47 — exact):
+    // an 8-byte join/shuffle key instead of a ~40-byte "v1:v2:v3:v4"
+    // string — less shuffle volume and cheaper hash/compare on the
+    // 4n-row band table, which at 100 TB is the largest thing this
+    // operator shuffles — and, unlike xxhash64, a fold DuckDB replays
+    // with the same arithmetic. The fold is injective enough here
+    // (collisions only ADD candidates, which the true-Jaccard verify
+    // filters), and bucket keys stay minhash-uniform for the shuffle.
     val bandStructs = (0 until 4).map { bnd =>
-      xxhash64(lit(bnd) +: (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*)
+      (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
+        (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
     }
     val bands = sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
       explode(array(bandStructs: _*)).as("bucket"))
@@ -176,14 +184,89 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** 64-bit SimHash near-dup: per-token murmur3-derived bit votes →
-    * signature; candidates via 4×16-bit band buckets; emit pairs with
-    * Hamming distance ≤ 6. Rows-only (murmur3 basis). */
+  /** CTE text replaying sketch+banding for one doc set: docsh_N
+    * (distinct shingle hashes), sig_N (sz + 16 minhashes), bands_N
+    * (4 folded band buckets per doc). Mirrors HashFunctions.sketch and
+    * the base-31 band fold exactly. */
+  private def minhashCtes(tag: String, srcSql: String): String = {
+    import graft.functions.HashFunctions.{P, perms, polyHashSql}
+    val mh = perms.map { case (a, b) =>
+      s"COALESCE(list_min(list_transform(dh, mh_h -> (mh_h * $a + $b) % $P)), -1)"
+    }.mkString(",\n      ")
+    val buckets = (0 until 4).map { bnd =>
+      (0 until 4).foldLeft(s"CAST($bnd AS BIGINT)")(
+        (acc, r) => s"($acc * 31 + mh[${bnd * 4 + r + 1}])")
+    }.mkString(", ")
+    s"""docsh_$tag AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+       |      sh_i -> string_split(text, ' ')[sh_i] || ' ' || string_split(text, ' ')[sh_i + 1]),
+       |    sh_s -> ${polyHashSql("sh_s")})) AS dh
+       |  FROM $srcSql),
+       |sig_$tag AS (
+       |  SELECT doc_id, dh, len(dh) AS sz,
+       |    [$mh] AS mh
+       |  FROM docsh_$tag),
+       |bands_$tag AS (
+       |  SELECT doc_id, sz, unnest([$buckets]) AS bucket FROM sig_$tag)""".stripMargin
+  }
+
+  private val dedupMinhashOracle = {
+    val jac = "(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter))"
+    s"""WITH corpus AS $corpusSql,
+       |${minhashCtes("c", "corpus")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, a.sz AS sz_a, b.doc_id AS id_b, b.sz AS sz_b
+       |  FROM bands_c a JOIN bands_c b
+       |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT id_a, id_b, sz_a, sz_b,
+       |    len(list_intersect(da.dh, db.dh)) AS inter
+       |  FROM cand
+       |  JOIN docsh_c da ON cand.id_a = da.doc_id
+       |  JOIN docsh_c db ON cand.id_b = db.doc_id)
+       |SELECT id_a, id_b, ${rSql(jac, 4)} AS jaccard
+       |FROM inter WHERE ${rSql(jac, 4)} >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val fuzzyDecontamOracle = {
+    val jac = "(CAST(inter AS DOUBLE) / (sz_t + sz_e - inter))"
+    s"""WITH corpus AS $corpusSql,
+       |evaldocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+       |${minhashCtes("t", "corpus")},
+       |${minhashCtes("e", "evaldocs")},
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id AS train_id, t.sz AS sz_t,
+       |    e.doc_id AS eval_id, e.sz AS sz_e
+       |  FROM bands_t t JOIN bands_e e
+       |    ON t.bucket = e.bucket AND t.doc_id <> e.doc_id),
+       |inter AS (
+       |  SELECT train_id, eval_id, sz_t, sz_e,
+       |    len(list_intersect(dt.dh, de.dh)) AS inter
+       |  FROM cand
+       |  JOIN docsh_t dt ON cand.train_id = dt.doc_id
+       |  JOIN docsh_e de ON cand.eval_id = de.doc_id)
+       |SELECT train_id, COUNT(*) AS n_eval_matches,
+       |  MAX(${rSql(jac, 4)}) AS max_jaccard
+       |FROM inter WHERE ${rSql(jac, 4)} >= 0.3
+       |GROUP BY train_id ORDER BY train_id""".stripMargin
+  }
+
+  /** 62-bit SimHash near-dup: per-token bit votes → signature;
+    * candidates via 4×16-bit band buckets; emit pairs with Hamming
+    * distance ≤ 6. The per-token bit source packs TWO independent
+    * portable polynomial hashes (different seed/multiplier) into one
+    * long — h64 = p1·2³¹ + p2 — so, like [[dedupMinhash]], the whole
+    * pipeline (votes, signature, banding, Hamming) is pure integer
+    * arithmetic the DuckDB oracle replays verbatim. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.polyHashCol
     val docs = corpus(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h64",
-        hash(col("tok")).cast("long") * 2654435761L + hash(col("tok"), lit(1)).cast("long"))
+        shiftleft(polyHashCol(col("tok"), 7L, 1000003L), 31) +
+          polyHashCol(col("tok"), 11L, 1000033L))
     // bit votes: for each of 64 bits, +1 if set else -1; sign of sum
     val bitCols = (0 until 64).map { i =>
       sum(when(expr(s"shiftright(h64, $i) % 2 != 0"), 1).otherwise(-1)).as(s"b$i")
@@ -201,14 +284,49 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming")).distinct()
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming")).distinct()
       .filter(col("hamming") <= 6)
       .orderBy("id_a", "id_b")
   }
 
+  private val dedupSimhashOracle = {
+    import graft.functions.HashFunctions.polyHashSql
+    val voteCols = (0 until 64).map(i =>
+      s"SUM(CASE WHEN (h64 >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val sigExpr = (0 until 64).map(i =>
+      s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 16}) & 65535 AS bucket FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS $corpusSql,
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+       |th AS (
+       |  SELECT doc_id,
+       |    (${polyHashSql("tok", 7L, 1000003L)} << 31) +
+       |      ${polyHashSql("tok", 11L, 1000033L)} AS h64
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM th GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS simhash FROM votes),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Embedding-cosine near-dup: sign-LSH bucket on 8 deterministic
-    * pseudo-hyperplanes, then exact cosine ≥ 0.9 within buckets.
-    * Rows-only (hyperplanes derive from murmur3). */
+    * Rademacher hyperplanes, then exact cosine ≥ 0.9 within buckets.
+    * The hyperplane signs come from the same portable-LCG mid-bits as
+    * q_random_projection (Similarity.scala) — pure integer arithmetic
+    * — so bucketing AND the cosine verify are fully oracle-replayed. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -216,11 +334,13 @@ object Dedup {
     // on base ∪ re-keyed copies of every 20th vector (cosine exactly 1)
     val emb = base.unionAll(base.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-    // pseudo-hyperplane component j of plane k: ±1 from murmur3(k, j)
+    // hyperplane component j of plane k: ±1 from LCG((k·64 + j)) mid bits
     val bucketBits = (0 until 8).map { k =>
       val dot = expr(
         s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |  (v, j) -> CAST(v AS DOUBLE) * (CASE WHEN pmod(hash($k, j), 2) = 0 THEN 1.0 ELSE -1.0 END)),
+           |  (v, j) -> CAST(v AS DOUBLE) *
+           |    (CASE WHEN ((1103515245L * CAST($k * 64 + j AS BIGINT) + 12345L) div 1024L) % 2L = 0
+           |     THEN 1.0 ELSE -1.0 END)),
            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
       when(dot >= 0, expr(s"shiftleft(1L, $k)")).otherwise(0L)
     }
@@ -234,6 +354,32 @@ object Dedup {
       .filter(col("cos") >= 0.9)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
+  }
+
+  private val dedupEmbedOracle = {
+    def dotK(k: Int) =
+      s"""list_sum(list_transform(generate_series(0, len(embedding) - 1),
+         |      hp_j -> CAST(embedding[hp_j + 1] AS DOUBLE) *
+         |        (CASE WHEN ((CAST(1103515245 AS BIGINT) * CAST($k * 64 + hp_j AS BIGINT) + 12345) // 1024) % 2 = 0
+         |         THEN 1.0 ELSE -1.0 END)))""".stripMargin
+    val bucket = (0 until 8).map(k =>
+      s"(CASE WHEN ${dotK(k)} >= 0 THEN (CAST(1 AS BIGINT) << $k) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n    + ")
+    val cos = "(list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "cz -> CAST(cz[1] AS DOUBLE) * CAST(cz[2] AS DOUBLE))) / (a.nrm * b.nrm))"
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |sig AS (
+       |  SELECT vec_id, embedding,
+       |    $bucket AS bucket,
+       |    sqrt(list_sum(list_transform(embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE)))) AS nrm
+       |  FROM emb)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${rSql(cos, 4)} AS cos
+       |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${rSql(cos, 4)} >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Connected components over an undirected edge list by iterative
@@ -408,7 +554,9 @@ object Dedup {
     * shingle table are explicitly broadcast — the corpus side streams
     * through both joins with no shuffle of the corpus itself; the
     * only corpus-wide work is the two scan-local sketch/shingle
-    * passes. murmur3 basis → rows-only. */
+    * passes. Portable polynomial hashing end-to-end (see
+    * [[dedupMinhash]]) — the oracle replays sketch, banding and
+    * verify verbatim. */
   def fuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFunctions
     val evalDocs = Tables.documents(spark, dir)
@@ -419,7 +567,8 @@ object Dedup {
       // (band, 4 values) folded into one 64-bit bucket key — see
       // dedupMinhash; collisions only add candidates, Jaccard filters.
       val bandStructs = (0 until 4).map { bnd =>
-        xxhash64(lit(bnd) +: (0 until 4).map(r => col("sk").getItem(bnd * 4 + r)): _*)
+        (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
+          (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
       }
       sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
         explode(array(bandStructs: _*)).as("bucket"))
@@ -459,12 +608,12 @@ object Dedup {
 
   val ops: Seq[Op] = Seq(
     Op("q_dedup_exact", dedupExact, Some(dedupExactOracle), headline = true),
-    Op("q_decontam_fuzzy", fuzzyDecontam, None),
+    Op("q_decontam_fuzzy", fuzzyDecontam, Some(fuzzyDecontamOracle)),
     Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Op("q_split_safe", splitSafe, Some(splitSafeOracle)),
     Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
-    Op("q_dedup_minhash", dedupMinhash, None, headline = true),
-    Op("q_dedup_simhash", dedupSimhash, None),
-    Op("q_dedup_embed", dedupEmbed, None),
+    Op("q_dedup_minhash", dedupMinhash, Some(dedupMinhashOracle), headline = true),
+    Op("q_dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
+    Op("q_dedup_embed", dedupEmbed, Some(dedupEmbedOracle)),
   )
 }

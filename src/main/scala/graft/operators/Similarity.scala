@@ -57,15 +57,21 @@ object Similarity {
       |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
-  /** Sign-LSH bucketed ANN: 6 deterministic pseudo-hyperplanes → 64
-    * buckets; per query, search only its bucket and emit bucket-local
-    * top-3. Rows-only (murmur3-derived hyperplanes aren't portable). */
+  /** Sign-LSH bucketed ANN: 6 deterministic Rademacher hyperplanes →
+    * 64 buckets; per query, search only its bucket and emit
+    * bucket-local top-3. Hyperplane signs come from the portable LCG,
+    * so the DuckDB oracle replays bucketing, scoring and ranking. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // hyperplane signs from the portable LCG's mid bits (planes 8..13,
+    // disjoint from q_random_projection/q_dedup_embed's 0..7) — pure
+    // integer arithmetic, so bucketing is oracle-replayable
     val bucketBits = (0 until 6).map { k =>
       val dot = expr(
         s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |  (v, j) -> CAST(v AS DOUBLE) * (CASE WHEN pmod(hash($k, j), 2) = 0 THEN 1.0 ELSE -1.0 END)),
+           |  (v, j) -> CAST(v AS DOUBLE) *
+           |    (CASE WHEN ((1103515245L * CAST(${k + 8} * 64 + j AS BIGINT) + 12345L) div 1024L) % 2L = 0
+           |     THEN 1.0 ELSE -1.0 END)),
            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
       when(dot >= 0, expr(s"shiftleft(1L, $k)")).otherwise(0L)
     }
@@ -84,6 +90,33 @@ object Similarity {
       .filter(col("rk") <= 3)
       .select("q_id", "rk", "vec_id", "cos")
       .orderBy("q_id", "rk")
+  }
+
+  private val annLshOracle = {
+    def dotK(k: Int) =
+      s"""list_sum(list_transform(generate_series(0, len(embedding) - 1),
+         |      hp_j -> CAST(embedding[hp_j + 1] AS DOUBLE) *
+         |        (CASE WHEN ((CAST(1103515245 AS BIGINT) * CAST(${k + 8} * 64 + hp_j AS BIGINT) + 12345) // 1024) % 2 = 0
+         |         THEN 1.0 ELSE -1.0 END)))""".stripMargin
+    val bucket = (0 until 6).map(k =>
+      s"(CASE WHEN ${dotK(k)} >= 0 THEN (CAST(1 AS BIGINT) << $k) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n    + ")
+    val cos = "(list_sum(list_transform(list_zip(q.embedding, e.embedding), " +
+      "cz -> CAST(cz[1] AS DOUBLE) * CAST(cz[2] AS DOUBLE))) / (q.nrm * e.nrm))"
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |    $bucket AS bucket,
+       |    sqrt(list_sum(list_transform(embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id, ${rSql(cos, 6)} AS cos
+       |  FROM sig q JOIN sig e
+       |    ON q.bucket = e.bucket AND q.vec_id < 10 AND e.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
   /** Train IVF centroids: deterministic init (first `k` vectors by
@@ -292,7 +325,7 @@ object Similarity {
   val ops: Seq[Op] = Seq(
     Op("q_knn_cosine", knnCosine, Some(knnCosineOracle), headline = true),
     Op("q_embed_centroids", embedCentroids, Some(embedCentroidsOracle)),
-    Op("q_ann_lsh", annLsh, None),
+    Op("q_ann_lsh", annLsh, Some(annLshOracle)),
     Op("q_ann_ivf", annIvf, None),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
   )

@@ -278,6 +278,25 @@ class InfraSpec extends SparkSpec {
     assert(math.abs(revD - 2 * revB) < 0.1)
   }
 
+  test("portable polynomial hash matches the DuckDB-computed reference value") {
+    import graft.functions.HashFunctions
+    import org.apache.spark.unsafe.types.UTF8String
+    // pinned against `list_reduce(list_prepend(7::BIGINT, list_transform(
+    //   range(1, len('ab cd')+1), i -> ascii(substring('ab cd', i, 1))::BIGINT)),
+    //   (h, c) -> (h * 1000003 + c) % 2147483647)` run in DuckDB 1.0.0
+    assert(HashFunctions.polyHash(UTF8String.fromString("ab cd")) === 80823761L)
+    // seeded variant used by SimHash: stays inside [0, P)
+    val p2 = HashFunctions.polyHashWith(UTF8String.fromString("ab cd"), 11L, 1000033L)
+    assert(p2 >= 0L && p2 < HashFunctions.P)
+    // shingle hashes are the poly hashes of "a b" and "b c"
+    val hs = HashFunctions.shingleHashArray(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(UTF8String.fromString("a"), UTF8String.fromString("b"), UTF8String.fromString("c"))))
+    assert(hs.toLongArray().toSeq === Seq(
+      HashFunctions.polyHash(UTF8String.fromString("a b")),
+      HashFunctions.polyHash(UTF8String.fromString("b c"))))
+  }
+
   test("plan audit: bloom probe scan-side, merge join shape, retention/funnel single-pass") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
