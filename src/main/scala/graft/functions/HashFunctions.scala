@@ -52,6 +52,23 @@ object HashFunctions {
   def polyHash(s: UTF8String): Long = polyHashWith(s, PolySeed, PolyMul)
 
   def polyHashWith(s: UTF8String, seed: Long, mul: Long): Long = {
+    // fast path: pure-ASCII bytes ARE the code points — fold over the
+    // UTF8 buffer with zero allocation (the corpus hot path; matches
+    // the murmur3 predecessor's alloc-free profile)
+    val n = s.numBytes()
+    var h = seed
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return polyHashSlow(s, seed, mul) // non-ASCII: decode
+      h = (h * mul + b.toLong) % P
+      i += 1
+    }
+    h
+  }
+
+  /** Non-ASCII fallback: fold over Java chars (BMP code points). */
+  private def polyHashSlow(s: UTF8String, seed: Long, mul: Long): Long = {
     val str = s.toString
     var h = seed
     var i = 0

@@ -31,6 +31,20 @@ object VectorFunctions {
     acc
   }
 
+  /** Σ a_i·b_i with a FLOAT-array left side and DOUBLE-array right side
+    * (centroid vectors live on the 1e-6 double grid after Lloyd
+    * re-estimation), same left-to-right double accumulation. */
+  def dotFD(xs: ArrayData, ys: ArrayData): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += xs.getFloat(i).toDouble * ys.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** √(Σ a_i²), same accumulation discipline. */
   def normD(xs: ArrayData): Double = {
     val n = xs.numElements()
@@ -47,6 +61,10 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  /** float-array × double-array dot (see [[dotFD]]). */
+  def dotFd(a: Column, b: Column): Column =
+    Bridge.column(DotFDExpr(Bridge.expression(a), Bridge.expression(b)))
+
   def norm(a: Column): Column =
     Bridge.column(NormExpr(Bridge.expression(a)))
 
@@ -62,6 +80,17 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorFunctions.dotD($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotFDExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorFunctions.dotFD($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

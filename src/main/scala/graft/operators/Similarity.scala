@@ -125,45 +125,58 @@ object Similarity {
     * elementwise mean via posexplode — one shuffle per round keyed on
     * (cluster, dim). Centroids come back to the driver (k·64 floats —
     * dimension-table sized) for the next round's broadcast. */
-  def trainIvf(emb: DataFrame, k: Int, iters: Int): Array[Seq[Float]] = {
-    val spark = emb.sparkSession
-    var centroids: Array[Seq[Float]] = emb.filter(col("vec_id") < k)
+  def trainIvf(emb: DataFrame, k: Int, iters: Int): Array[Seq[Double]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(28, 6)
+    // init: the first k vectors, float components widened to double
+    // (exact) — the oracle's c0 CTE does the identical CAST
+    var centroids: Array[Seq[Double]] = emb.filter(col("vec_id") < k)
       .orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0).toSeq)
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
     (1 to iters).foreach { _ =>
       val cCols = centroids.map(c =>
-        VectorFunctions.dot(col("embedding"), typedLit(c)) /
+        VectorFunctions.dotFd(col("embedding"), typedLit(c)) /
           (VectorFunctions.norm(col("embedding")) * typedLit(l2(c))))
       val assigned = emb.withColumn("dots", array(cCols: _*))
         .withColumn("cluster",
           expr("array_position(dots, array_max(dots))").cast("int") - 1)
+      // re-estimation on the SURVEY §4 discipline: elements r6-widened,
+      // summed in DECIMAL (accumulation-order invariant), divided once
+      // in double and re-rounded — the same chain the DuckDB oracle
+      // replays, and bit-stable under any partitioning (a plain avg()
+      // of doubles would not be)
       val means = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
-        .agg(avg(col("v").cast("double")).as("m"))
+        .agg(r6(sum(r6(col("v").cast(DoubleType)).cast(dec)).cast(DoubleType) /
+          count(lit(1))).as("m"))
         .collect()
       val next = Array.tabulate(k)(i => centroids(i).toArray.clone())
       means.foreach { r =>
-        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) =
-          r.getAs[Double]("m").toFloat
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) = r.getAs[Double]("m")
       }
       centroids = next.map(_.toSeq)
     }
     centroids
   }
 
-  private def l2(c: Seq[Float]): Double =
-    math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+  private def l2(c: Seq[Double]): Double =
+    math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
 
   /** IVF ANN: search only the `nprobe` clusters nearest to each query.
     * The correctness/recall trade is the classic IVF one: at 100 TB the
     * cluster assignment is computed at ingest and the candidate scan
-    * touches nprobe/k of the data. Rows-only (training collects). */
+    * touches nprobe/k of the data. Training still round-trips k·64
+    * doubles through the driver (dimension-table sized, documented),
+    * but every arithmetic step — init, assignment, decimal-exact
+    * re-estimation, probe ranking — lives on the portable grid, so the
+    * DuckDB oracle replays BOTH Lloyd iterations as a CTE chain and
+    * the whole operator is oracle-backed. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val centroids = trainIvf(emb, k = 8, iters = 2)
     val cCols = centroids.map(c =>
-      VectorFunctions.dot(col("embedding"), typedLit(c)) /
+      VectorFunctions.dotFd(col("embedding"), typedLit(c)) /
         (VectorFunctions.norm(col("embedding")) * typedLit(l2(c))))
     val assigned = emb.withColumn("dots", array(cCols: _*))
       .withColumn("cluster",
@@ -174,7 +187,8 @@ object Similarity {
     val queries = assigned.filter(col("vec_id") < 10)
       .withColumn("dots", array(cCols: _*))
       .withColumn("probe", expr(
-        "slice(array_sort(arrays_zip(dots, sequence(0, size(dots) - 1)), (a, b) -> CASE WHEN a.dots > b.dots THEN -1 WHEN a.dots < b.dots THEN 1 ELSE 0 END), 1, 2).`1`"))
+        // explicit index tie-break: no reliance on array_sort stability
+        "slice(array_sort(arrays_zip(dots, sequence(0, size(dots) - 1)), (a, b) -> CASE WHEN a.dots > b.dots THEN -1 WHEN a.dots < b.dots THEN 1 WHEN a.`1` < b.`1` THEN -1 ELSE 1 END), 1, 2).`1`"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), explode(col("probe")).as("cluster"))
     val scored = broadcast(queries)
@@ -187,6 +201,75 @@ object Similarity {
       .filter(col("rk") <= 3)
       .select("q_id", "rk", "vec_id", "cos")
       .orderBy("q_id", "rk")
+  }
+
+  /** One Lloyd iteration as CTE text: assignment against centroid set
+    * `cPrev` (cluster, c double-list) → decimal-exact per-(cluster,dim)
+    * means → next centroid set `cNext` (empty clusters keep their old
+    * centroid). Mirrors trainIvf exactly. */
+  private def lloydCtes(i: Int, cPrev: String, cNext: String): String = {
+    val dot = s"list_sum(list_transform(list_zip(e.embedding, cp.c), lz -> CAST(lz[1] AS DOUBLE) * lz[2]))"
+    val nrmE = "sqrt(list_sum(list_transform(e.embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))"
+    val nrmC = "sqrt(list_sum(list_transform(cp.c, nx -> nx * nx)))"
+    s"""sc$i AS (
+       |  SELECT e.vec_id, e.embedding, cp.cluster,
+       |    ($dot / ($nrmE * $nrmC)) AS cos
+       |  FROM embeddings e CROSS JOIN $cPrev cp),
+       |asg$i AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT vec_id, embedding, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+       |    FROM sc$i) WHERE rn = 1),
+       |mean$i AS (
+       |  SELECT cluster, u.dim,
+       |    ${rSql("(CAST(SUM(CAST(" + rSql("CAST(u.v AS DOUBLE)", 6) + " AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 6)} AS m
+       |  FROM asg$i,
+       |    LATERAL (SELECT unnest(list_transform(generate_series(1, len(embedding)),
+       |      pe_i -> {'dim': pe_i - 1, 'v': embedding[pe_i]})) AS u)
+       |  GROUP BY cluster, u.dim),
+       |$cNext AS (
+       |  SELECT od.cluster, list(COALESCE(mean$i.m, od.v) ORDER BY od.dim) AS c
+       |  FROM (
+       |    SELECT cluster, u.dim, u.v FROM $cPrev,
+       |      LATERAL (SELECT unnest(list_transform(generate_series(1, len(c)),
+       |        oe_i -> {'dim': oe_i - 1, 'v': c[oe_i]})) AS u) ) od
+       |  LEFT JOIN mean$i ON od.cluster = mean$i.cluster AND od.dim = mean$i.dim
+       |  GROUP BY od.cluster)""".stripMargin
+  }
+
+  private val annIvfOracle = {
+    val dotQ = "list_sum(list_transform(list_zip(q.embedding, e.embedding), qz -> CAST(qz[1] AS DOUBLE) * CAST(qz[2] AS DOUBLE)))"
+    val nrm = (t: String) => s"sqrt(list_sum(list_transform($t.embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))"
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cluster, list_transform(embedding, cx -> CAST(cx AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < 8),
+       |${lloydCtes(1, "c0", "c1")},
+       |${lloydCtes(2, "c1", "c2")},
+       |final_sc AS (
+       |  SELECT e.vec_id, e.embedding, cp.cluster,
+       |    (list_sum(list_transform(list_zip(e.embedding, cp.c), lz -> CAST(lz[1] AS DOUBLE) * lz[2]))
+       |      / (sqrt(list_sum(list_transform(e.embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(cp.c, nx -> nx * nx))))) AS cos
+       |  FROM embeddings e CROSS JOIN c2 cp),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT vec_id, embedding, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+       |    FROM final_sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding, cluster FROM (
+       |    SELECT vec_id, embedding, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+       |    FROM final_sc WHERE vec_id < 10) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    ${rSql(s"($dotQ / (${nrm("q")} * ${nrm("e")}))", 6)} AS cos
+       |  FROM probes q JOIN assigned e ON q.cluster = e.cluster AND e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
   /** Johnson–Lindenstrauss random projection 64→8 dims with an
@@ -326,7 +409,7 @@ object Similarity {
     Op("q_knn_cosine", knnCosine, Some(knnCosineOracle), headline = true),
     Op("q_embed_centroids", embedCentroids, Some(embedCentroidsOracle)),
     Op("q_ann_lsh", annLsh, Some(annLshOracle)),
-    Op("q_ann_ivf", annIvf, None),
+    Op("q_ann_ivf", annIvf, Some(annIvfOracle)),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
   )
 }
