@@ -66,6 +66,98 @@ object Approx {
        |FROM events WHERE $keepSql
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** The two-round portable LCG state for a (key, salt) pair as SQL
+    * text — identical in both engines (the q_permutation recipe). */
+  private def lcgState(keyExpr: String, salt: Long): String =
+    s"((((($keyExpr % 2147483648) * 1103515245 + ${12345L + salt * 1013904223L}) % 2147483648)" +
+      " * 1103515245 + 12345) % 2147483648)"
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): per
+    * source, keep the 5 documents with the smallest exponential key
+    * e = −ln(u)/w, u from the portable LCG, w = n_chars — the length-
+    * weighted mixture-sampling pass of training-data prep (longer docs
+    * proportionally likelier). One scan-local key computation + a
+    * per-group top-k window over the (source-bounded) candidates; at
+    * corpus scale the window becomes the native TopKPerGroup plan.
+    * ln on identical doubles is bitwise-equal cross-engine, so the
+    * ranking — and therefore the sample — is oracle-exact. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = s"((${lcgState("doc_id", 77L)} + 1.0) / 2147483649.0)" // (0,1)
+    val key = s"(-ln($u) / n_chars)"
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("ekey", expr(key))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("ekey"), col("doc_id"))
+    ranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "rk")
+  }
+
+  private val weightedSampleOracle = {
+    val u = s"((${lcgState("doc_id", 77L)} + 1.0) / 2147483649.0)"
+    val key = s"(-ln($u) / n_chars)"
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY $key, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, rk, doc_id, n_chars
+       |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+  }
+
+  /** Differentially-private aggregate release: per-event-type count and
+    * value sum with Laplace(sensitivity/ε) noise, ε = 1, noise drawn
+    * from the portable LCG through the inverse CDF
+    * (−b·sgn(u−½)·ln(1−2|u−½|)) — the noisy-measurements pattern for
+    * publishing aggregates of sensitive data. Noise is keyed on a hash
+    * of the GROUP (not rows), so the operator is one map-side-combined
+    * aggregation plus a scan-local noise expression; the oracle
+    * replays the draw exactly. True values ride along so the spec can
+    * bound |noise| — a release would drop them. */
+  def dpAggregate(spark: SparkSession, dir: String): DataFrame = {
+    // group key → integer via length+first-char (portable, collision-
+    // free across the 5 event types; a real release would key on a
+    // per-group id column)
+    val gk = "(length(event_type) * 256 + ascii(substring(event_type, 1, 1)))"
+    def lap(salt: Long, scale: String): String = {
+      val u = s"((${lcgState(gk, salt)} + 1.0) / 2147483649.0)"
+      s"(-$scale * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+    }
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d = DecimalType(28, 6)
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("true_n"),
+        sum(col("value").cast(d)).cast(DoubleType).as("true_sum"))
+      // count sensitivity 1, sum sensitivity ~max|value| (bounded 200)
+      .withColumn("dp_n", graft.functions.Compat.r4(
+        col("true_n") + expr(lap(1L, "1.0"))))
+      .withColumn("dp_sum", graft.functions.Compat.r4(
+        col("true_sum") + expr(lap(2L, "200.0"))))
+      .select(col("event_type"), col("true_n"), col("dp_n"),
+        graft.functions.Compat.r4(col("true_sum")).as("true_sum_r"), col("dp_sum"))
+      .orderBy("event_type")
+  }
+
+  private val dpAggregateOracle = {
+    val gk = "(length(event_type) * 256 + ascii(substring(event_type, 1, 1)))"
+    def lap(salt: Long, scale: String): String = {
+      val u = s"((${lcgState(gk, salt)} + 1.0) / 2147483649.0)"
+      s"(-$scale * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+    }
+    import graft.functions.Compat.rSql
+    s"""WITH agg AS (
+       |  SELECT event_type, COUNT(*) AS true_n,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS true_sum
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, true_n,
+       |  ${rSql(s"(true_n + ${lap(1L, "1.0")})", 4)} AS dp_n,
+       |  ${rSql("true_sum", 4)} AS true_sum_r,
+       |  ${rSql(s"(true_sum + ${lap(2L, "200.0")})", 4)} AS dp_sum
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   /** Custom mergeable quantile sketch (functions.QuantileSketchAgg, the
     * DDSketch log-bucket construction) beside the exact percentiles:
     * per event_type, sketch p50/p90/p99 at α=1% relative error. Unlike
@@ -95,5 +187,7 @@ object Approx {
     Op("q_approx_stats", approxStats, None),
     Op("q_qsketch", quantileSketchStats, None),
     Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
+    Op("q_weighted_sample", weightedSample, Some(weightedSampleOracle)),
+    Op("q_dp_agg", dpAggregate, Some(dpAggregateOracle)),
   )
 }

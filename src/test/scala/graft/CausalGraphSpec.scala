@@ -190,6 +190,40 @@ class CausalGraphSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample matches an independent Efraimidis-Spirakis replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lcg(k: Long, salt: Long): Long = {
+      val s1 = ((k % 2147483648L) * 1103515245L + (12345L + salt * 1013904223L)) % 2147483648L
+      (s1 * 1103515245L + 12345L) % 2147483648L
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.toSeq.map { case (_, id, w) =>
+        val u = (lcg(id, 77L) + 1.0) / 2147483649.0
+        (src, id, -math.log(u) / w)
+      }.sortBy { case (_, id, k) => (k, id) }.take(5).zipWithIndex
+        .map { case ((s, id, _), i) => (s, i + 1, id) }
+    }.toSet
+    val got = Registry.byName("q_weighted_sample").fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rk"), r.getAs[Long]("doc_id"))).toSet
+    assert(got === expected)
+  }
+
+  test("dp aggregate noise is Laplace-bounded and deterministic") {
+    val a = Registry.byName("q_dp_agg").fn(spark, sfDir).collect()
+    val b = Registry.byName("q_dp_agg").fn(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq, "must be deterministic")
+    a.foreach { r =>
+      val nNoise = r.getAs[Double]("dp_n") - r.getAs[Long]("true_n")
+      val sNoise = r.getAs[Double]("dp_sum") - r.getAs[Double]("true_sum_r")
+      // |Laplace(b)| < b·ln(2^31) ≈ 21.5b with u bounded away from 0/1
+      assert(math.abs(nNoise) < 22.0, s"count noise $nNoise")
+      assert(math.abs(sNoise) < 4400.0, s"sum noise $sNoise")
+      assert(nNoise != 0.0 || sNoise != 0.0, "noise must actually be applied")
+    }
+  }
+
   test("zipf slope matches an independent replay and sits near -1") {
     val docs = Tables.documents(spark, sfDir)
       .select("source", "text").collect()
