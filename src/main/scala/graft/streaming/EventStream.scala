@@ -122,6 +122,35 @@ object EventStream {
   /** Streaming exact dedup — drops re-deliveries of the same event_id
     * inside the watermark horizon (the streaming twin of
     * operators.Dedup.dedupExact; state is bounded by the watermark). */
+  /** Streaming differentially-private release (streaming twin of
+    * Approx.dpAggregate, the continual-observation pattern): per
+    * finalized tumbling day × event_type, emit count+sum with
+    * Laplace(sens/ε) noise. The draw is keyed on (group, window start
+    * day) through the portable LCG, so the noise for a window is a
+    * pure function of its key — emitted values are independent of how
+    * the stream was chopped into micro-batches (chop-invariance spec)
+    * and each window's release is computed exactly once (append mode:
+    * a window is published only after its watermark finalizes it). */
+  def dpReleaseStream(events: DataFrame): DataFrame = {
+    val gk = "(length(event_type) * 256 + ascii(substring(event_type, 1, 1)))" +
+      " * 64 + (unix_micros(window.start) div 86400000000) % 64"
+    def lap(salt: Long, scale: String): String = {
+      val st = s"((((($gk % 2147483648) * 1103515245 + ${12345L + salt * 1013904223L}) % 2147483648)" +
+        " * 1103515245 + 12345) % 2147483648)"
+      val u = s"(($st + 1.0) / 2147483649.0)"
+      s"(-$scale * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+    }
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("true_n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("true_sum"))
+      .select(col("window.start").as("day"), col("event_type"),
+        graft.functions.Compat.r4(col("true_n") + expr(lap(1L, "1.0"))).as("dp_n"),
+        graft.functions.Compat.r4(col("true_sum") + expr(lap(2L, "200.0"))).as("dp_sum"))
+  }
+
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -252,6 +252,33 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(last.delta - delta) < 1e-9, s"delta ${last.delta} vs $delta")
   }
 
+  test("streaming DP release is chop-invariant and bounded-noise") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 200).map { i =>
+      Event(i.toLong, ts(i * 20L), i % 7L, if (i % 2 == 0) "click" else "view", 10.0 + i % 5)
+    }
+    def run(chunks: Seq[Seq[Event]], name: String): Set[(Long, String, Double, Double)] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.dpReleaseStream(input.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(20000L), 0L, "click", 0.0)) // finalize all days
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect().map(r => (r.getTimestamp(0).getTime,
+        r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    }
+    val one = run(Seq(events), "dp_rel_a")
+    val chopped = run(events.grouped(37).toSeq, "dp_rel_b")
+    assert(one === chopped, "DP release must not depend on micro-batch chop")
+    // noise bounded by the Laplace inverse-CDF envelope (u away from 0/1)
+    val trueAgg = events.groupBy(e => (e.ts.getTime / 86400000L, e.event_type))
+      .map { case ((_, et), es) => et -> es.size }.toSeq
+    assert(one.nonEmpty && one.forall { case (_, _, dpN, dpSum) =>
+      dpN > -25.0 && dpSum > -4500.0 })
+    assert(trueAgg.nonEmpty)
+  }
+
   test("streaming mSPRT monitor drops events for already-finalized days") {
     implicit val sqlCtx = spark.sqlContext
     // same planted-effect layout as the chop spec: 3 days × 48 events
