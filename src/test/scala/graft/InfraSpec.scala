@@ -341,6 +341,37 @@ class InfraSpec extends SparkSpec {
     }
   }
 
+  test("plan audit round 5: expand reshaping, pagerank cache reuse, wkt dim-side parse") {
+    // q_grouping_sets / q_unpivot: exactly one Expand, one fact scan —
+    // the map-side expansion shape (|sets|× group cardinality, never
+    // |sets|× the data)
+    Seq("q_grouping_sets", "q_unpivot").foreach { n =>
+      val qe = Registry.byName(n).fn(spark, sfDir).queryExecution
+      val plan = qe.executedPlan.toString
+      assert(plan.sliding("Expand".length).count(_ == "Expand") >= 1, s"$n: Expand missing")
+      assert(qe.optimizedPlan.collectLeaves().size === 1, s"$n must scan the fact once")
+    }
+    // q_pagerank: the edge table is built ONCE and served from cache —
+    // every Lloyd-style iteration reads an InMemoryTableScan, and the
+    // final readout is TakeOrdered (never a global sort of the nodes)
+    locally {
+      val plan = Registry.byName("q_pagerank").fn(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val cacheReads = plan.sliding("InMemoryTableScan".length)
+        .count(_ == "InMemoryTableScan")
+      assert(cacheReads >= 5, s"expected >=5 cached edge reads, got $cacheReads")
+      assert(plan.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+      CacheScope.releaseAll()
+    }
+    // q_geo_wkt: the WKT parse must stay on the zone (dimension) side —
+    // the events scan reads only its own columns, no regexp over facts
+    locally {
+      val qe = Registry.byName("q_geo_wkt").fn(spark, sfDir).queryExecution
+      val scans = qe.executedPlan.toString
+      assert(scans.contains("BroadcastExchange"), "zone dim must broadcast")
+    }
+  }
+
   test("CacheScope enforces the single-runner contract across threads") {
     import java.util.concurrent.atomic.AtomicReference
     CacheScope.releaseAll() // clean slate (owning thread or empty: ok)
