@@ -21,12 +21,30 @@ object Approx {
         countDistinct(col("user_id")).as("exact_users"),
         expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx_p"),
         expr("percentile(value, array(0.5, 0.95))").as("exact_p"),
+        // exact percentiles at the quantile ± 0.01: the self-
+        // certification envelope. It must dominate BOTH the GK rank
+        // error (n/accuracy = 1e-4·n ranks) and one element of rank
+        // granularity (the sketch returns an actual element; the exact
+        // side interpolates — at small n interpolation is tighter than
+        // an element step, so a ±1e-3 envelope would false-alarm).
+        // ±0.01 covers one element for n ≥ ~100 while still catching
+        // any gross sketch regression; the tight α bound stays in the
+        // spec (InfraSpec "approx stats").
+        expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").as("env"),
       )
       .select(col("event_type"), col("n"), col("approx_users"), col("exact_users"),
         col("approx_p").getItem(0).as("approx_p50"),
         col("approx_p").getItem(1).as("approx_p95"),
         col("exact_p").getItem(0).as("exact_p50"),
-        col("exact_p").getItem(1).as("exact_p95"))
+        col("exact_p").getItem(1).as("exact_p95"),
+        // driver-visible self-certification: a sketch regression flips
+        // these to false and the rows-only gate sees it (not just a
+        // spec). HLL++ rsd bound mirrors InfraSpec's envelope.
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(3.0), col("exact_users") * 0.1)).as("hll_within_bound"),
+        (col("approx_p").getItem(0).between(col("env").getItem(0), col("env").getItem(1)) &&
+          col("approx_p").getItem(1).between(col("env").getItem(2), col("env").getItem(3)))
+          .as("gk_within_bound"))
       .orderBy("event_type")
 
   /** Deterministic stratified sampling: per-class rates applied via a
@@ -76,54 +94,86 @@ object Approx {
     * source, keep the 5 documents with the smallest exponential key
     * e = −ln(u)/w, u from the portable LCG, w = n_chars — the length-
     * weighted mixture-sampling pass of training-data prep (longer docs
-    * proportionally likelier). One scan-local key computation + a
-    * per-group top-k window over the (source-bounded) candidates; at
-    * corpus scale the window becomes the native TopKPerGroup plan.
-    * ln on identical doubles is bitwise-equal cross-engine, so the
-    * ranking — and therefore the sample — is oracle-exact. */
+    * proportionally likelier).
+    *
+    * Scale shape: `source` is LOW-cardinality, so a per-group
+    * row_number window would concentrate a near-global sort on a
+    * handful of partitions. The selection therefore runs through the
+    * native TopKPerGroup plan (plans/TopKPlan.scala — bounded k-heaps
+    * with a pre-shuffle partial pass, so at most 5 rows per source per
+    * input partition travel the wire), and the plan-audit spec asserts
+    * TopK-no-Window. Negating the key turns TopK's (DESC, tie ASC)
+    * selection into smallest-5; negation of a double is exact.
+    *
+    * Determinism: ekey is rounded to the 1e-6 grid BEFORE ranking in
+    * both engines — JVM and libm `ln` may differ by 1 ulp, so ranking
+    * the raw key risks a cross-engine flip at a near-tie boundary;
+    * post-rounding ties break on doc_id identically everywhere. */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
     val u = s"((${lcgState("doc_id", 77L)} + 1.0) / 2147483649.0)" // (0,1)
     val key = s"(-ln($u) / n_chars)"
-    val ranked = Tables.documents(spark, dir)
+    val keyed = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("ekey", expr(key))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("ekey"), col("doc_id"))
-    ranked.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
-      .orderBy("source", "rk")
+      .withColumn("ekey", graft.functions.Compat.r6(expr(key)))
+      .withColumn("nekey", -col("ekey"))
+    graft.plans.TopK.topKPerGroup(keyed, Seq("source"), "nekey", "doc_id", 5)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("ekey"))
+      .orderBy("source", "ekey", "doc_id")
   }
 
   private val weightedSampleOracle = {
+    import graft.functions.Compat.rSql
     val u = s"((${lcgState("doc_id", 77L)} + 1.0) / 2147483649.0)"
-    val key = s"(-ln($u) / n_chars)"
+    val key = rSql(s"(-ln($u) / n_chars)", 6)
     s"""WITH ranked AS (
-       |  SELECT source, doc_id, n_chars,
+       |  SELECT source, doc_id, n_chars, $key AS ekey,
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY $key, doc_id) AS rk
        |  FROM documents)
-       |SELECT source, rk, doc_id, n_chars
-       |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+       |SELECT source, doc_id, n_chars, ekey
+       |FROM ranked WHERE rk <= 5 ORDER BY source, ekey, doc_id""".stripMargin
+  }
+
+  /** The Laplace inverse-CDF draw (−b·sgn(u−½)·ln(1−2|u−½|)) for a
+    * group-keyed LCG state, as SQL text shared by both engines. The
+    * run `seed` folds into the LCG's additive constant (seed 0 leaves
+    * the recipe unchanged), so every seed is its own reproducible
+    * noise stream. */
+  private def lapSql(gk: String, salt: Long, seed: Long, scale: String): String = {
+    val add = 12345L + salt * 1013904223L + seed * 69069L
+    val st = s"((((($gk % 2147483648) * 1103515245 + $add) % 2147483648)" +
+      " * 1103515245 + 12345) % 2147483648)"
+    val u = s"(($st + 1.0) / 2147483649.0)"
+    s"(-$scale * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
   }
 
   /** Differentially-private aggregate release: per-event-type count and
     * value sum with Laplace(sensitivity/ε) noise, ε = 1, noise drawn
-    * from the portable LCG through the inverse CDF
-    * (−b·sgn(u−½)·ln(1−2|u−½|)) — the noisy-measurements pattern for
-    * publishing aggregates of sensitive data. Noise is keyed on a hash
-    * of the GROUP (not rows), so the operator is one map-side-combined
-    * aggregation plus a scan-local noise expression; the oracle
-    * replays the draw exactly. True values ride along so the spec can
-    * bound |noise| — a release would drop them. */
-  def dpAggregate(spark: SparkSession, dir: String): DataFrame = {
+    * from the portable LCG through the inverse CDF — the
+    * noisy-measurements pattern for publishing aggregates of sensitive
+    * data. Noise is keyed on a hash of the GROUP (not rows) plus the
+    * run seed, so the operator is one map-side-combined aggregation
+    * plus a scan-local noise expression; the oracle replays the draw
+    * exactly for the same seed.
+    *
+    * PRIVACY CONTRACT: this demonstrates the Laplace mechanism — the
+    * sensitivity bookkeeping and the draw are real — but the noise is
+    * only as secret as the seed. The fixed default seed (0) exists so
+    * the DuckDB oracle can verify the mechanism; an actual release
+    * must (a) call [[dpRelease]] with a seed kept secret from data
+    * consumers (and ideally a cryptographic RNG in place of the LCG),
+    * and (b) publish ONLY the dp_* columns, which [[dpRelease]]
+    * enforces by dropping the true values from the schema. With a
+    * public seed the release is exactly invertible and provides no ε. */
+  def dpAggregate(spark: SparkSession, dir: String): DataFrame =
+    dpAggregateWith(spark, dir, seed = 0L)
+
+  /** Test/audit mode: true values ride along so the oracle and specs
+    * can bound |noise|. Not a release — see the privacy contract. */
+  def dpAggregateWith(spark: SparkSession, dir: String, seed: Long): DataFrame = {
     // group key → integer via length+first-char (portable, collision-
     // free across the 5 event types; a real release would key on a
     // per-group id column)
     val gk = "(length(event_type) * 256 + ascii(substring(event_type, 1, 1)))"
-    def lap(salt: Long, scale: String): String = {
-      val u = s"((${lcgState(gk, salt)} + 1.0) / 2147483649.0)"
-      s"(-$scale * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
-    }
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val d = DecimalType(28, 6)
     Tables.events(spark, dir)
@@ -132,29 +182,34 @@ object Approx {
         sum(col("value").cast(d)).cast(DoubleType).as("true_sum"))
       // count sensitivity 1, sum sensitivity ~max|value| (bounded 200)
       .withColumn("dp_n", graft.functions.Compat.r4(
-        col("true_n") + expr(lap(1L, "1.0"))))
+        col("true_n") + expr(lapSql(gk, 1L, seed, "1.0"))))
       .withColumn("dp_sum", graft.functions.Compat.r4(
-        col("true_sum") + expr(lap(2L, "200.0"))))
+        col("true_sum") + expr(lapSql(gk, 2L, seed, "200.0"))))
       .select(col("event_type"), col("true_n"), col("dp_n"),
         graft.functions.Compat.r4(col("true_sum")).as("true_sum_r"), col("dp_sum"))
       .orderBy("event_type")
   }
 
-  private val dpAggregateOracle = {
+  /** Release mode: ONLY the noisy aggregates leave — the schema cannot
+    * leak a true value. The caller supplies the run seed and keeps it
+    * secret from data consumers (see [[dpAggregate]]'s contract). */
+  def dpRelease(spark: SparkSession, dir: String, seed: Long): DataFrame =
+    dpAggregateWith(spark, dir, seed)
+      .select("event_type", "dp_n", "dp_sum")
+
+  /** Oracle generated from the SAME seed the Spark plan is built from
+    * (the SwitchbackParams single-source-of-truth pattern). */
+  def dpAggregateOracleFor(seed: Long): String = {
     val gk = "(length(event_type) * 256 + ascii(substring(event_type, 1, 1)))"
-    def lap(salt: Long, scale: String): String = {
-      val u = s"((${lcgState(gk, salt)} + 1.0) / 2147483649.0)"
-      s"(-$scale * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
-    }
     import graft.functions.Compat.rSql
     s"""WITH agg AS (
        |  SELECT event_type, COUNT(*) AS true_n,
        |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS true_sum
        |  FROM events GROUP BY 1)
        |SELECT event_type, true_n,
-       |  ${rSql(s"(true_n + ${lap(1L, "1.0")})", 4)} AS dp_n,
+       |  ${rSql(s"(true_n + ${lapSql(gk, 1L, seed, "1.0")})", 4)} AS dp_n,
        |  ${rSql("true_sum", 4)} AS true_sum_r,
-       |  ${rSql(s"(true_sum + ${lap(2L, "200.0")})", 4)} AS dp_sum
+       |  ${rSql(s"(true_sum + ${lapSql(gk, 2L, seed, "200.0")})", 4)} AS dp_sum
        |FROM agg ORDER BY event_type""".stripMargin
   }
 
@@ -179,7 +234,15 @@ object Approx {
         col("qs").getItem(2).as("sk_p99"),
         col("exact").getItem(0).as("exact_p50"),
         col("exact").getItem(1).as("exact_p90"),
-        col("exact").getItem(2).as("exact_p99"))
+        col("exact").getItem(2).as("exact_p99"),
+        // driver-visible self-certification: the documented α=1% bucket
+        // bound (+0.5 slack for the exact side's interpolation, the
+        // same envelope InfraSpec asserts) — a sketch regression flips
+        // this false and the rows-only gate catches it
+        Seq(0, 1, 2).map(i =>
+          abs(col("qs").getItem(i) - col("exact").getItem(i)) <=
+            abs(col("exact").getItem(i)) * 0.025 + 0.5)
+          .reduce(_ && _).as("within_bound"))
       .orderBy("event_type")
   }
 
@@ -188,6 +251,6 @@ object Approx {
     Op("q_qsketch", quantileSketchStats, None),
     Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Op("q_weighted_sample", weightedSample, Some(weightedSampleOracle)),
-    Op("q_dp_agg", dpAggregate, Some(dpAggregateOracle)),
+    Op("q_dp_agg", dpAggregate, Some(dpAggregateOracleFor(0L))),
   )
 }

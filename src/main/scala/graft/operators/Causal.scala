@@ -67,11 +67,17 @@ object Causal {
     val aggs = cell("On", "pre") ++ cell("On", "post") ++
       cell("Off", "pre") ++ cell("Off", "post")
     val moments = cells.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
-    def mean(g: String, p: String): Column = col(s"s_${g}_$p") / col(s"n_${g}_$p")
+    // NULLIF-style guards on every cell divisor: a 0- or 1-row cell
+    // divides by zero, where Spark returns NULL but DuckDB IEEE float
+    // division returns NaN/inf — nulling the divisor makes both
+    // engines agree (the whole row's stats degrade to NULL, which is
+    // the honest answer for a degenerate cell)
+    def nz(c: Column): Column = when(c =!= 0, c)
+    def mean(g: String, p: String): Column = col(s"s_${g}_$p") / nz(col(s"n_${g}_$p"))
     // per-cell sample variance of the mean: s²/n with s² = (ss − s²/n)/(n−1)
     def varMean(g: String, p: String): Column =
-      (col(s"ss_${g}_$p") - col(s"s_${g}_$p") * col(s"s_${g}_$p") / col(s"n_${g}_$p")) /
-        (col(s"n_${g}_$p") - 1) / col(s"n_${g}_$p")
+      (col(s"ss_${g}_$p") - col(s"s_${g}_$p") * col(s"s_${g}_$p") / nz(col(s"n_${g}_$p"))) /
+        nz(col(s"n_${g}_$p") - 1) / nz(col(s"n_${g}_$p"))
     val didEst = (mean("On", "post") - mean("On", "pre")) -
       (mean("Off", "post") - mean("Off", "pre"))
     val se = sqrt(varMean("On", "post") + varMean("On", "pre") +
@@ -97,9 +103,9 @@ object Causal {
     }
     val aggs = Seq(cell("On", "pre"), cell("On", "post"),
       cell("Off", "pre"), cell("Off", "post")).mkString(",\n")
-    def mean(g: String, p: String) = s"(s_${g}_$p / n_${g}_$p)"
+    def mean(g: String, p: String) = s"(s_${g}_$p / NULLIF(n_${g}_$p, 0))"
     def varMean(g: String, p: String) =
-      s"((ss_${g}_$p - s_${g}_$p * s_${g}_$p / n_${g}_$p) / (n_${g}_$p - 1) / n_${g}_$p)"
+      s"((ss_${g}_$p - s_${g}_$p * s_${g}_$p / NULLIF(n_${g}_$p, 0)) / NULLIF(n_${g}_$p - 1, 0) / NULLIF(n_${g}_$p, 0))"
     val didEst = s"((${mean("On", "post")} - ${mean("On", "pre")}) - " +
       s"(${mean("Off", "post")} - ${mean("Off", "pre")}))"
     val se = s"sqrt(${varMean("On", "post")} + ${varMean("On", "pre")} + " +

@@ -135,8 +135,15 @@ object Dedup {
       (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
         (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
     }
+    // sz > 0 guard: a doc with <2 tokens has no shingles — its sketch
+    // is all-(-1), so every such doc would share every band bucket AND
+    // its Jaccard would be 0/0 (NULL in Spark, NaN in DuckDB — the
+    // engines disagree on the comparison). Excluding empty sketches
+    // from banding (both engines, see minhashCtes) is also the right
+    // semantics: an empty shingle set is similar to nothing.
     val bands = sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
       explode(array(bandStructs: _*)).as("bucket"))
+      .filter(col("sz") > 0)
     // Band self-join is a SHUFFLE join on bucket: bands is O(corpus)
     // (4 rows/doc), so broadcasting it would hit the memory wall at
     // scale. Buckets are minhash-derived — uniformly spread — so the
@@ -208,7 +215,7 @@ object Dedup {
        |    [$mh] AS mh
        |  FROM docsh_$tag),
        |bands_$tag AS (
-       |  SELECT doc_id, sz, unnest([$buckets]) AS bucket FROM sig_$tag)""".stripMargin
+       |  SELECT doc_id, sz, unnest([$buckets]) AS bucket FROM sig_$tag WHERE sz > 0)""".stripMargin
   }
 
   private val dedupMinhashOracle = {
@@ -570,8 +577,10 @@ object Dedup {
         (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
           (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
       }
+      // sz > 0: zero-shingle docs band with nothing (see dedupMinhash)
       sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
         explode(array(bandStructs: _*)).as("bucket"))
+        .filter(col("sz") > 0)
     }
     val cand = graft.CacheScope.track(bands(corpus(spark, dir)).as("t")
       .join(broadcast(bands(evalDocs).as("e")),

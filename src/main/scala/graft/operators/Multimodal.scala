@@ -138,13 +138,28 @@ object Multimodal {
   }
 
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
-    val feats = extractFeatures(mediaTable(spark, dir))
-    feats.toDF()
+    // media is read twice (decode + metadata cross-check join) — cache
+    // the encoded payloads so the synth/encode pass runs once
+    val media = mediaTable(spark, dir).persist()
+    graft.CacheScope.track(media.toDF())
+    val feats = extractFeatures(media).toDF()
+    val meta = media.toDF().select(col("doc_id"), col("width"), col("height"))
+    // driver-visible self-certification: every decoded dimension must
+    // equal the value planted in the metadata columns — recovered from
+    // PAYLOAD BYTES alone, so an encoder or decoder regression flips
+    // meta_match to 0.0 and the rows-only gate sees it (crc_ok already
+    // covers checksum/scanline verification via the codecs' `ok`)
+    val dimsOk = when(col("modality") === "audio",
+        col("dim0") === lit(4000) + col("width") * 50 &&
+          col("dim1") === col("width") + col("height"))
+      .otherwise(col("dim0") === col("width") && col("dim1") === col("height"))
+    feats.join(meta, "doc_id")
       .groupBy("modality")
       .agg(count(lit(1)).as("n"),
         round(avg("dim0"), 4).as("avg_dim0"),
         round(avg("dim1"), 4).as("avg_dim1"),
-        min("ok").as("all_decoded"), // 1.0 ⇔ every payload parsed+verified
+        min("ok").as("crc_ok"), // 1.0 ⇔ every payload parsed + CRC/structure verified
+        min(when(dimsOk, 1.0).otherwise(0.0)).as("meta_match"),
         sum("n_bytes").as("total_bytes"))
       .orderBy("modality")
   }

@@ -489,9 +489,10 @@ object TimeSeries {
     * reason the reference randomizes over day×hour windows at all).
     * index = dow_mean / overall_mean of the daily value sum; >1 means
     * that weekday runs hot. dow is pure integer arithmetic
-    * ((epoch_day + 4) % 7, 0 = Monday — 1970-01-01 was a Thursday), so
-    * both engines bucket identically; daily sums are decimal-exact and
-    * divided in a fixed order.
+    * ((epoch_day + 4) % 7 — epoch day 0, a Thursday, maps to 4, so
+    * 0 = Sunday, 1 = Monday, …, 6 = Saturday), so both engines bucket
+    * identically; daily sums are decimal-exact and divided in a fixed
+    * order.
     *
     * Scale: one shuffle to |event_type × day| daily rows, then an
     * aggregation over ≤7·|event_type| rows — the overall mean rides

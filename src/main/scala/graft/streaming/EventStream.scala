@@ -119,23 +119,27 @@ object EventStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
-  /** Streaming exact dedup — drops re-deliveries of the same event_id
-    * inside the watermark horizon (the streaming twin of
-    * operators.Dedup.dedupExact; state is bounded by the watermark). */
   /** Streaming differentially-private release (streaming twin of
     * Approx.dpAggregate, the continual-observation pattern): per
     * finalized tumbling day × event_type, emit count+sum with
     * Laplace(sens/ε) noise. The draw is keyed on (group, window start
-    * day) through the portable LCG, so the noise for a window is a
-    * pure function of its key — emitted values are independent of how
-    * the stream was chopped into micro-batches (chop-invariance spec)
-    * and each window's release is computed exactly once (append mode:
-    * a window is published only after its watermark finalizes it). */
-  def dpReleaseStream(events: DataFrame): DataFrame = {
+    * day, run seed) through the portable LCG, so the noise for a
+    * window is a pure function of its key — emitted values are
+    * independent of how the stream was chopped into micro-batches
+    * (chop-invariance spec) and each window's release is computed
+    * exactly once (append mode: a window is published only after its
+    * watermark finalizes it).
+    *
+    * PRIVACY CONTRACT (same as Approx.dpAggregate): the mechanism is
+    * real but the noise is only as secret as `seed` — the fixed
+    * default exists for reproducible tests; an actual release supplies
+    * a seed kept secret from consumers (ideally a cryptographic RNG). */
+  def dpReleaseStream(events: DataFrame, seed: Long = 0L): DataFrame = {
     val gk = "(length(event_type) * 256 + ascii(substring(event_type, 1, 1)))" +
       " * 64 + (unix_micros(window.start) div 86400000000) % 64"
     def lap(salt: Long, scale: String): String = {
-      val st = s"((((($gk % 2147483648) * 1103515245 + ${12345L + salt * 1013904223L}) % 2147483648)" +
+      val add = 12345L + salt * 1013904223L + seed * 69069L
+      val st = s"((((($gk % 2147483648) * 1103515245 + $add) % 2147483648)" +
         " * 1103515245 + 12345) % 2147483648)"
       val u = s"(($st + 1.0) / 2147483649.0)"
       s"(-$scale * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
@@ -151,6 +155,9 @@ object EventStream {
         graft.functions.Compat.r4(col("true_sum") + expr(lap(2L, "200.0"))).as("dp_sum"))
   }
 
+  /** Streaming exact dedup — drops re-deliveries of the same event_id
+    * inside the watermark horizon (the streaming twin of
+    * operators.Dedup.dedupExact; state is bounded by the watermark). */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

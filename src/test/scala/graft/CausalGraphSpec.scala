@@ -201,12 +201,12 @@ class CausalGraphSpec extends SparkSpec {
     val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
       ds.toSeq.map { case (_, id, w) =>
         val u = (lcg(id, 77L) + 1.0) / 2147483649.0
-        (src, id, -math.log(u) / w)
-      }.sortBy { case (_, id, k) => (k, id) }.take(5).zipWithIndex
-        .map { case ((s, id, _), i) => (s, i + 1, id) }
+        (src, id, r6d(-math.log(u) / w)) // ranked on the 1e-6 grid
+      }.sortBy { case (_, id, k) => (k, id) }.take(5)
     }.toSet
     val got = Registry.byName("q_weighted_sample").fn(spark, sfDir).collect()
-      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rk"), r.getAs[Long]("doc_id"))).toSet
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("ekey"))).toSet
     assert(got === expected)
   }
 
@@ -222,6 +222,28 @@ class CausalGraphSpec extends SparkSpec {
       assert(math.abs(sNoise) < 4400.0, s"sum noise $sNoise")
       assert(nNoise != 0.0 || sNoise != 0.0, "noise must actually be applied")
     }
+  }
+
+  test("dp release: each seed draws its own noise inside the Laplace envelope") {
+    val base = operators.Approx.dpAggregateWith(spark, sfDir, seed = 0L).collect()
+    val alt = operators.Approx.dpAggregateWith(spark, sfDir, seed = 12345L).collect()
+    // identical true values...
+    assert(base.map(r => (r.getString(0), r.getAs[Long]("true_n"))).toSeq ===
+      alt.map(r => (r.getString(0), r.getAs[Long]("true_n"))).toSeq)
+    // ...but a different noise draw for at least one group
+    val changed = base.zip(alt).count { case (a, b) =>
+      a.getAs[Double]("dp_n") != b.getAs[Double]("dp_n") ||
+        a.getAs[Double]("dp_sum") != b.getAs[Double]("dp_sum")
+    }
+    assert(changed > 0, "a different seed must draw different noise")
+    // every seed's draw stays inside the inverse-CDF envelope
+    Seq(base, alt).foreach(_.foreach { r =>
+      assert(math.abs(r.getAs[Double]("dp_n") - r.getAs[Long]("true_n")) < 22.0)
+      assert(math.abs(r.getAs[Double]("dp_sum") - r.getAs[Double]("true_sum_r")) < 4400.0)
+    })
+    // release mode publishes ONLY the noisy columns — no true values
+    assert(operators.Approx.dpRelease(spark, sfDir, seed = 7L).columns.toSeq ===
+      Seq("event_type", "dp_n", "dp_sum"))
   }
 
   test("zipf slope matches an independent replay and sits near -1") {

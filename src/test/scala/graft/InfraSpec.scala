@@ -165,6 +165,9 @@ class InfraSpec extends SparkSpec {
       assert(math.abs(approxU - exactU) <= math.max(3, exactU * 0.1),
         s"HLL too far off: $approxU vs $exactU")
       assert(math.abs(r.getAs[Double]("approx_p50") - r.getAs[Double]("exact_p50")) < 2.0)
+      // the emitted self-certification flags agree with the envelope
+      assert(r.getAs[Boolean]("hll_within_bound"), "hll_within_bound must hold")
+      assert(r.getAs[Boolean]("gk_within_bound"), "gk_within_bound must hold")
     }
   }
 
@@ -182,6 +185,8 @@ class InfraSpec extends SparkSpec {
           assert(math.abs(s - e) <= 0.025 * math.abs(e) + 0.5,
             s"${r.getString(0)}.$sk: $s vs $e")
         }
+      // the emitted self-certification flag agrees with the envelope
+      assert(r.getAs[Boolean]("within_bound"), "within_bound must hold")
     }
     // determinism: the SAME sketch (bit-identical) under any partitioning
     val vals = (1 to 5000).map(i => (i % 7, math.exp(i % 400 / 40.0) - 3.0))
@@ -370,6 +375,17 @@ class InfraSpec extends SparkSpec {
       val scans = qe.executedPlan.toString
       assert(scans.contains("BroadcastExchange"), "zone dim must broadcast")
     }
+  }
+
+  test("plan audit round 6: weighted sample selects through TopK, never a window sort") {
+    // `source` is low-cardinality, so a row_number window would
+    // concentrate a near-global sort on a handful of partitions; the
+    // native TopKPerGroup plan (bounded heaps, pre-shuffle partial
+    // pruning) is the 100 TB shape — assert it's actually in the plan
+    val qe = Registry.byName("q_weighted_sample").fn(spark, sfDir).queryExecution
+    val exec = qe.executedPlan.toString
+    assert(exec.contains("TopK"), s"native TopK plan missing:\n${exec.take(1500)}")
+    assert(!exec.contains("Window"), "per-group selection must not be a window sort")
   }
 
   test("CacheScope enforces the single-runner contract across threads") {

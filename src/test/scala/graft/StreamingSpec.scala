@@ -257,9 +257,9 @@ class StreamingSpec extends SparkSpec {
     val events = (0 until 200).map { i =>
       Event(i.toLong, ts(i * 20L), i % 7L, if (i % 2 == 0) "click" else "view", 10.0 + i % 5)
     }
-    def run(chunks: Seq[Seq[Event]], name: String): Set[(Long, String, Double, Double)] = {
+    def run(chunks: Seq[Seq[Event]], name: String, seed: Long = 0L): Set[(Long, String, Double, Double)] = {
       val input = MemoryStream[Event]
-      val q = EventStream.dpReleaseStream(input.toDF())
+      val q = EventStream.dpReleaseStream(input.toDF(), seed)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
@@ -271,6 +271,11 @@ class StreamingSpec extends SparkSpec {
     val one = run(Seq(events), "dp_rel_a")
     val chopped = run(events.grouped(37).toSeq, "dp_rel_b")
     assert(one === chopped, "DP release must not depend on micro-batch chop")
+    // a different run seed stays chop-invariant but draws different noise
+    val seeded = run(Seq(events), "dp_rel_c", seed = 9L)
+    val seededChop = run(events.grouped(37).toSeq, "dp_rel_d", seed = 9L)
+    assert(seeded === seededChop, "seeded release must stay chop-invariant")
+    assert(seeded !== one, "a different seed must draw different noise")
     // noise bounded by the Laplace inverse-CDF envelope (u away from 0/1)
     val trueAgg = events.groupBy(e => (e.ts.getTime / 86400000L, e.event_type))
       .map { case ((_, et), es) => et -> es.size }.toSeq
