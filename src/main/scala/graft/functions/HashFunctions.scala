@@ -43,6 +43,18 @@ object HashFunctions {
   private val permA: Array[Long] = perms.map(_._1)
   private val permB: Array[Long] = perms.map(_._2)
 
+  /** x mod P for 0 ≤ x < 2^63, exploiting P = 2^31−1 being a Mersenne
+    * prime: 2^31 ≡ 1 (mod P), so x ≡ (x & P) + (x >>> 31). Two folds +
+    * one conditional subtract land exactly in [0, P) — the same value
+    * `x % P` gives, with adds/shifts in place of a ~20-cycle idiv.
+    * This is what claws back the polynomial hash's cost vs the old
+    * murmur3 kernel while keeping the DuckDB-replayable arithmetic. */
+  @inline private def mod31(x: Long): Long = {
+    var y = (x & P) + (x >>> 31)
+    y = (y & P) + (y >>> 31)
+    if (y >= P) y - P else y
+  }
+
   /** Portable polynomial string hash in [0, P): identical to DuckDB's
     * `list_reduce(list_prepend(7, list_transform(range(1, len(s)+1),
     * i -> ascii(substring(s, i, 1)))), (h, c) -> (h*1000003 + c) % P)`.
@@ -54,17 +66,67 @@ object HashFunctions {
   def polyHashWith(s: UTF8String, seed: Long, mul: Long): Long = {
     // fast path: pure-ASCII bytes ARE the code points — fold over the
     // UTF8 buffer with zero allocation (the corpus hot path; matches
-    // the murmur3 predecessor's alloc-free profile)
+    // the murmur3 predecessor's alloc-free profile). TWO bytes per
+    // step: h·mul² + c₁·mul + c₂ ≡ ((h·mul + c₁) mod P)·mul + c₂
+    // (mod P) — same value, half the reductions, and each reduction
+    // is the cheap Mersenne fold. h < P and mul² mod P < P keep the
+    // accumulator < 2^62 + 2^38, inside mod31's domain.
     val n = s.numBytes()
-    var h = seed
+    val mulSq = mod31(mul * mul) // mul < 2^31 ⇒ no overflow
+    var h = if (seed >= P) mod31(seed) else seed
     var i = 0
-    while (i < n) {
+    while (i + 1 < n) {
+      val b1 = s.getByte(i)
+      val b2 = s.getByte(i + 1)
+      if ((b1 | b2) < 0) return polyHashSlow(s, seed, mul) // non-ASCII: decode
+      h = mod31(h * mulSq + b1.toLong * mul + b2.toLong)
+      i += 2
+    }
+    if (i < n) {
       val b = s.getByte(i)
-      if (b < 0) return polyHashSlow(s, seed, mul) // non-ASCII: decode
-      h = (h * mul + b.toLong) % P
-      i += 1
+      if (b < 0) return polyHashSlow(s, seed, mul)
+      h = mod31(h * mul + b.toLong)
     }
     h
+  }
+
+  private val PolyMulSq: Long = mod31(PolyMul * PolyMul)
+
+  /** Continue the ASCII Horner fold of `s` from state `h0`; returns -1
+    * if `s` has a non-ASCII byte (caller falls back to the decoding
+    * path). Two-byte steps — see [[polyHashWith]]. */
+  @inline private def foldAscii(h0: Long, s: UTF8String, mul: Long, mulSq: Long): Long = {
+    val n = s.numBytes()
+    var h = h0
+    var i = 0
+    while (i + 1 < n) {
+      val b1 = s.getByte(i)
+      val b2 = s.getByte(i + 1)
+      if ((b1 | b2) < 0) return -1L
+      h = mod31(h * mulSq + b1.toLong * mul + b2.toLong)
+      i += 2
+    }
+    if (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return -1L
+      h = mod31(h * mul + b.toLong)
+    }
+    h
+  }
+
+  /** polyHash of "a b" WITHOUT materializing the concatenation — the
+    * shingle hot path runs one Horner fold across the three segments
+    * (a, ' ', b), saving an allocation + copy per shingle. Identical
+    * value to polyHash(concat(a, " ", b)): any decomposition of the
+    * byte sequence into 1-/2-byte Horner steps computes the same
+    * Σ cᵢ·mulⁿ⁻¹⁻ⁱ mod P. */
+  def polyHashShingle(a: UTF8String, b: UTF8String): Long = {
+    var h = foldAscii(PolySeed, a, PolyMul, PolyMulSq)
+    if (h >= 0L) {
+      h = mod31(h * PolyMul + 32L) // ' '
+      h = foldAscii(h, b, PolyMul, PolyMulSq)
+    }
+    if (h >= 0L) h else polyHash(UTF8String.concat(a, space, b))
   }
 
   /** Non-ASCII fallback: fold over Java chars (BMP code points). */
@@ -101,8 +163,8 @@ object HashFunctions {
     var distinct = 0L
     var i = 0
     while (i < n - 1) {
-      val shingle = UTF8String.concat(toks.getUTF8String(i), space, toks.getUTF8String(i + 1))
-      val key = polyHash(shingle) // portable base hash in [0, P)
+      // portable base hash in [0, P), no shingle-string materialization
+      val key = polyHashShingle(toks.getUTF8String(i), toks.getUTF8String(i + 1))
       var slot = (key.toInt & (cap - 1))
       var fresh = false
       var probing = true
@@ -116,7 +178,7 @@ object HashFunctions {
         distinct += 1
         var j = 0
         while (j < NumPerms) {
-          val v = (key * permA(j) + permB(j)) % P // key,a < 2^31: no overflow
+          val v = mod31(key * permA(j) + permB(j)) // key,a < 2^31: no overflow
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -157,8 +219,7 @@ object HashFunctions {
     var m = 0
     var i = 0
     while (i < n - 1) {
-      val shingle = UTF8String.concat(toks.getUTF8String(i), space, toks.getUTF8String(i + 1))
-      val key = polyHash(shingle)
+      val key = polyHashShingle(toks.getUTF8String(i), toks.getUTF8String(i + 1))
       var slot = (key.toInt & (cap - 1))
       var fresh = false
       var probing = true

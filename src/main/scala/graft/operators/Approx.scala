@@ -133,6 +133,46 @@ object Approx {
        |FROM ranked WHERE rk <= 5 ORDER BY source, ekey, doc_id""".stripMargin
   }
 
+  /** Uniform k-per-stratum sampling through the mergeable bottom-k
+    * AGGREGATE (functions.BottomKAgg) — the second scale path for
+    * selection, complementing q_weighted_sample's native TopKPerGroup
+    * PLAN: aggregate state is ≤ k pairs per group with map-side
+    * partial merge, so the shuffle carries k·groups·partitions rows
+    * and no sort ever runs. The sampling key is the raw two-round LCG
+    * state (an INTEGER — no transcendental, no rounding surface at
+    * all), so the oracle replays the selection verbatim.
+    *
+    * This is the batch twin of the streaming reservoir
+    * (streaming.EventStream.sampleReservoir): same aggregate, same
+    * chop/merge-invariance argument — with distinct doc_ids the
+    * (ukey, doc_id) order is total, so the k minimum is unique
+    * whatever the partitioning. */
+  def uniformSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val st = lcgState("doc_id", 91L)
+    val keyed = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("ukey", expr(st).cast(DoubleType)) // < 2^31: exact in double
+    keyed.groupBy("source")
+      .agg(graft.functions.BottomKAgg.bottomK(col("ukey"), col("doc_id"), 4).as("picks"))
+      .select(col("source"), posexplode(col("picks")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.ekey").cast("long").as("ukey"))
+      .orderBy("source", "rk")
+  }
+
+  private val uniformSampleOracle: String = {
+    val st = lcgState("doc_id", 91L)
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id, $st AS ukey FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, ukey,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ukey, doc_id) AS rk
+       |  FROM keyed)
+       |SELECT source, rk, doc_id, CAST(ukey AS BIGINT) AS ukey
+       |FROM ranked WHERE rk <= 4 ORDER BY source, rk""".stripMargin
+  }
+
   /** The Laplace inverse-CDF draw (−b·sgn(u−½)·ln(1−2|u−½|)) for a
     * group-keyed LCG state, as SQL text shared by both engines. The
     * run `seed` folds into the LCG's additive constant (seed 0 leaves
@@ -251,6 +291,7 @@ object Approx {
     Op("q_qsketch", quantileSketchStats, None),
     Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Op("q_weighted_sample", weightedSample, Some(weightedSampleOracle)),
+    Op("q_sample_uniform", uniformSample, Some(uniformSampleOracle)),
     Op("q_dp_agg", dpAggregate, Some(dpAggregateOracleFor(0L))),
   )
 }

@@ -141,6 +141,111 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The full CCNet-style perplexity FILTER built on the bigram LM
+    * above: score EVERY document (not a sample), convert to perplexity
+    * ppl = exp(−avg_lp), and band the corpus head/middle/tail around
+    * the corpus-wide score distribution (μ ± σ/2 on avg log-prob —
+    * CCNet keeps the middle band: the head is boilerplate-ish
+    * over-predictable text, the tail is word salad). Output is the
+    * per-source band profile a curation run reports before choosing
+    * keep-rates.
+    *
+    * Scale: LM training and scoring are the same vocabulary-bounded
+    * joins as q_ngram_lm over one corpus pass; the banding thresholds
+    * are a ONE-ROW broadcast (decimal-exact moments of the per-doc
+    * score), so the band assignment is scan-local — no second
+    * corpus-wide shuffle beyond the per-doc rollup. Docs with < 2
+    * tokens have no bigrams and are excluded (no score exists).
+    *
+    * Determinism: per-bigram lp r6 + DECIMAL sums (as q_ngram_lm);
+    * per-doc avg r4; ppl = r4(exp(−avg)) — exp/ln on identical doubles
+    * agree bitwise across engines; μ, σ and both thresholds r6 before
+    * the comparison, so banding is bit-portable. */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("word", "w1")
+    val vocab = toks.select(countDistinct(col("word")).as("v"))
+    val bigr = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val perDoc = bigr
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", r6(expr("ln((c2 + 0.5) / (c1 + 0.5 * v))")))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("nb"),
+        sum(col("lp").cast(d)).cast(DoubleType).as("slp"))
+      .withColumn("alp", r4(col("slp") / col("nb")))
+      .withColumn("ppl", r4(exp(-col("alp"))))
+    val stats = perDoc.agg(count(lit(1)).as("nd"),
+        sum(col("alp").cast(d)).cast(DoubleType).as("s"),
+        sum(r6(col("alp") * col("alp")).cast(d)).cast(DoubleType).as("ss"))
+      .withColumn("mu", r6(col("s") / col("nd")))
+      .withColumn("sigma", r6(sqrt((col("ss") - col("s") * col("s") / col("nd")) / col("nd"))))
+      .select(r6(col("mu") + col("sigma") / 2).as("hi"),
+        r6(col("mu") - col("sigma") / 2).as("lo"))
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("band", when(col("alp") > col("hi"), "head")
+        .when(col("alp") < col("lo"), "tail").otherwise("middle"))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        r6(sum(col("ppl").cast(d)).cast(DoubleType) / count(lit(1))).as("avg_ppl"))
+      .orderBy("source", "band")
+  }
+
+  private val perplexityFilterOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |uni AS (SELECT word AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
+       |vocab AS (SELECT COUNT(DISTINCT word) AS v FROM toks),
+       |bi_all AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+       |      i -> {'w1': string_split(text, ' ')[i], 'w2': string_split(text, ' ')[i+1]})) AS bg
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |bi_occ AS (SELECT doc_id, source, bg.w1 AS w1, bg.w2 AS w2 FROM bi_all),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi_occ GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT o.doc_id, o.source,
+       |    ${rSql("ln((c2 + 0.5) / (c1 + 0.5 * v))", 6)} AS lp
+       |  FROM bi_occ o
+       |  JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab),
+       |perdoc0 AS (
+       |  SELECT doc_id, source,
+       |    ${rSql("(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 4)} AS alp
+       |  FROM scored GROUP BY 1, 2),
+       |pd AS (
+       |  SELECT doc_id, source, alp, ${rSql("exp(-alp)", 4)} AS ppl FROM perdoc0),
+       |stats AS (
+       |  SELECT COUNT(*) AS nd,
+       |    CAST(SUM(CAST(alp AS DECIMAL(28,6))) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST(${rSql("(alp * alp)", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS ss
+       |  FROM pd),
+       |th AS (
+       |  SELECT ${rSql("(s / nd)", 6)} AS mu,
+       |    ${rSql("sqrt((ss - s * s / nd) / nd)", 6)} AS sigma
+       |  FROM stats),
+       |th2 AS (
+       |  SELECT ${rSql("(mu + sigma / 2)", 6)} AS hi,
+       |    ${rSql("(mu - sigma / 2)", 6)} AS lo
+       |  FROM th),
+       |banded AS (
+       |  SELECT source,
+       |    CASE WHEN alp > hi THEN 'head' WHEN alp < lo THEN 'tail'
+       |      ELSE 'middle' END AS band, ppl
+       |  FROM pd CROSS JOIN th2)
+       |SELECT source, band, COUNT(*) AS n_docs,
+       |  ${rSql("(CAST(SUM(CAST(ppl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 6)} AS avg_ppl
+       |FROM banded GROUP BY 1, 2 ORDER BY source, band""".stripMargin
+
   private val ngramLmOracle =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -713,8 +818,9 @@ object Corpus {
     Op("q_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     Op("q_pmi", pmiCollocations, Some(pmiOracle)),
     Op("q_zipf", zipfFit, Some(zipfOracle)),
-    Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
+    Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle), headline = true),
     Op("q_ngram_lm", ngramLm, Some(ngramLmOracle)),
+    Op("q_ppl_filter", perplexityFilter, Some(perplexityFilterOracle)),
     Op("q_dedup_substring", dedupSubstring, Some(dedupSubstringOracle)),
     Op("q_domain_mix", domainMix, Some(domainMixOracle)),
     Op("q_c4_filters", c4Filters, Some(c4FiltersOracle)),

@@ -618,7 +618,7 @@ object Dedup {
   val ops: Seq[Op] = Seq(
     Op("q_dedup_exact", dedupExact, Some(dedupExactOracle), headline = true),
     Op("q_decontam_fuzzy", fuzzyDecontam, Some(fuzzyDecontamOracle)),
-    Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle), headline = true),
     Op("q_split_safe", splitSafe, Some(splitSafeOracle)),
     Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     Op("q_dedup_minhash", dedupMinhash, Some(dedupMinhashOracle), headline = true),

@@ -409,7 +409,7 @@ object Similarity {
     Op("q_knn_cosine", knnCosine, Some(knnCosineOracle), headline = true),
     Op("q_embed_centroids", embedCentroids, Some(embedCentroidsOracle)),
     Op("q_ann_lsh", annLsh, Some(annLshOracle)),
-    Op("q_ann_ivf", annIvf, Some(annIvfOracle)),
+    Op("q_ann_ivf", annIvf, Some(annIvfOracle), headline = true),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
   )
 }

@@ -1389,8 +1389,85 @@ object Stats {
        |FROM stats ORDER BY event_type""".stripMargin
   }
 
+  /** Delete-one-block (grouped) jackknife for the ratio metric
+    * Σ value / n per event_type — the standard alternative to the
+    * delta method (q_ratio_delta) for ratio-metric standard errors,
+    * and the one large experimentation platforms actually run because
+    * it needs only per-block sufficient statistics: B = 20 user
+    * blocks (user_id mod 20, the q_crse clustering), each leave-one-
+    * out replicate θ̂₍ᵢ₎ = (S − sᵢ)/(N − nᵢ) computed FROM THE TOTALS,
+    * so the whole estimator is one |blocks×types| aggregation over
+    * one fact pass — no resampling, no per-replicate scan.
+    *
+    * SE² = (B−1)/B · Σ (θ̂₍ᵢ₎ − θ̄)². Determinism: block sums are
+    * exact DECIMAL; each replicate is r6-rounded before the moment
+    * pass; deviations re-round and DECIMAL-sum, so accumulation order
+    * never shows. */
+  def jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val blocks = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 20).as("blk"), col("value"))
+      .groupBy("event_type", "blk")
+      .agg(count(lit(1)).as("n_b"), sum(col("value").cast(d)).as("s_b"))
+    val tot = blocks.groupBy("event_type")
+      .agg(sum("n_b").as("n"), sum("s_b").as("s"), count(lit(1)).as("b"))
+    val reps = blocks.join(tot, "event_type")
+      .withColumn("theta_i", r6((col("s") - col("s_b")).cast(DoubleType) /
+        (col("n") - col("n_b"))))
+    val moments = reps.groupBy("event_type")
+      .agg(max("n").as("n"), max("s").as("s"), max("b").as("b"),
+        sum(col("theta_i").cast(d)).cast(DoubleType).as("sum_t"))
+    val withBar = moments.withColumn("theta_bar", r6(col("sum_t") / col("b")))
+    val dev = reps.join(withBar.select("event_type", "theta_bar"), "event_type")
+      .withColumn("dsq", r6((col("theta_i") - col("theta_bar")) *
+        (col("theta_i") - col("theta_bar"))))
+      .groupBy("event_type")
+      .agg(sum(col("dsq").cast(d)).cast(DoubleType).as("ssd"))
+    withBar.join(dev, "event_type")
+      .withColumn("ratio", r6(col("s").cast(DoubleType) / col("n")))
+      .withColumn("jk_se", r6(sqrt((col("b") - 1).cast(DoubleType) / col("b") * col("ssd"))))
+      .select(col("event_type"), col("n"), col("b").as("n_blocks"),
+        col("ratio"), col("jk_se"),
+        r4(col("ratio") - lit(1.96) * col("jk_se")).as("ci_lo"),
+        r4(col("ratio") + lit(1.96) * col("jk_se")).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  private val jackknifeOracle: String =
+    s"""WITH blocks AS (
+       |  SELECT event_type, user_id % 20 AS blk,
+       |    COUNT(*) AS n_b, SUM(CAST("value" AS DECIMAL(28,6))) AS s_b
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, CAST(SUM(n_b) AS BIGINT) AS n, SUM(s_b) AS s,
+       |    COUNT(*) AS b
+       |  FROM blocks GROUP BY 1),
+       |reps AS (
+       |  SELECT blocks.event_type, b, n, s,
+       |    ${rSql("(CAST(s - s_b AS DOUBLE) / (n - n_b))", 6)} AS theta_i
+       |  FROM blocks JOIN tot ON blocks.event_type = tot.event_type),
+       |bar AS (
+       |  SELECT event_type, MAX(b) AS b, MAX(n) AS n, MAX(s) AS s,
+       |    ${rSql("(CAST(SUM(CAST(theta_i AS DECIMAL(28,6))) AS DOUBLE) / MAX(b))", 6)} AS theta_bar
+       |  FROM reps GROUP BY 1),
+       |dev AS (
+       |  SELECT reps.event_type,
+       |    CAST(SUM(CAST(${rSql("((theta_i - theta_bar) * (theta_i - theta_bar))", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS ssd
+       |  FROM reps JOIN bar ON reps.event_type = bar.event_type
+       |  GROUP BY 1),
+       |fin AS (
+       |  SELECT bar.event_type, n, b AS n_blocks,
+       |    ${rSql("(CAST(s AS DOUBLE) / n)", 6)} AS ratio,
+       |    ${rSql("sqrt(CAST(b - 1 AS DOUBLE) / b * ssd)", 6)} AS jk_se
+       |  FROM bar JOIN dev ON bar.event_type = dev.event_type)
+       |SELECT event_type, n, n_blocks, ratio, jk_se,
+       |  ${rSql("(ratio - 1.96 * jk_se)", 4)} AS ci_lo,
+       |  ${rSql("(ratio + 1.96 * jk_se)", 4)} AS ci_hi
+       |FROM fin ORDER BY event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_ks_test", ksTest, Some(ksTestOracle)),
+    Op("q_jackknife", jackknife, Some(jackknifeOracle)),
     Op("q_levene", levene, Some(leveneOracle)),
     Op("q_anova", anovaPosition, Some(anovaPositionOracle)),
     Op("q_histogram", histogram, Some(histogramOracle)),

@@ -536,8 +536,82 @@ object TimeSeries {
           6)} AS seasonal_index
        |FROM bydow ORDER BY event_type, dow""".stripMargin
 
+  /** Mann-Kendall trend test over the daily KPI per event_type — the
+    * nonparametric monotone-trend check an experimentation platform
+    * runs on a guardrail metric before attributing movement to a
+    * treatment (drift and treatment effects are confounded in a
+    * switchback if the KPI trends). S = Σ_{i<j} sign(xⱼ − xᵢ) over
+    * daily value sums; tie-corrected normal approximation
+    * Var = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18, z = (S ∓ 1)/√Var
+    * (continuity correction toward 0).
+    *
+    * Scale + determinism: ONE fact pass aggregates to |event_type ×
+    * day| decimal-exact daily sums; the O(days²) pairwise sign join
+    * and the tie rollup run on that tiny frame (days, not events —
+    * at 100 TB the day count is still ~10³). sign() compares exact
+    * DECIMALs and everything stays integer until the final /18 and
+    * √, so both engines agree bit-for-bit. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("value").cast(d)).as("v"))
+    val a = daily.select(col("event_type"), col("day").as("di"), col("v").as("vi"))
+    val b = daily.select(col("event_type"), col("day").as("dj"), col("v").as("vj"))
+    val s = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("vj") - col("vi")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("event_type", "v").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    s.join(ties, "event_type")
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+          .cast(DoubleType) / 18.0)
+      .withColumn("z", when(col("s_stat") === 0, lit(0.0)).otherwise(
+        r4((col("s_stat") - signum(col("s_stat"))).cast(DoubleType) / sqrt(col("var_s")))))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("s_stat"), r6(col("var_s")).as("var_s"), col("z"),
+        (abs(col("z")) > lit(1.96)).as("trend_sig"))
+      .orderBy("event_type")
+  }
+
+  private val mannKendallOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+       |    SUM(CAST("value" AS DECIMAL(28,6))) AS v
+       |  FROM events GROUP BY 1, 2),
+       |s AS (
+       |  SELECT a.event_type,
+       |    CAST(SUM(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND a.day < b.day
+       |  GROUP BY 1),
+       |ties AS (
+       |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+       |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+       |  FROM (SELECT event_type, v, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |fin AS (
+       |  SELECT s.event_type, n, s_stat, tie_term,
+       |    CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS var_s
+       |  FROM s JOIN ties ON s.event_type = ties.event_type)
+       |SELECT event_type, n AS n_days, s_stat,
+       |  ${rSql("var_s", 6)} AS var_s,
+       |  CASE WHEN s_stat = 0 THEN 0.0
+       |    ELSE ${rSql("(CAST(s_stat - sign(s_stat) AS DOUBLE) / sqrt(var_s))", 4)} END AS z,
+       |  abs(CASE WHEN s_stat = 0 THEN 0.0
+       |    ELSE ${rSql("(CAST(s_stat - sign(s_stat) AS DOUBLE) / sqrt(var_s))", 4)} END) > 1.96 AS trend_sig
+       |FROM fin ORDER BY event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_acf", acf, Some(acfOracle)),
+    Op("q_mann_kendall", mannKendall, Some(mannKendallOracle)),
     Op("q_seasonality", seasonality, Some(seasonalityOracle)),
     Op("q_window_range", windowRange, Some(windowRangeOracle)),
     Op("q_scd2", scd2, Some(scd2Oracle)),

@@ -155,6 +155,36 @@ object EventStream {
         graft.functions.Compat.r4(col("true_sum") + expr(lap(2L, "200.0"))).as("dp_sum"))
   }
 
+  /** Streaming weighted reservoir sample — the streaming twin of the
+    * batch sampling block (Approx.weightedSample / stratifiedSample):
+    * per finalized window × event_type (the stratum), keep the k
+    * events with the smallest Efraimidis–Spirakis key
+    * e = −ln(u)/(value+1), u from the SAME portable LCG recipe
+    * (salt 77) the batch operator draws from, keyed on event_id.
+    *
+    * The selection runs through the mergeable bottom-k aggregate
+    * ([[graft.functions.BottomKAgg]]): state per group is k pairs, the
+    * merge is order-invariant under the strict (ekey, event_id) order,
+    * so emitted samples are independent of the micro-batch chop — and
+    * equal a batch replay of the same law over the finalized window
+    * (the spec's claim). Weight value+1 keeps the key finite for
+    * zero-valued events. */
+  def sampleReservoir(events: DataFrame, k: Int = 3): DataFrame = {
+    val c77 = 12345L + 77L * 1013904223L
+    val u = s"((((((event_id % 2147483648) * 1103515245 + $c77) % 2147483648)" +
+      s" * 1103515245 + 12345) % 2147483648) + 1.0) / 2147483649.0"
+    val ekey = s"(-ln($u) / (greatest(value, 0.0) + 1.0))"
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("ekey", expr(ekey))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.BottomKAgg.bottomK(col("ekey"), col("event_id"), k).as("picks"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        posexplode(col("picks")))
+      .select(col("window_start"), col("event_type"), (col("pos") + 1).as("rk"),
+        col("col.id").as("event_id"), col("col.ekey").as("ekey"))
+  }
+
   /** Streaming exact dedup — drops re-deliveries of the same event_id
     * inside the watermark horizon (the streaming twin of
     * operators.Dedup.dedupExact; state is bounded by the watermark). */

@@ -338,4 +338,29 @@ class CausalGraphSpec extends SparkSpec {
     val hubs = docs.groupBy(_._2).map { case (_, ds) => ds.map(_._1).min }.toSet
     assert(expectedTop.take(5).forall { case (id, _) => hubs.contains(id) })
   }
+
+  test("pagerank deep iterations: checkpoint bounds the plan, 5-iteration readout unchanged") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    // 12 iterations: the localCheckpoint at iteration 10 must truncate
+    // lineage, so the FINAL plan unrolls only iterations 11-12 — a
+    // 12-deep unrolled chain would carry ~24 joins
+    val deep = operators.Graph.pagerankIters(spark, sfDir, 12)
+    val joins = deep.queryExecution.optimizedPlan.collect { case j: LJoin => j }.size
+    assert(joins <= 8, s"expected checkpoint-truncated plan, found $joins joins")
+    val rows = deep.collect()
+    CacheScope.releaseAll()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getAs[Double]("pr") > 0.0 &&
+      !r.getAs[Double]("pr").isNaN))
+    // ranks keep converging: iteration 12 is a valid distribution
+    // (damped mass conservation holds loosely on the r6 grid)
+    val total = rows.map(_.getAs[Double]("pr")).sum
+    assert(total > 0.0 && total < 1.0 + 1e-3)
+    // the parameterized 5-iteration path IS q_pagerank's (oracle-pinned)
+    val five = operators.Graph.pagerankIters(spark, sfDir, 5).collect()
+    CacheScope.releaseAll()
+    val named = Registry.byName("q_pagerank").fn(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(five.map(_.toString).toSeq === named.map(_.toString).toSeq)
+  }
 }

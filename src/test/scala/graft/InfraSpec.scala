@@ -300,6 +300,36 @@ class InfraSpec extends SparkSpec {
     assert(hs.toLongArray().toSeq === Seq(
       HashFunctions.polyHash(UTF8String.fromString("a b")),
       HashFunctions.polyHash(UTF8String.fromString("b c"))))
+    // the Mersenne-fold fast path equals the textbook byte-at-a-time
+    // `% P` Horner fold (what polyHashSql replays) for every length
+    // parity, seed variant, and the non-ASCII fallback
+    def naive(str: String, seed: Long, mul: Long): Long = {
+      var h = seed
+      str.foreach(c => h = (h * mul + c.toLong) % HashFunctions.P)
+      h
+    }
+    val rnd = new scala.util.Random(1234)
+    val samples = (0 until 200).map { i =>
+      val len = rnd.nextInt(24)
+      new String((0 until len).map { _ =>
+        if (i % 11 == 10) (rnd.nextInt(0x2000) + 32).toChar // non-ASCII mix
+        else (rnd.nextInt(95) + 32).toChar
+      }.toArray)
+    } ++ Seq("", "x", "ab", "abc")
+    samples.foreach { str =>
+      assert(HashFunctions.polyHash(UTF8String.fromString(str)) ===
+        naive(str, 7L, 1000003L), s"polyHash('$str')")
+      assert(HashFunctions.polyHashWith(UTF8String.fromString(str), 11L, 1000033L) ===
+        naive(str, 11L, 1000033L), s"polyHashWith('$str')")
+    }
+    // the segment-continuation shingle fold equals hash-of-concat
+    samples.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(HashFunctions.polyHashShingle(
+          UTF8String.fromString(a), UTF8String.fromString(b)) ===
+          naive(s"$a $b", 7L, 1000003L), s"shingle('$a','$b')")
+      case _ => ()
+    }
   }
 
   test("plan audit: bloom probe scan-side, merge join shape, retention/funnel single-pass") {

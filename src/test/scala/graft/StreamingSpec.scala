@@ -284,6 +284,47 @@ class StreamingSpec extends SparkSpec {
     assert(trueAgg.nonEmpty)
   }
 
+  test("streaming weighted reservoir sample is chop-invariant and matches the batch law") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 240).map { i =>
+      Event(i.toLong, ts(i * 7L), i % 7L,
+        if (i % 3 == 0) "click" else "view", (i % 23).toDouble)
+    }
+    def run(chunks: Seq[Seq[Event]], name: String): Set[(Long, String, Int, Long)] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.sampleReservoir(input.toDF(), k = 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(20000L), 0L, "click", 0.0)) // finalize all
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect().map(r => (r.getTimestamp(0).getTime,
+        r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    }
+    val one = run(Seq(events), "res_a")
+    val chopped = run(events.grouped(41).toSeq, "res_b")
+    assert(one === chopped, "reservoir must not depend on micro-batch chop")
+    assert(one.nonEmpty)
+    // every emitted pick matches a plain-Scala replay of the batch law
+    // (same LCG salt-77 draw, same Efraimidis-Spirakis key, same
+    // (ekey, id) tie-break) over its finalized window
+    def lcg(key: Long): Long = {
+      val s1 = ((key % 2147483648L) * 1103515245L + (12345L + 77L * 1013904223L)) % 2147483648L
+      (s1 * 1103515245L + 12345L) % 2147483648L
+    }
+    val expected = (events :+ Event(999L, ts(20000L), 0L, "click", 0.0))
+      .groupBy(e => (e.ts.getTime / 3600000L * 3600000L, e.event_type))
+      .flatMap { case ((ws, et), es) =>
+        es.map { e =>
+          val u = (lcg(e.event_id) + 1.0) / 2147483649.0
+          (e.event_id, -math.log(u) / (math.max(e.value, 0.0) + 1.0))
+        }.sortBy { case (id, k) => (k, id) }.take(3).zipWithIndex
+          .map { case ((id, _), i) => (ws, et, i + 1, id) }
+      }.toSet
+    assert(one.subsetOf(expected),
+      s"picks diverge from the batch law: ${one.diff(expected)}")
+  }
+
   test("streaming mSPRT monitor drops events for already-finalized days") {
     implicit val sqlCtx = spark.sqlContext
     // same planted-effect layout as the chop spec: 3 days × 48 events
