@@ -389,72 +389,63 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation (each node adopts the smallest label in its
-    * neighborhood until fixpoint). This is the simplified form of the
-    * large-star/small-star algorithm used for dup-cluster collapse at
-    * scale: every iteration is one shuffle keyed on node id, and the
-    * iteration count is bounded by the component diameter — near-dup
-    * clusters are shallow, so it converges in a handful of rounds. */
+  /** Connected components over an undirected edge list by min-label
+    * propagation WITH pointer jumping (the hash-to-min family): each
+    * round every node adopts the minimum of its own label, its
+    * neighbors' labels, and its label's label (the jump — label chains
+    * contract by path halving). Neighbor-min alone converges in
+    * O(diameter) rounds; the jump makes it O(log diameter), which at
+    * corpus scale is the difference between ~50 global barriers and
+    * ~7 on a chain-shaped dup cluster. Fixpoint is unchanged: labels
+    * only decrease, always hold a member node's id, and at fixpoint
+    * are neighborhood- and chain-stable, i.e. the component minimum.
+    *
+    * Round shape: the three message sets (neighbor, self, jump) union
+    * into ONE min-aggregation — no per-round left join. Convergence is
+    * detected from Σ labels (DECIMAL(38,0), overflow-safe): labels
+    * are monotone non-increasing, so the sum is strictly decreasing
+    * until the fixpoint — no extra chg column or second pass.
+    *
+    * Plan/cache discipline: the symmetrized edge list is persisted
+    * ONCE (it is read every round, and transitively re-running the
+    * pair-discovery subplan each round is the dominant cost
+    * otherwise); each round's labels are localCheckpoint'ed — the
+    * plan stays constant-size (unrolled lineage previously made
+    * Catalyst analysis the per-round bottleneck, superlinear in round
+    * number), and the superseded generation's blocks are freed as
+    * soon as the new checkpoint materializes (a checkpoint has no
+    * lineage, so nothing can reference the old one). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    import org.apache.spark.sql.types.DecimalType
+    val sym = graft.CacheScope.track(
+      edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .persist())
+    def free(df: DataFrame): Unit = org.apache.spark.sql.graft.Bridge
+      .materializedRdd(df).foreach(_.unpersist(blocking = false))
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-    var changed = 1L
+      .withColumn("component", col("node")).localCheckpoint()
+    var prevSum: Option[Any] = None
+    var converged = false
     var i = 0
-    // Each iteration persists its labels (read twice: the chg count and
-    // the next join) and frees the superseded generation, so cache
-    // footprint stays ~one generation regardless of iteration count.
-    // localCheckpoint every 5 rounds truncates the logical plan — without
-    // it, lineage (and Catalyst analysis time) grows per iteration.
-    //
-    // Release discipline (cluster-safe): a PERSISTED generation is freed
-    // as soon as the next generation materializes — its lineage is
-    // intact, so a later cache miss just recomputes. A CHECKPOINTED
-    // generation has NO lineage and is the recompute ROOT for every
-    // persisted generation after it: freeing it mid-loop would make a
-    // lost successor block unrecoverable (executor failure on a real
-    // cluster). So a superseded checkpoint is only RETIRED here, and
-    // freed when the NEXT checkpoint barrier materializes (at which
-    // point no live lineage can reach it). Checkpointed generations
-    // also need their materialized RDD unpersisted directly —
-    // Dataset.unpersist is a cache-manager no-op for them.
-    def releaser(df: DataFrame, checkpointed: Boolean): () => Unit =
-      if (checkpointed) {
-        val rdd = org.apache.spark.sql.graft.Bridge.materializedRdd(df)
-        () => rdd.foreach(_.unpersist(blocking = false))
-      } else () => df.unpersist(blocking = false)
-    var prevRelease: Option[(() => Unit, Boolean)] = None // (release, wasCheckpointed)
-    var retiredCheckpoint: Option[() => Unit] = None
-    while (changed > 0 && i < maxIters) {
-      val neighborMin = sym
-        .join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src").as("node"))
-        .agg(min("component").as("nbr_min"))
-      val step = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (col("nbr_min") < col("component")).as("chg"))
-      val checkpointed = (i + 1) % 5 == 0
-      val updated = if (checkpointed) step.localCheckpoint() else step.persist()
-      changed = updated.filter(col("chg")).count()
-      if (checkpointed) {
-        // new barrier is materialized: nothing references the checkpoint
-        // retired at the previous barrier any more
-        retiredCheckpoint.foreach(f => f())
-        retiredCheckpoint = None
-      }
-      prevRelease.foreach { case (f, wasCp) =>
-        if (wasCp) retiredCheckpoint = Some(f) else f()
-      }
-      prevRelease = Some((releaser(updated, checkpointed), checkpointed))
-      labels = updated.select("node", "component")
+    while (!converged && i < maxIters) {
+      val nbr = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("component"))
+      val par = labels.select(col("node").as("pn"), col("component").as("pc"))
+      val jump = labels.join(par, labels("component") === par("pn"))
+        .select(labels("node"), col("pc").as("component"))
+      val updated = nbr.unionAll(labels).unionAll(jump)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      val s = Option(
+        updated.agg(sum(col("component").cast(DecimalType(38, 0)))).head.get(0))
+      free(labels)
+      labels = updated
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
-    retiredCheckpoint.foreach(f => graft.CacheScope.defer(f))
-    prevRelease.foreach { case (f, _) => graft.CacheScope.defer(f) }
+    graft.CacheScope.defer(() => free(labels))
     labels
   }
 

@@ -145,4 +145,27 @@ class Round6Spec extends SparkSpec {
     for (h <- byBand.get("head"); t <- byBand.get("tail"))
       assert(h < t, s"head ppl $h must undercut tail ppl $t")
   }
+
+  test("connected components: pointer jumping collapses a 200-chain in O(log n) rounds") {
+    import org.apache.spark.sql.functions._
+    // a single path graph 0-1-2-…-200: diameter 200. Pure neighbor-min
+    // propagation needs ~200 rounds; the pointer-jumping loop must
+    // finish inside its default maxIters=20 budget (log2(200) ≈ 8) —
+    // this is the property that keeps deep dup-chains from turning
+    // into hundreds of global barriers at corpus scale.
+    val edges = spark.range(200).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val labels = operators.Dedup.connectedComponents(edges)
+    val rows = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    CacheScope.releaseAll()
+    assert(rows.length === 201)
+    assert(rows.forall(_._2 === 0L), "every node must adopt the chain minimum")
+    // two disjoint components stay separate
+    val two = spark.range(10).select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .filter(col("src") =!= 5) // cut the chain at 5-6
+    val l2 = operators.Dedup.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.releaseAll()
+    assert((0 to 5).forall(n => l2(n.toLong) === 0L))
+    assert((6 to 10).forall(n => l2(n.toLong) === 6L))
+  }
 }
