@@ -19,10 +19,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * TimestampType (µs) refuses outright. We read nanos as long (legacy
-    * conf) and convert — the driver's data is µs-aligned so the integer
-    * division below is lossless. */
+  /** `events.ts` has been written by the driver as parquet
+    * TIMESTAMP(NANOS) in some data generations and TIMESTAMP(MICROS) in
+    * others. NANOS Spark's TimestampType (µs) refuses outright, so the
+    * column is read as its physical int64 (legacy nanos conf + explicit
+    * LongType schema) and the unit decided by magnitude: ns-since-epoch
+    * for any plausible event date is ~1e18, µs ~1e15 — 5e16 separates
+    * them (a µs value that large would mean year ~3550; a ns value that
+    * small, mid-1971). Per-row CASE so the check is codegen'd and a
+    * mixed file would still convert correctly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -41,7 +46,8 @@ object Tables {
       .schema(schema)
       .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts",
+        expr("timestamp_micros(CASE WHEN ts > 50000000000000000 THEN ts div 1000 ELSE ts END)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
