@@ -811,8 +811,90 @@ object Corpus {
        |FROM m ORDER BY source""".stripMargin
   }
 
+  // ----------------------------------------------------------------- DSIR
+
+  private val dsirBuckets = 256
+
+  /** DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169) —
+    * Data Selection with Importance Resampling, the published recipe
+    * for tilting a raw crawl toward a target domain: fit two hashed
+    * bag-of-bigram models (target = `lang = 'en'` docs, raw = whole
+    * corpus), then score every document by its log importance weight
+    * λ(x) = Σ_feats [ln p̂_target(f) − ln p̂_raw(f)] and keep the top
+    * of the ranking. Features are word bigrams hashed into 256 buckets
+    * with the portable polynomial hash (HashFunctions.polyHash — the
+    * same kernel the minhash stack verifies cross-engine), add-half
+    * smoothing on both models.
+    *
+    * Determinism (SURVEY §4): each per-bucket log-ratio is r6-rounded,
+    * per-doc sums run in DECIMAL, the final weight re-rounds to 1e-4
+    * before the rank, ties break on doc_id.
+    *
+    * Scale: bucket counts are a 256-row broadcast; the per-doc score is
+    * one hash-join of the exploded bigram table against that broadcast
+    * + one per-doc aggregation; top-20 is TakeOrdered. The hashed-model
+    * trick is exactly what makes DSIR run on a full crawl — model size
+    * is O(buckets), never O(vocabulary). */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions
+    val d = DecimalType(28, 6)
+    val bib = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bg"))
+      .withColumn("bucket",
+        HashFunctions.polyHashCol(col("bg"), HashFunctions.PolySeed,
+          HashFunctions.PolyMul) % dsirBuckets)
+    val bucketCnt = bib.groupBy("bucket").agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val totals = bucketCnt.agg(
+      sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    val half = dsirBuckets * 0.5
+    val lw = expr(
+      s"""(ln((CAST(c_tgt AS DOUBLE) + 0.5) / (CAST(n_tgt AS DOUBLE) + $half))
+         | - ln((CAST(c_raw AS DOUBLE) + 0.5) / (CAST(n_raw AS DOUBLE) + $half)))""".stripMargin)
+    val ratios = bucketCnt.crossJoin(broadcast(totals))
+      .select(col("bucket"), r6(lw).as("lw"))
+    bib.join(broadcast(ratios), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"),
+        r4(sum(col("lw").cast(d)).cast(DoubleType)).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val dsirOracle = {
+    import graft.functions.HashFunctions.polyHashSql
+    val half = dsirBuckets * 0.5
+    val lw = s"""(ln((CAST(c_tgt AS DOUBLE) + 0.5) / (CAST(n_tgt AS DOUBLE) + $half))
+                | - ln((CAST(c_raw AS DOUBLE) + 0.5) / (CAST(n_raw AS DOUBLE) + $half)))""".stripMargin
+    s"""WITH bib AS (
+       |  SELECT doc_id, lang, (${polyHashSql("bg")}) % $dsirBuckets AS bucket FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+       |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
+       |    FROM documents WHERE len(string_split(text, ' ')) >= 2)),
+       |bc AS (
+       |  SELECT bucket, COUNT(*) AS c_raw,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+       |  FROM bib GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw, CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM bc),
+       |ratios AS (
+       |  SELECT bucket, ${rSql(lw, 6)} AS lw FROM bc CROSS JOIN tot)
+       |SELECT doc_id, lang, COUNT(*) AS n_feats,
+       |  ${rSql("CAST(SUM(CAST(lw AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS logw
+       |FROM bib JOIN ratios USING (bucket)
+       |GROUP BY doc_id, lang
+       |ORDER BY logw DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_bm25", bm25, Some(bm25Oracle)),
+    Op("q_dsir", dsir, Some(dsirOracle)),
     Op("q_tfidf", tfidf, Some(tfidfOracle)),
     Op("q_entropy", entropy, Some(entropyOracle)),
     Op("q_bpe_pairs", bpePairs, Some(bpePairsOracle)),

@@ -405,11 +405,108 @@ object Similarity {
        |FROM scored GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ----------------------------------------------------------- SemDeDup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means, then
+    * look for near-duplicate pairs ONLY within each cluster — the
+    * published trick that turns the quadratic all-pairs cosine search
+    * into Σ|cluster|², tractable because k grows with the corpus. A
+    * member is dropped when it has cosine ≥ 0.95 with any lower-id
+    * member of its own cluster (greedy keep-first, deterministic).
+    *
+    * Training reuses [[trainIvf]] verbatim (decimal-grid Lloyd, k=8,
+    * 2 iterations) so the oracle reuses the SAME c0→c1→c2 CTE chain as
+    * q_ann_ivf — one clustering kernel, two operators. Random vectors
+    * have no natural semantic dups, so (q_dedup_embed pattern) every
+    * 10th vector is planted back re-keyed: the operator must find
+    * exactly those unless random collisions exceed the threshold.
+    *
+    * Scale: assignment is a scan-local broadcast-centroid expression;
+    * the pair join is hash-partitioned on cluster with both sides
+    * |n/k|, never all-pairs; output is k summary rows. At 100 TB the
+    * same plan holds with k raised to keep |cluster| bounded (the
+    * paper's regime) — no step grows super-linearly. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val emb = base.unionAll(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val centroids = trainIvf(base, k = 8, iters = 2)
+    val cCols = centroids.map(c =>
+      VectorFunctions.dotFd(col("embedding"), typedLit(c)) /
+        (VectorFunctions.norm(col("embedding")) * typedLit(l2(c))))
+    val assigned = emb.withColumn("dots", array(cCols: _*))
+      .withColumn("cluster",
+        expr("array_position(dots, array_max(dots))").cast("int") - 1)
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+      .drop("dots")
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", r6(VectorFunctions.cosine(
+        col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm"))))
+      .filter(col("cos") >= 0.95)
+      .select(col("a.cluster").as("cluster"), col("b.vec_id").as("dup_id"))
+    val dupPairs = pairs.groupBy("cluster").agg(count(lit(1)).as("n_dup_pairs"))
+    val dropped = pairs.distinct()
+      .groupBy("cluster").agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .join(dupPairs, Seq("cluster"), "left")
+      .join(dropped, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("cluster")
+  }
+
+  private val semDedupOracle = {
+    val cos = "(list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "cz -> CAST(cz[1] AS DOUBLE) * CAST(cz[2] AS DOUBLE))) / (a.nrm * b.nrm))"
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cluster, list_transform(embedding, cx -> CAST(cx AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < 8),
+       |${lloydCtes(1, "c0", "c1")},
+       |${lloydCtes(2, "c1", "c2")},
+       |emb2 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |final_sc AS (
+       |  SELECT e.vec_id, e.embedding, cp.cluster,
+       |    (list_sum(list_transform(list_zip(e.embedding, cp.c), lz -> CAST(lz[1] AS DOUBLE) * lz[2]))
+       |      / (sqrt(list_sum(list_transform(e.embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(cp.c, nx -> nx * nx))))) AS cos
+       |  FROM emb2 e CROSS JOIN c2 cp),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster,
+       |    sqrt(list_sum(list_transform(embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE)))) AS nrm
+       |  FROM (
+       |    SELECT vec_id, embedding, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+       |    FROM final_sc) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.cluster, b.vec_id AS dup_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${rSql(cos, 6)} >= 0.95),
+       |dup_pairs AS (SELECT cluster, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cluster),
+       |dropped AS (
+       |  SELECT cluster, COUNT(*) AS n_dropped
+       |  FROM (SELECT DISTINCT cluster, dup_id FROM pairs) GROUP BY cluster)
+       |SELECT m.cluster, m.n_members,
+       |  COALESCE(dup_pairs.n_dup_pairs, 0) AS n_dup_pairs,
+       |  COALESCE(dropped.n_dropped, 0) AS n_dropped
+       |FROM (SELECT cluster, COUNT(*) AS n_members FROM assigned GROUP BY cluster) m
+       |LEFT JOIN dup_pairs ON m.cluster = dup_pairs.cluster
+       |LEFT JOIN dropped ON m.cluster = dropped.cluster
+       |ORDER BY m.cluster""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_knn_cosine", knnCosine, Some(knnCosineOracle), headline = true),
     Op("q_embed_centroids", embedCentroids, Some(embedCentroidsOracle)),
     Op("q_ann_lsh", annLsh, Some(annLshOracle)),
     Op("q_ann_ivf", annIvf, Some(annIvfOracle), headline = true),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
+    Op("q_semdedup", semDedup, Some(semDedupOracle)),
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Op, Tables}
 import graft.functions.Compat._
+import graft.functions.StatFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -399,8 +400,136 @@ object Switchback {
        |FROM tstats ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------- quantile treatment effects
+
+  /** Quantile treatment effects per event_type: On−Off differences at
+    * the 25th/50th/75th percentiles of `value` — the distributional
+    * readout an experimenter reaches for when the mean shift hides
+    * where in the distribution the treatment acts (tail-heavy KPIs:
+    * delivery times, basket values). Interpolating quantiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_quantiles-
+    * proven pairing), r4-rounded before differencing so the QTE is a
+    * fixed double op on grid values in both engines.
+    *
+    * Scale: one exact-percentile aggregation per event_type — at
+    * 100 TB swap `percentile` for the mergeable q_qsketch/GK path;
+    * the operator's contract (per-arm quantiles + diffs) is unchanged. */
+  def qte(spark: SparkSession, dir: String): DataFrame = {
+    def q(p: Double, arm: String): Column =
+      r4(expr(s"percentile(CASE WHEN g = '$arm' THEN value END, $p)"))
+    val base = Tables.events(spark, dir).withColumn("g", onOff)
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n_on"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n_off"),
+        q(0.25, "On").as("q25_on"), q(0.25, "Off").as("q25_off"),
+        q(0.5, "On").as("q50_on"), q(0.5, "Off").as("q50_off"),
+        q(0.75, "On").as("q75_on"), q(0.75, "Off").as("q75_off"),
+      )
+    base.select(col("event_type"), col("n_on"), col("n_off"),
+        col("q25_on"), col("q25_off"), r4(col("q25_on") - col("q25_off")).as("qte25"),
+        col("q50_on"), col("q50_off"), r4(col("q50_on") - col("q50_off")).as("qte50"),
+        col("q75_on"), col("q75_off"), r4(col("q75_on") - col("q75_off")).as("qte75"))
+      .orderBy("event_type")
+  }
+
+  private val qteOracle = {
+    def q(p: Double, arm: String): String =
+      rSql(s"quantile_cont(CASE WHEN $onOffSql = '$arm' THEN \"value\" END, $p)", 4)
+    s"""WITH base AS (
+       |  SELECT event_type,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n_on,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n_off,
+       |    ${q(0.25, "On")} AS q25_on, ${q(0.25, "Off")} AS q25_off,
+       |    ${q(0.5, "On")} AS q50_on, ${q(0.5, "Off")} AS q50_off,
+       |    ${q(0.75, "On")} AS q75_on, ${q(0.75, "Off")} AS q75_off
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n_on, n_off,
+       |  q25_on, q25_off, ${rSql("(q25_on - q25_off)", 4)} AS qte25,
+       |  q50_on, q50_off, ${rSql("(q50_on - q50_off)", 4)} AS qte50,
+       |  q75_on, q75_off, ${rSql("(q75_on - q75_off)", 4)} AS qte75
+       |FROM base ORDER BY event_type""".stripMargin
+  }
+
+  // --------------------------------------------------- Bayesian A/B read
+
+  /** Bayesian A/B readout per event_type under the large-sample normal
+    * approximation with a flat prior: the posterior of the mean lift
+    * Δ = μ_On − μ_Off is N(d, se²) with d the observed difference and
+    * se² = v₁/n₁ + v₂/n₂, so
+    *   p_beats  = P(Δ > 0) = Φ(d/se)           (prob. treatment wins)
+    *   loss_on  = E[max(−Δ, 0)] = se·φ(d/se) − d·Φ(−d/se)
+    *   loss_off = E[max(Δ, 0)]  = se·φ(d/se) + d·Φ(d/se)
+    * — the expected-loss decision rule (ship when loss_on < ε) that
+    * product experimentation platforms publish beside the p-value.
+    * φ/Φ are pure {exp,*,+} arithmetic (A&S erf — StatFunctions), so
+    * both engines evaluate the identical formula text.
+    *
+    * Scale: one map-side-combined moment aggregation, |event_type|
+    * result rows — the q_ttest_welch shape exactly. */
+  def bayesAb(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val moments = Tables.events(spark, dir)
+      .withColumn("g", onOff)
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On", col("value").cast(d))).cast(DoubleType).as("s1"),
+        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
+        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
+      )
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val diff = col("s1") / col("n1") - col("s2") / col("n2")
+    val se = sqrt(v1 / col("n1") + v2 / col("n2"))
+    val z = diff / se
+    val phi = exp(-col("z_raw") * col("z_raw") / 2.0) / math.sqrt(2.0 * math.Pi)
+    moments.select(col("event_type"), col("n1").as("n_on"), col("n2").as("n_off"),
+        diff.as("d_raw"), se.as("se_raw"), z.as("z_raw"))
+      .select(col("event_type"), col("n_on"), col("n_off"),
+        r4(col("d_raw")).as("diff"),
+        r6(StatFunctions.normCdf(col("z_raw"))).as("p_beats"),
+        r6(col("se_raw") * phi - col("d_raw") * StatFunctions.normCdf(-col("z_raw")))
+          .as("exp_loss_on"),
+        r6(col("se_raw") * phi + col("d_raw") * StatFunctions.normCdf(col("z_raw")))
+          .as("exp_loss_off"))
+      .orderBy("event_type")
+  }
+
+  private val bayesAbOracle = {
+    import graft.functions.StatFunctions.normCdfSql
+    val v1 = "((ss1 - s1 * s1 / n1) / (n1 - 1))"
+    val v2 = "((ss2 - s2 * s2 / n2) / (n2 - 1))"
+    val phi = s"(exp(-z_raw * z_raw / 2.0) / ${math.sqrt(2.0 * math.Pi)})"
+    s"""WITH moments AS (
+       |  SELECT event_type,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS ss1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
+       |  FROM events GROUP BY 1),
+       |stats AS (
+       |  SELECT event_type, n1, n2,
+       |    (s1 / n1 - s2 / n2) AS d_raw,
+       |    sqrt($v1 / n1 + $v2 / n2) AS se_raw,
+       |    ((s1 / n1 - s2 / n2) / sqrt($v1 / n1 + $v2 / n2)) AS z_raw
+       |  FROM moments)
+       |SELECT event_type, n1 AS n_on, n2 AS n_off,
+       |  ${rSql("d_raw", 4)} AS diff,
+       |  ${rSql(normCdfSql("z_raw"), 6)} AS p_beats,
+       |  ${rSql(s"(se_raw * $phi - d_raw * ${normCdfSql("(-z_raw)")})", 6)} AS exp_loss_on,
+       |  ${rSql(s"(se_raw * $phi + d_raw * ${normCdfSql("z_raw")})", 6)} AS exp_loss_off
+       |FROM stats ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_sb_assign", sbAssign, Some(sbAssignOracle)),
+    Op("q_qte", qte, Some(qteOracle)),
+    Op("q_bayes_ab", bayesAb, Some(bayesAbOracle)),
     Op("q_stderr_sweep", stderrSweep, Some(stderrSweepOracle)),
     Op("q_propagation", propagation, Some(propagationOracle)),
     Op("q_window_sweep", windowSweep, Some(windowSweepOracle)),
