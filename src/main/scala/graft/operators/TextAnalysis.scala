@@ -334,8 +334,76 @@ object TextAnalysis {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM s GROUP BY 1, 2 ORDER BY lc, bin""".stripMargin
 
+  // -------------------------------------------------------- RAG chunking
+
+  private val chunkSize = 64
+  private val chunkStride = 48
+
+  /** Sliding-window document chunking — the context-window prep pass of
+    * retrieval/RAG pipelines and long-context training: each document
+    * splits into 64-token chunks at stride 48 (16-token overlap so no
+    * boundary sentence is lost), the final chunk keeping whatever
+    * remains. Emits per chunk its token offset/length, character
+    * length, and a portable polynomial fingerprint of the chunk text —
+    * the join key a downstream embedding/dedup stage would use.
+    *
+    * Chunk count for n tokens: 1 if n ≤ 64 else ⌈(n−64)/48⌉ + 1 — all
+    * integer arithmetic, identical in the oracle.
+    *
+    * Scale: pure scan-local explode (zero shuffles, no window) — the
+    * per-doc chunk fan-out is data-parallel by construction; the final
+    * orderBy exists only for the deterministic dump and would be absent
+    * in a pipeline stage. */
+  def ragChunk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions
+    val C = chunkSize; val S = chunkStride
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= C, 1L)
+          .otherwise(expr(s"(n_tok - $C + ${S - 1}) div $S") + 1L))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("tok_start", col("chunk_idx") * S)
+      .withColumn("tok_len", least(lit(C.toLong), col("n_tok") - col("tok_start")))
+      .withColumn("chunk_text",
+        expr("array_join(slice(toks, CAST(tok_start + 1 AS INT), CAST(tok_len AS INT)), ' ')"))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        length(col("chunk_text")).cast("long").as("chunk_chars"),
+        HashFunctions.polyHashCol(col("chunk_text"),
+          HashFunctions.PolySeed, HashFunctions.PolyMul).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val ragChunkOracle = {
+    import graft.functions.HashFunctions.polyHashSql
+    val C = chunkSize; val S = chunkStride
+    val chunkText =
+      s"array_to_string(toks[CAST(chunk_idx * $S + 1 AS INT):CAST(chunk_idx * $S + LEAST($C, n_tok - chunk_idx * $S) AS INT)], ' ')"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    CASE WHEN n_tok <= $C THEN 1
+       |         ELSE (n_tok - $C + ${S - 1}) // $S + 1 END AS n_chunks
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_idx
+       |  FROM c)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $S AS tok_start,
+       |  LEAST($C, n_tok - chunk_idx * $S) AS tok_len,
+       |  CAST(length($chunkText) AS BIGINT) AS chunk_chars,
+       |  ${polyHashSql(chunkText)} AS fp
+       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_pack_budget", packBudget, Some(packBudgetOracle)),
+    Op("q_rag_chunk", ragChunk, Some(ragChunkOracle)),
     Op("q_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     Op("q_lang_id", langId, Some(langIdOracle)),
     Op("q_quality_score", qualityScore, Some(qualityScoreOracle)),

@@ -120,6 +120,36 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("rag chunking: full coverage, correct overlap, fingerprints replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = Registry.byName("q_rag_chunk").fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_len"),
+        r.getAs[Long]("chunk_chars"), r.getAs[Long]("fp")))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val expChunks = if (n <= 64) 1L else (n - 64 + 47) / 48 + 1L
+      val chunks = out(id).sortBy(_._2)
+      assert(chunks.length.toLong === expChunks, s"doc $id")
+      chunks.foreach { case (_, idx, start, len, chars, fp) =>
+        assert(start === idx * 48)
+        assert(len === math.min(64L, n - start))
+        val ctext = toks.slice(start.toInt, (start + len).toInt).mkString(" ")
+        assert(chars === ctext.length.toLong)
+        assert(fp === graft.functions.HashFunctions.polyHash(
+          UTF8String.fromString(ctext)))
+      }
+      // coverage: last chunk reaches the final token; stride < size
+      // means no token between chunks is ever skipped
+      val last = chunks.last
+      assert(last._3 + last._4 === n.toLong, s"doc $id tail covered")
+    }
+  }
+
   test("khop histogram matches a brute-force bounded BFS") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source").collect()
