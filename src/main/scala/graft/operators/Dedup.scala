@@ -584,23 +584,23 @@ object Dedup {
         col("e.doc_id").as("eval_id"), col("e.sz").as("sz_e")).distinct()
       .persist())
     cand.count()
-    val trainSh = graft.CacheScope.track(
-      corpus(spark, dir)
-        .join(cand.select(col("train_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          explode(HashFunctions.shingleHashes(split(col("text"), " "))).as("sh"))
-        .persist())
-    trainSh.count()
+    // packed-set intersection per candidate pair (the dedupMinhash
+    // rewrite): per-doc distinct-shingle ARRAYS, one codegen'd
+    // array_intersect probe per pair — no (pair, shingle) shuffle, no
+    // left join for empty intersections. The eval side is benchmark-
+    // sized, so its array table broadcasts.
+    val trainSh = corpus(spark, dir)
+      .join(cand.select(col("train_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
     val evalSh = evalDocs
       .join(cand.select(col("eval_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(HashFunctions.shingleHashes(split(col("text"), " "))).as("sh"))
-    val inter = cand.select("train_id", "eval_id")
+      .select(col("doc_id"), HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
+    cand
       .join(trainSh.as("st"), col("train_id") === col("st.doc_id"))
-      .join(broadcast(evalSh.as("se")),
-        col("eval_id") === col("se.doc_id") && col("st.sh") === col("se.sh"))
-      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("train_id", "eval_id"), "left")
-      .na.fill(0L, Seq("inter"))
+      .join(broadcast(evalSh.as("se")), col("eval_id") === col("se.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("st.shs"), col("se.shs"))).cast("long"))
       .withColumn("jaccard", r4(col("inter").cast("double") /
         (col("sz_t") + col("sz_e") - col("inter"))))
       .filter(col("jaccard") >= 0.3)
