@@ -227,8 +227,70 @@ object Causal {
        |FROM moments ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------- heterogeneous treatment effects
+
+  /** Conditional average treatment effects (CATE) per segment: the
+    * On−Off lift re-estimated within every event_type × zone cell, with
+    * its own standard error and t — the heterogeneity readout that
+    * tells an experimenter WHERE the effect lives (the reference's
+    * per-zone switchback design makes zone the natural segment; its
+    * notebooks slice exactly this way before pooling). Degenerate
+    * cells (0/1 rows in an arm) NULLIF-guard every divisor in both
+    * engines — the q_did discipline — so sparse segments agree
+    * cross-engine instead of diverging NULL-vs-NaN.
+    *
+    * Scale: one map-side-combined moment aggregation keyed on
+    * (event_type, zone) — |segments| result rows; nothing else. */
+  def hte(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val m = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 10).as("zone"),
+        col("value"), onOff.as("g"))
+      .groupBy("event_type", "zone")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On", col("value").cast(d))).cast(DoubleType).as("s1"),
+        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
+        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
+      )
+    val v1 = (col("ss1") - col("s1") * col("s1") / nz(col("n1"))) /
+      nz(col("n1") - 1) / nz(col("n1"))
+    val v2 = (col("ss2") - col("s2") * col("s2") / nz(col("n2"))) /
+      nz(col("n2") - 1) / nz(col("n2"))
+    val cate = col("s1") / nz(col("n1")) - col("s2") / nz(col("n2"))
+    val se = sqrt(v1 + v2)
+    m.select(col("event_type"), col("zone"), col("n1").as("n_on"), col("n2").as("n_off"),
+        r4(cate).as("cate"), r4(se).as("se"), r4(cate / se).as("t"))
+      .orderBy("event_type", "zone")
+  }
+
+  private val hteOracle = {
+    def nzS(e: String) = s"NULLIF($e, 0)"
+    val v1 = s"((ss1 - s1 * s1 / ${nzS("n1")}) / ${nzS("n1 - 1")} / ${nzS("n1")})"
+    val v2 = s"((ss2 - s2 * s2 / ${nzS("n2")}) / ${nzS("n2 - 1")} / ${nzS("n2")})"
+    val cate = s"(s1 / ${nzS("n1")} - s2 / ${nzS("n2")})"
+    val se = s"sqrt($v1 + $v2)"
+    s"""WITH m AS (
+       |  SELECT event_type, user_id % 10 AS zone,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS ss1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, zone, n1 AS n_on, n2 AS n_off,
+       |  ${rSql(cate, 4)} AS cate, ${rSql(se, 4)} AS se,
+       |  ${rSql(s"($cate / $se)", 4)} AS t
+       |FROM m ORDER BY event_type, zone""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_did", did, Some(didOracle)),
     Op("q_ols_multi", olsMulti, Some(olsMultiOracle)),
+    Op("q_hte", hte, Some(hteOracle)),
   )
 }

@@ -375,12 +375,14 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  private val ragChunkOracle = {
+  /** Shared oracle CTE chain: per-doc token lists → chunk fan-out →
+    * per-chunk offsets + fingerprint (mirrors [[ragChunk]] exactly). */
+  private val ragChunkCtes: String = {
     import graft.functions.HashFunctions.polyHashSql
     val C = chunkSize; val S = chunkStride
     val chunkText =
       s"array_to_string(toks[CAST(chunk_idx * $S + 1 AS INT):CAST(chunk_idx * $S + LEAST($C, n_tok - chunk_idx * $S) AS INT)], ' ')"
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |  FROM documents),
@@ -392,18 +394,63 @@ object TextAnalysis {
        |x AS (
        |  SELECT doc_id, toks, n_tok,
        |    CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_idx
-       |  FROM c)
-       |SELECT doc_id, chunk_idx,
-       |  chunk_idx * $S AS tok_start,
-       |  LEAST($C, n_tok - chunk_idx * $S) AS tok_len,
-       |  CAST(length($chunkText) AS BIGINT) AS chunk_chars,
-       |  ${polyHashSql(chunkText)} AS fp
-       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+       |  FROM c),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    chunk_idx * $S AS tok_start,
+       |    LEAST($C, n_tok - chunk_idx * $S) AS tok_len,
+       |    CAST(length($chunkText) AS BIGINT) AS chunk_chars,
+       |    ${polyHashSql(chunkText)} AS fp
+       |  FROM x)""".stripMargin
   }
+
+  private val ragChunkOracle =
+    s"""WITH $ragChunkCtes
+       |SELECT doc_id, chunk_idx, tok_start, tok_len, chunk_chars, fp
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Chunk-granularity deduplication: a chunk is boilerplate when its
+    * fingerprint appears in MORE THAN ONE distinct document — the
+    * finer-grained dedup pass run after doc-level dedup (headers,
+    * licence blocks and templated sections repeat across documents
+    * whose full texts differ). Per-source rollup: chunk count,
+    * cross-doc duplicate chunks, duplicate ratio.
+    *
+    * Scale: the fingerprint spine is already computed by the chunking
+    * pass; dup detection is one groupBy(fp) over 8-byte keys (the
+    * smallest possible shuffle for this decision) joined back AQE-
+    * sized. No text moves after chunking. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = ragChunk(spark, dir)
+      .select(col("doc_id"), col("fp"))
+    val byFp = chunks.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    chunks.join(byFp, "fp").join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        r4(col("n_dup_chunks").cast("double") / col("n_chunks")))
+      .orderBy("source")
+  }
+
+  private val chunkDedupOracle =
+    s"""WITH $ragChunkCtes,
+       |byfp AS (
+       |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp)
+       |SELECT d.source, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  ${graft.functions.Compat.rSql("(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))", 4)} AS dup_ratio
+       |FROM chunks ch
+       |JOIN byfp ON ch.fp = byfp.fp
+       |JOIN documents d ON ch.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("q_pack_budget", packBudget, Some(packBudgetOracle)),
     Op("q_rag_chunk", ragChunk, Some(ragChunkOracle)),
+    Op("q_chunk_dedup", chunkDedup, Some(chunkDedupOracle)),
     Op("q_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     Op("q_lang_id", langId, Some(langIdOracle)),
     Op("q_quality_score", qualityScore, Some(qualityScoreOracle)),

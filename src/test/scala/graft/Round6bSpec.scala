@@ -150,6 +150,54 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup: cross-doc duplicate chunks match a fingerprint replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val chunkFps = docs.flatMap { case (id, src, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val nChunks = if (n <= 64) 1L else (n - 64 + 47) / 48 + 1L
+      (0L until nChunks).map { idx =>
+        val start = (idx * 48).toInt
+        val len = math.min(64, n - start)
+        val fp = graft.functions.HashFunctions.polyHash(
+          UTF8String.fromString(toks.slice(start, start + len).mkString(" ")))
+        (id, src, fp)
+      }
+    }
+    val docsPerFp = chunkFps.groupBy(_._3).map { case (fp, cs) =>
+      fp -> cs.map(_._1).distinct.size
+    }
+    val expected = chunkFps.groupBy(_._2).map { case (src, cs) =>
+      val dup = cs.count(c => docsPerFp(c._3) > 1).toLong
+      src -> (cs.length.toLong, dup, r4d(dup.toDouble / cs.length))
+    }
+    val out = Registry.byName("q_chunk_dedup").fn(spark, sfDir).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (n, dup, ratio) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_chunks") === n)
+      assert(r.getAs[Long]("n_dup_chunks") === dup)
+      assert(r.getAs[Double]("dup_ratio") === ratio)
+    }
+  }
+
+  test("hte: segment effects are degenerate-cell-safe and moment-consistent") {
+    val out = Registry.byName("q_hte").fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // segment cells partition the event table exactly
+    val total = Tables.events(spark, sfDir).count()
+    assert(out.map(r => r.getAs[Long]("n_on") + r.getAs[Long]("n_off")).sum === total)
+    out.foreach { r =>
+      val nOn = r.getAs[Long]("n_on"); val nOff = r.getAs[Long]("n_off")
+      if (nOn > 1 && nOff > 1) {
+        assert(!r.isNullAt(r.fieldIndex("cate")), r.toString)
+        assert(r.getAs[Double]("se") > 0.0, r.toString)
+      }
+    }
+  }
+
   test("khop histogram matches a brute-force bounded BFS") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source").collect()
