@@ -418,6 +418,35 @@ class InfraSpec extends SparkSpec {
     assert(!exec.contains("Window"), "per-group selection must not be a window sort")
   }
 
+  test("plan audit round 6b: chunking scan-local, khop cache reuse, no cartesian anywhere") {
+    // q_rag_chunk: pure scan-local fan-out — the only Exchange allowed
+    // is the final deterministic-dump sort; no aggregation, no join
+    locally {
+      val qe = Registry.byName("q_rag_chunk").fn(spark, sfDir).queryExecution
+      assert(qe.optimizedPlan.collectLeaves().size === 1, "chunking must scan docs once")
+      val exec = qe.executedPlan.toString
+      assert(!exec.contains("Window") && !exec.contains("HashAggregate"),
+        "chunk fan-out must be a pure projection/explode")
+    }
+    // q_khop: the edge list is built once and every BFS round reads it
+    // from cache (the PageRank discipline)
+    locally {
+      val plan = Registry.byName("q_khop").fn(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val cacheReads = plan.sliding("InMemoryTableScan".length)
+        .count(_ == "InMemoryTableScan")
+      assert(cacheReads >= 6, s"expected >=6 cached edge reads, got $cacheReads")
+      CacheScope.releaseAll()
+    }
+    // the pair joins of the round-6b batch are all equi-joins — a
+    // CartesianProduct in any of them would be the quadratic trap
+    Seq("q_semdedup", "q_dsir", "q_chunk_dedup", "q_hte").foreach { n =>
+      val exec = Registry.byName(n).fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!exec.contains("CartesianProduct"), s"$n plans a cartesian product")
+      CacheScope.releaseAll()
+    }
+  }
+
   test("CacheScope enforces the single-runner contract across threads") {
     import java.util.concurrent.atomic.AtomicReference
     CacheScope.releaseAll() // clean slate (owning thread or empty: ok)
