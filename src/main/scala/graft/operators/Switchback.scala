@@ -400,6 +400,104 @@ object Switchback {
        |FROM tstats ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------- group-sequential testing
+
+  /** Group-sequential monitoring with O'Brien–Fleming boundaries: the
+    * classical peeking-control design (the frequentist sibling of the
+    * streaming mSPRT monitor) — four weekly interim analyses, each
+    * computing the cumulative two-sample z and comparing |z| against
+    * the OBF critical curve b_k = c·√(K/k) (c = 2.024 for K = 4,
+    * α = 0.05 two-sided — the published OBF constant), which spends
+    * almost no α early and preserves the nominal level overall.
+    *
+    * Weeks bucket from the data-derived first event day (one-row
+    * broadcast, the q_did midpoint pattern); cumulative moments are
+    * DECIMAL window sums over the tiny |event_type|×4 weekly frame
+    * (partitioned by event_type — never a raw-event window); the
+    * reject decision compares r4-rounded z and boundary so both
+    * engines decide identically at the grid.
+    *
+    * Scale: one map-side-combined weekly aggregation over the facts;
+    * everything after operates on |types|×K rows. */
+  def gst(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val epochDay = "(unix_micros(date_trunc('day', ts)) div 86400000000)"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), onOff.as("g"),
+        expr(epochDay).as("day"))
+    val d0 = ev.agg(min("day").as("d0"))
+    val weekly = ev.crossJoin(broadcast(d0))
+      .withColumn("week", expr("(day - d0) div 7") + 1L)
+      .filter(col("week") <= 4)
+      .groupBy("event_type", "week")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("wn1"),
+        sum(when(col("g") === "On", col("value").cast(d))).as("ws1"),
+        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).as("wss1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("wn2"),
+        sum(when(col("g") === "Off", col("value").cast(d))).as("ws2"),
+        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).as("wss2"),
+      )
+    val w = Window.partitionBy("event_type").orderBy("week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val cum = weekly.select(col("event_type"), col("week"),
+      sum("wn1").over(w).as("n1"), sum("ws1").over(w).cast(DoubleType).as("s1"),
+      sum("wss1").over(w).cast(DoubleType).as("ss1"),
+      sum("wn2").over(w).as("n2"), sum("ws2").over(w).cast(DoubleType).as("s2"),
+      sum("wss2").over(w).cast(DoubleType).as("ss2"))
+    val v1 = (col("ss1") - col("s1") * col("s1") / nz(col("n1"))) /
+      nz(col("n1") - 1) / nz(col("n1"))
+    val v2 = (col("ss2") - col("s2") * col("s2") / nz(col("n2"))) /
+      nz(col("n2") - 1) / nz(col("n2"))
+    val z = (col("s1") / nz(col("n1")) - col("s2") / nz(col("n2"))) / sqrt(v1 + v2)
+    val boundary = lit(2.024) * sqrt(lit(4.0) / col("week"))
+    cum.select(col("event_type"), col("week"),
+        col("n1").as("n_cum_on"), col("n2").as("n_cum_off"),
+        r4(z).as("z"), r4(boundary).as("obf_bound"))
+      .withColumn("reject", abs(col("z")) > col("obf_bound"))
+      .orderBy("event_type", "week")
+  }
+
+  private val gstOracle = {
+    def nzS(e: String) = s"NULLIF($e, 0)"
+    val v1 = s"((ss1 - s1 * s1 / ${nzS("n1")}) / ${nzS("n1 - 1")} / ${nzS("n1")})"
+    val v2 = s"((ss2 - s2 * s2 / ${nzS("n2")}) / ${nzS("n2 - 1")} / ${nzS("n2")})"
+    val z = s"((s1 / ${nzS("n1")} - s2 / ${nzS("n2")}) / sqrt($v1 + $v2))"
+    val bound = "(2.024 * sqrt(4.0 / week))"
+    s"""WITH ev AS (
+       |  SELECT event_type, "value", $onOffSql AS g,
+       |    (epoch_us(date_trunc('day', ts)) // 86400000000) AS day
+       |  FROM events),
+       |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+       |weekly AS (
+       |  SELECT event_type, (day - d0) // 7 + 1 AS week,
+       |    COUNT(*) FILTER (WHERE g = 'On') AS wn1,
+       |    SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE g = 'On') AS ws1,
+       |    SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE g = 'On') AS wss1,
+       |    COUNT(*) FILTER (WHERE g = 'Off') AS wn2,
+       |    SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE g = 'Off') AS ws2,
+       |    SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE g = 'Off') AS wss2
+       |  FROM ev CROSS JOIN d0
+       |  WHERE (day - d0) // 7 + 1 <= 4
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, week,
+       |    CAST(SUM(wn1) OVER cw AS BIGINT) AS n1,
+       |    CAST(SUM(ws1) OVER cw AS DOUBLE) AS s1,
+       |    CAST(SUM(wss1) OVER cw AS DOUBLE) AS ss1,
+       |    CAST(SUM(wn2) OVER cw AS BIGINT) AS n2,
+       |    CAST(SUM(ws2) OVER cw AS DOUBLE) AS s2,
+       |    CAST(SUM(wss2) OVER cw AS DOUBLE) AS ss2
+       |  FROM weekly
+       |  WINDOW cw AS (PARTITION BY event_type ORDER BY week
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, week, n1 AS n_cum_on, n2 AS n_cum_off,
+       |  ${rSql(z, 4)} AS z, ${rSql(bound, 4)} AS obf_bound,
+       |  (abs(${rSql(z, 4)}) > ${rSql(bound, 4)}) AS reject
+       |FROM cum ORDER BY event_type, week""".stripMargin
+  }
+
   // ------------------------------------------- quantile treatment effects
 
   /** Quantile treatment effects per event_type: On−Off differences at
@@ -530,6 +628,7 @@ object Switchback {
     Op("q_sb_assign", sbAssign, Some(sbAssignOracle)),
     Op("q_qte", qte, Some(qteOracle)),
     Op("q_bayes_ab", bayesAb, Some(bayesAbOracle)),
+    Op("q_gst", gst, Some(gstOracle)),
     Op("q_stderr_sweep", stderrSweep, Some(stderrSweepOracle)),
     Op("q_propagation", propagation, Some(propagationOracle)),
     Op("q_window_sweep", windowSweep, Some(windowSweepOracle)),

@@ -198,6 +198,42 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("gst: cumulative z and OBF boundaries match a replay, alpha spent late") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val d0 = rows.map(e => Math.floorDiv(e._2, 86400000000L)).min
+    val out = Registry.byName("q_gst").fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("week")) -> r).toMap
+    rows.groupBy(_._1).foreach { case (et, es) =>
+      (1L to 4L).foreach { k =>
+        val upTo = es.filter(e =>
+          Math.floorDiv(Math.floorDiv(e._2, 86400000000L) - d0, 7L) + 1 <= k)
+        val on = upTo.filter(e => onOffScala(e._2, e._3) == "On").map(_._4)
+        val off = upTo.filter(e => onOffScala(e._2, e._3) == "Off").map(_._4)
+        val r = out((et, k))
+        assert(r.getAs[Long]("n_cum_on") === on.length.toLong, s"$et w$k")
+        assert(r.getAs[Long]("n_cum_off") === off.length.toLong, s"$et w$k")
+        def mv(xs: Array[Double]): (Double, Double) = {
+          val n = xs.length
+          val s = xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          val ss = xs.map(x => BigDecimal(x * x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          (s / n, (ss - s * s / n) / (n - 1) / n)
+        }
+        val (m1, vm1) = mv(on); val (m2, vm2) = mv(off)
+        val z = r4d((m1 - m2) / math.sqrt(vm1 + vm2))
+        val bound = r4d(2.024 * math.sqrt(4.0 / k))
+        assert(r.getAs[Double]("z") === z, s"$et w$k")
+        assert(r.getAs[Double]("obf_bound") === bound, s"$et w$k")
+        assert(r.getAs[Boolean]("reject") === (math.abs(z) > bound), s"$et w$k")
+      }
+    }
+    // the OBF curve spends alpha late: boundaries strictly decrease
+    val bounds = (1L to 4L).map(k => out(("click", k)).getAs[Double]("obf_bound"))
+    assert(bounds === bounds.sorted.reverse && bounds.distinct.size === 4)
+  }
+
   test("khop histogram matches a brute-force bounded BFS") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source").collect()
