@@ -32,6 +32,15 @@ final case class MsprtReadout(event_type: String, day: java.sql.Timestamp,
     n1: Long, n2: Long, delta: Double, log_lambda: Double,
     p_seq: Double, p_avp: Double)
 
+private final case class GstState(open: List[DayMoments],
+    cumN1: Long, cumS1Micro: Long, cumSs1: Double,
+    cumN2: Long, cumS2Micro: Long, cumSs2: Double,
+    firstWeekUs: Long, lastFinalUs: Long)
+
+/** Weekly group-sequential readout emitted when a week finalizes. */
+final case class GstReadout(event_type: String, week_start: java.sql.Timestamp,
+    k: Long, n1: Long, n2: Long, z: Double, obf_bound: Double, reject: Boolean)
+
 /** Structured Streaming twins of the batch operators (SURVEY.md §2
   * block D): the same switchback aggregations the reference computes
   * daily, expressed incrementally.
@@ -296,6 +305,78 @@ object EventStream {
           // wake up when the earliest open day can finalize (strictly
           // above the current watermark by construction of `open`)
           open.map(_.dayUs + dayUsLen).sorted.headOption
+            .foreach(us => state.setTimeoutTimestamp(us / 1000L))
+          out.iterator
+      }
+  }
+
+  /** Live group-sequential monitor — the streaming twin of
+    * Switchback.gst: per event_type, cumulative On/Off moments advance
+    * one CALENDAR WEEK at a time as the watermark passes each epoch-
+    * aligned week boundary, and each finalized week k ≤ 4 emits the
+    * cumulative z against the O'Brien–Fleming boundary
+    * b_k = 2.024·√(4/k). Weeks are epoch-aligned (never derived from
+    * arrival order), and the interim index k counts from the first
+    * nonempty week in EVENT time, so the readout is micro-batch-chop
+    * invariant; value sums accumulate as micro-scaled longs (exact),
+    * squared sums as doubles (documented ~1e-9 spec tolerance) — the
+    * msprtMonitor discipline throughout. State per key: open week
+    * buckets (watermark-bounded) + eight scalars. */
+  def gstMonitor(events: Dataset[Event]): Dataset[GstReadout] = {
+    import events.sparkSession.implicits._
+    val weekUs = 7L * 86400000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GstState, GstReadout](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (eventType: String, it: Iterator[Event], state: GroupState[GstState]) =>
+          var st = state.getOption.getOrElse(
+            GstState(Nil, 0L, 0L, 0.0, 0L, 0L, 0.0, Long.MinValue, Long.MinValue))
+          it.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val wk = us - java.lang.Math.floorMod(us, weekUs)
+            // a week that already finalized cannot be amended (append
+            // mode): drop racers, same contract as msprtMonitor
+            if (wk > st.lastFinalUs) {
+              val hour = java.lang.Math.floorDiv(us, 3600000000L)
+              val on = (hour + e.user_id % 10) % 2 == 0
+              val vMicro = java.lang.Math.round(e.value * 1e6)
+              val cur = st.open.find(_.dayUs == wk).getOrElse(
+                DayMoments(wk, 0L, 0L, 0.0, 0L, 0L, 0.0))
+              val upd =
+                if (on) cur.copy(n1 = cur.n1 + 1, s1Micro = cur.s1Micro + vMicro,
+                  ss1 = cur.ss1 + e.value * e.value)
+                else cur.copy(n2 = cur.n2 + 1, s2Micro = cur.s2Micro + vMicro,
+                  ss2 = cur.ss2 + e.value * e.value)
+              st = st.copy(open = upd :: st.open.filterNot(_.dayUs == wk))
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = st.open.partition(_.dayUs + weekUs <= wmUs)
+          val out = done.sortBy(_.dayUs).flatMap { wkm =>
+            val first = if (st.firstWeekUs == Long.MinValue) wkm.dayUs else st.firstWeekUs
+            st = st.copy(
+              cumN1 = st.cumN1 + wkm.n1, cumS1Micro = st.cumS1Micro + wkm.s1Micro,
+              cumSs1 = st.cumSs1 + wkm.ss1,
+              cumN2 = st.cumN2 + wkm.n2, cumS2Micro = st.cumS2Micro + wkm.s2Micro,
+              cumSs2 = st.cumSs2 + wkm.ss2,
+              firstWeekUs = first, lastFinalUs = wkm.dayUs)
+            val k = (wkm.dayUs - first) / weekUs + 1
+            if (k <= 4 && st.cumN1 > 1 && st.cumN2 > 1) {
+              val n1 = st.cumN1.toDouble; val n2 = st.cumN2.toDouble
+              val s1 = st.cumS1Micro / 1e6; val s2 = st.cumS2Micro / 1e6
+              val v1 = (st.cumSs1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+              val v2 = (st.cumSs2 - s2 * s2 / n2) / (n2 - 1.0) / n2
+              val z = (s1 / n1 - s2 / n2) / math.sqrt(v1 + v2)
+              val bound = 2.024 * math.sqrt(4.0 / k)
+              Some(GstReadout(eventType, new java.sql.Timestamp(wkm.dayUs / 1000L),
+                k, st.cumN1, st.cumN2, z, bound, math.abs(z) > bound))
+            } else None
+          }
+          st = st.copy(open = open)
+          state.update(st)
+          open.map(_.dayUs + weekUs).sorted.headOption
             .foreach(us => state.setTimeoutTimestamp(us / 1000L))
           out.iterator
       }

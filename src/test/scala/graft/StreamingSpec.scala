@@ -360,4 +360,60 @@ class StreamingSpec extends SparkSpec {
       "a finalized day re-emitted after a late event")
     assert(withLate === withoutLate)
   }
+
+  test("streaming GST monitor: weekly interims, OBF boundary law, chop-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    // 3 calendar weeks × 84 events/week with a planted On-vs-Off effect
+    val weekMin = 7L * 1440L
+    val events = (0 until 252).map { i =>
+      val t = ts(i * 120L) // every 2h across 3 weeks
+      val us = t.getTime * 1000L
+      val hour = java.lang.Math.floorDiv(us, 3600000000L)
+      val uid = i % 10L
+      val on = (hour + uid % 10) % 2 == 0
+      Event(i.toLong, t, uid, "click", (if (on) 14.0 else 10.0) + (i % 5) * 0.25)
+    }
+    def run(chunks: Seq[Seq[Event]], name: String): Seq[graft.streaming.GstReadout] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.gstMonitor(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(weekMin * 5), 0L, "click", 0.0)) // wm past week 3
+      q.processAllAvailable(); q.stop()
+      spark.table(name).as[graft.streaming.GstReadout].collect().toSeq
+        .sortBy(_.week_start.getTime)
+    }
+    val oneShot = run(Seq(events), "gst_a")
+    val chopped = run(Seq(events.take(50), events.slice(50, 53), events.drop(53)), "gst_b")
+    assert(oneShot.nonEmpty, "no finalized weeks emitted")
+    assert(oneShot.map(_.week_start.getTime) === chopped.map(_.week_start.getTime))
+    oneShot.zip(chopped).foreach { case (a, b) =>
+      assert(a.k === b.k && a.n1 === b.n1 && a.n2 === b.n2)
+      assert(math.abs(a.z - b.z) < 1e-9)
+      assert(a.obf_bound === b.obf_bound && a.reject === b.reject)
+    }
+    // interim index increments; the OBF curve decreases as 2.024*sqrt(4/k)
+    assert(oneShot.map(_.k) === (1L to oneShot.length).toSeq)
+    oneShot.foreach(r =>
+      assert(math.abs(r.obf_bound - 2.024 * math.sqrt(4.0 / r.k)) < 1e-12))
+    // cumulative moments agree with a direct computation at the last interim
+    val last = oneShot.last
+    val weekUs = 7L * 86400000000L
+    val horizon = last.week_start.getTime * 1000L + weekUs
+    val seen = events.filter(_.ts.getTime * 1000L < horizon)
+    val (onV, offV) = seen.partition { e =>
+      val hour = java.lang.Math.floorDiv(e.ts.getTime * 1000L, 3600000000L)
+      (hour + e.user_id % 10) % 2 == 0
+    }
+    assert(last.n1 === onV.size.toLong && last.n2 === offV.size.toLong)
+    val n1 = onV.size.toDouble; val n2 = offV.size.toDouble
+    val s1 = onV.map(_.value).sum; val s2 = offV.map(_.value).sum
+    val v1 = (onV.map(e => e.value * e.value).sum - s1 * s1 / n1) / (n1 - 1) / n1
+    val v2 = (offV.map(e => e.value * e.value).sum - s2 * s2 / n2) / (n2 - 1) / n2
+    val z = (s1 / n1 - s2 / n2) / math.sqrt(v1 + v2)
+    assert(math.abs(last.z - z) < 1e-6, s"z ${last.z} vs $z")
+    // the planted effect is large: the monitor must have rejected by week 2
+    assert(oneShot.exists(_.reject), "planted effect never crossed the boundary")
+  }
 }
