@@ -179,7 +179,17 @@ object Approx {
     * the recipe unchanged), so every seed is its own reproducible
     * noise stream. */
   private def lapSql(gk: String, salt: Long, seed: Long, scale: String): String = {
-    val add = 12345L + salt * 1013904223L + seed * 69069L
+    // fold the caller's seed into [0, 2^31) BEFORE it enters the
+    // recipe: an arbitrary secret seed is the documented production
+    // path, and unreduced it can (a) drive the LCG state negative
+    // (u <= 0 -> ln of a negative: Spark NULL vs DuckDB error) or
+    // (b) overflow seed*69069 (Scala wraps silently, DuckDB raises).
+    // floorMod keeps every long seed valid and collision-free per
+    // 2^31-residue; the folded literal lands identically in both
+    // engines' SQL text.
+    val sFold = java.lang.Math.floorMod(seed, 2147483648L)
+    val add = java.lang.Math.floorMod(
+      12345L + salt * 1013904223L + sFold * 69069L, 2147483648L)
     val st = s"((((($gk % 2147483648) * 1103515245 + $add) % 2147483648)" +
       " * 1103515245 + 12345) % 2147483648)"
     val u = s"(($st + 1.0) / 2147483649.0)"

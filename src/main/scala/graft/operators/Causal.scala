@@ -263,7 +263,7 @@ object Causal {
     val cate = col("s1") / nz(col("n1")) - col("s2") / nz(col("n2"))
     val se = sqrt(v1 + v2)
     m.select(col("event_type"), col("zone"), col("n1").as("n_on"), col("n2").as("n_off"),
-        r4(cate).as("cate"), r4(se).as("se"), r4(cate / se).as("t"))
+        r4(cate).as("cate"), r4(se).as("se"), r4(cate / nz(se)).as("t"))
       .orderBy("event_type", "zone")
   }
 
@@ -284,7 +284,7 @@ object Causal {
        |  FROM events GROUP BY 1, 2)
        |SELECT event_type, zone, n1 AS n_on, n2 AS n_off,
        |  ${rSql(cate, 4)} AS cate, ${rSql(se, 4)} AS se,
-       |  ${rSql(s"($cate / $se)", 4)} AS t
+       |  ${rSql(s"($cate / NULLIF($se, 0))", 4)} AS t
        |FROM m ORDER BY event_type, zone""".stripMargin
   }
 

@@ -1411,9 +1411,12 @@ object Stats {
       .agg(count(lit(1)).as("n_b"), sum(col("value").cast(d)).as("s_b"))
     val tot = blocks.groupBy("event_type")
       .agg(sum("n_b").as("n"), sum("s_b").as("s"), count(lit(1)).as("b"))
+    // NULLIF-guard the delete-one divisor (q_did discipline): a type
+    // whose rows all share one block has n - n_b = 0 for its single
+    // replicate — Spark NULL vs DuckDB inf would diverge unguarded
     val reps = blocks.join(tot, "event_type")
       .withColumn("theta_i", r6((col("s") - col("s_b")).cast(DoubleType) /
-        (col("n") - col("n_b"))))
+        when(col("n") - col("n_b") =!= 0, col("n") - col("n_b"))))
     val moments = reps.groupBy("event_type")
       .agg(max("n").as("n"), max("s").as("s"), max("b").as("b"),
         sum(col("theta_i").cast(d)).cast(DoubleType).as("sum_t"))
@@ -1444,7 +1447,7 @@ object Stats {
        |  FROM blocks GROUP BY 1),
        |reps AS (
        |  SELECT blocks.event_type, b, n, s,
-       |    ${rSql("(CAST(s - s_b AS DOUBLE) / (n - n_b))", 6)} AS theta_i
+       |    ${rSql("(CAST(s - s_b AS DOUBLE) / NULLIF(n - n_b, 0))", 6)} AS theta_i
        |  FROM blocks JOIN tot ON blocks.event_type = tot.event_type),
        |bar AS (
        |  SELECT event_type, MAX(b) AS b, MAX(n) AS n, MAX(s) AS s,

@@ -450,7 +450,8 @@ object Switchback {
       nz(col("n1") - 1) / nz(col("n1"))
     val v2 = (col("ss2") - col("s2") * col("s2") / nz(col("n2"))) /
       nz(col("n2") - 1) / nz(col("n2"))
-    val z = (col("s1") / nz(col("n1")) - col("s2") / nz(col("n2"))) / sqrt(v1 + v2)
+    val z = (col("s1") / nz(col("n1")) - col("s2") / nz(col("n2"))) /
+      nz(sqrt(v1 + v2))
     val boundary = lit(2.024) * sqrt(lit(4.0) / col("week"))
     cum.select(col("event_type"), col("week"),
         col("n1").as("n_cum_on"), col("n2").as("n_cum_off"),
@@ -463,7 +464,7 @@ object Switchback {
     def nzS(e: String) = s"NULLIF($e, 0)"
     val v1 = s"((ss1 - s1 * s1 / ${nzS("n1")}) / ${nzS("n1 - 1")} / ${nzS("n1")})"
     val v2 = s"((ss2 - s2 * s2 / ${nzS("n2")}) / ${nzS("n2 - 1")} / ${nzS("n2")})"
-    val z = s"((s1 / ${nzS("n1")} - s2 / ${nzS("n2")}) / sqrt($v1 + $v2))"
+    val z = s"((s1 / ${nzS("n1")} - s2 / ${nzS("n2")}) / NULLIF(sqrt($v1 + $v2), 0))"
     val bound = "(2.024 * sqrt(4.0 / week))"
     s"""WITH ev AS (
        |  SELECT event_type, "value", $onOffSql AS g,
@@ -578,11 +579,15 @@ object Switchback {
         sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
         sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
       )
-    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
-    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
-    val diff = col("s1") / col("n1") - col("s2") / col("n2")
+    // NULLIF-guard every divisor (q_did discipline): a one-row or
+    // constant-valued arm must be NULL identically in both engines,
+    // never Spark-NULL-vs-DuckDB-inf
+    def nzc(c: Column): Column = when(c =!= 0, c)
+    val v1 = (col("ss1") - col("s1") * col("s1") / nzc(col("n1"))) / nzc(col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / nzc(col("n2"))) / nzc(col("n2") - 1)
+    val diff = col("s1") / nzc(col("n1")) - col("s2") / nzc(col("n2"))
     val se = sqrt(v1 / col("n1") + v2 / col("n2"))
-    val z = diff / se
+    val z = diff / nzc(se)
     val phi = exp(-col("z_raw") * col("z_raw") / 2.0) / math.sqrt(2.0 * math.Pi)
     moments.select(col("event_type"), col("n1").as("n_on"), col("n2").as("n_off"),
         diff.as("d_raw"), se.as("se_raw"), z.as("z_raw"))
@@ -598,8 +603,8 @@ object Switchback {
 
   private val bayesAbOracle = {
     import graft.functions.StatFunctions.normCdfSql
-    val v1 = "((ss1 - s1 * s1 / n1) / (n1 - 1))"
-    val v2 = "((ss2 - s2 * s2 / n2) / (n2 - 1))"
+    val v1 = "((ss1 - s1 * s1 / NULLIF(n1, 0)) / NULLIF(n1 - 1, 0))"
+    val v2 = "((ss2 - s2 * s2 / NULLIF(n2, 0)) / NULLIF(n2 - 1, 0))"
     val phi = s"(exp(-z_raw * z_raw / 2.0) / ${math.sqrt(2.0 * math.Pi)})"
     s"""WITH moments AS (
        |  SELECT event_type,
@@ -612,9 +617,10 @@ object Switchback {
        |  FROM events GROUP BY 1),
        |stats AS (
        |  SELECT event_type, n1, n2,
-       |    (s1 / n1 - s2 / n2) AS d_raw,
+       |    (s1 / NULLIF(n1, 0) - s2 / NULLIF(n2, 0)) AS d_raw,
        |    sqrt($v1 / n1 + $v2 / n2) AS se_raw,
-       |    ((s1 / n1 - s2 / n2) / sqrt($v1 / n1 + $v2 / n2)) AS z_raw
+       |    ((s1 / NULLIF(n1, 0) - s2 / NULLIF(n2, 0))
+       |      / NULLIF(sqrt($v1 / n1 + $v2 / n2), 0)) AS z_raw
        |  FROM moments)
        |SELECT event_type, n1 AS n_on, n2 AS n_off,
        |  ${rSql("d_raw", 4)} AS diff,

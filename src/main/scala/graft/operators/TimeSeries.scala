@@ -566,7 +566,7 @@ object TimeSeries {
       .agg(sum(signum(col("vj") - col("vi")).cast("long")).as("s_stat"))
     val ties = daily.groupBy("event_type", "v").agg(count(lit(1)).as("t"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n"),
+      .agg(sum(col("t")).as("n"),
         sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
     s.join(ties, "event_type")
       .withColumn("var_s",

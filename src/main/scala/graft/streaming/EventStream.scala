@@ -147,7 +147,13 @@ object EventStream {
     val gk = "(length(event_type) * 256 + ascii(substring(event_type, 1, 1)))" +
       " * 64 + (unix_micros(window.start) div 86400000000) % 64"
     def lap(salt: Long, scale: String): String = {
-      val add = 12345L + salt * 1013904223L + seed * 69069L
+      // fold the seed into [0, 2^31) first — unreduced seeds can push
+      // the LCG state negative (ln of a negative -> NULL releases) or
+      // overflow seed*69069 so two distinct seeds collide (see
+      // Approx.lapSql, same discipline)
+      val sFold = java.lang.Math.floorMod(seed, 2147483648L)
+      val add = java.lang.Math.floorMod(
+        12345L + salt * 1013904223L + sFold * 69069L, 2147483648L)
       val st = s"((((($gk % 2147483648) * 1103515245 + $add) % 2147483648)" +
         " * 1103515245 + 12345) % 2147483648)"
       val u = s"(($st + 1.0) / 2147483649.0)"

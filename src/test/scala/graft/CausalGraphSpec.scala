@@ -244,6 +244,17 @@ class CausalGraphSpec extends SparkSpec {
     // release mode publishes ONLY the noisy columns — no true values
     assert(operators.Approx.dpRelease(spark, sfDir, seed = 7L).columns.toSeq ===
       Seq("event_type", "dp_n", "dp_sum"))
+    // the WHOLE long seed domain is valid: extreme/negative seeds fold
+    // into [0, 2^31) before entering the LCG, so the draw never goes
+    // NULL (ln of a negative) and never overflows — the documented
+    // "arbitrary secret seed" production path
+    Seq(Long.MinValue, -1000000000000L, -1L, Long.MaxValue).foreach { s =>
+      val rel = operators.Approx.dpAggregateWith(spark, sfDir, seed = s).collect()
+      rel.foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("dp_n")), s"seed $s drew NULL noise")
+        assert(math.abs(r.getAs[Double]("dp_n") - r.getAs[Long]("true_n")) < 22.0, s"seed $s")
+      }
+    }
   }
 
   test("zipf slope matches an independent replay and sits near -1") {
