@@ -58,8 +58,29 @@ object VectorFunctions {
     math.sqrt(acc)
   }
 
+  /** Σ (a_i−b_i)² with a FLOAT-array left side and DOUBLE-array right
+    * side (PQ codebook centroids live on the 1e-6 double grid), same
+    * left-to-right double accumulation — subtract/multiply/add are all
+    * exactly IEEE-specified, so the fold is bit-identical to DuckDB's
+    * list_sum over the same zip. */
+  def sqDistFD(xs: ArrayData, ys: ArrayData): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = xs.getFloat(i).toDouble - ys.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** float-array × double-array squared L2 distance (see [[sqDistFD]]). */
+  def sqDistFd(a: Column, b: Column): Column =
+    Bridge.column(SqDistFDExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** float-array × double-array dot (see [[dotFD]]). */
   def dotFd(a: Column, b: Column): Column =
@@ -91,6 +112,17 @@ case class DotFDExpr(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorFunctions.dotFD($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class SqDistFDExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.sqDistFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorFunctions.sqDistFD($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

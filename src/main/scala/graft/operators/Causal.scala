@@ -288,8 +288,95 @@ object Causal {
        |FROM m ORDER BY event_type, zone""".stripMargin
   }
 
+  // ------------------------------------------ inverse propensity weighting
+
+  /** Inverse-propensity-weighted treatment effect with stratified
+    * propensities: within each event_type stratum the propensity
+    * ê_s = n_treated/n, and the overall (Horvitz–Thompson) arms are
+    * μ̂₁ = (1/N)·Σ_s (Σ t·y)/ê_s and μ̂₀ = (1/N)·Σ_s (Σ (1−t)·y)/(1−ê_s)
+    * — the standardization estimator that reweights each stratum back
+    * to the full population when treatment shares differ by stratum
+    * (the notebooks' "control for segment mix" concern as a first-class
+    * estimator). Per-stratum rows carry the raw cell means beside the
+    * ALL row's reweighted readout.
+    *
+    * Determinism: cell sums are exact DECIMAL; every per-stratum
+    * reweighted term is r6-rounded THEN DECIMAL-summed across strata;
+    * all divisions NULLIF-guarded so degenerate cells yield NULL
+    * identically in both engines.
+    *
+    * Scale: ONE map-side-combined aggregation over the fact table (the
+    * only shuffle, |strata| rows out); the ALL row folds the stratum
+    * frame. Nothing collects to the driver. */
+  def ipw(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val st = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        when(onOff === "On", 1L).otherwise(0L).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("n1"),
+        sum(when(col("t") === 1, col("value")).cast(d)).cast(DoubleType).as("s1"),
+        sum(when(col("t") === 0, col("value")).cast(d)).cast(DoubleType).as("s0"))
+    val per = st.select(
+      col("event_type").as("stratum"), col("n"), col("n1").as("n_treated"),
+      r6(col("n1") / col("n")).as("e_hat"),
+      r4(expr("s1 / NULLIF(n1, 0)")).as("mu1"),
+      r4(expr("s0 / NULLIF(n - n1, 0)")).as("mu0"),
+      r4(expr("s1 / NULLIF(n1, 0) - s0 / NULLIF(n - n1, 0)")).as("ate"))
+    val all = st
+      .withColumn("e", r6(col("n1") / col("n")))
+      .withColumn("w1", r6(col("s1") / expr("NULLIF(e, 0.0)")))
+      .withColumn("w0", r6(col("s0") / expr("NULLIF(1.0 - e, 0.0)")))
+      .agg(sum("n").as("n"), sum("n1").as("n_treated"),
+        sum(col("w1").cast(d)).cast(DoubleType).as("sw1"),
+        sum(col("w0").cast(d)).cast(DoubleType).as("sw0"))
+      .select(lit("ALL").as("stratum"), col("n"), col("n_treated"),
+        r6(col("n_treated") / col("n")).as("e_hat"),
+        r4(col("sw1") / col("n")).as("mu1"),
+        r4(col("sw0") / col("n")).as("mu0"),
+        r4(r4(col("sw1") / col("n")) - r4(col("sw0") / col("n"))).as("ate"))
+    per.unionByName(all).orderBy("stratum")
+  }
+
+  private val ipwOracle: String = {
+    val mu1 = "(s1 / NULLIF(n1, 0))"
+    val mu0 = "(s0 / NULLIF(n - n1, 0))"
+    s"""WITH base AS (
+       |  SELECT event_type, "value",
+       |    CASE WHEN $onOffSql = 'On' THEN 1 ELSE 0 END AS t
+       |  FROM events),
+       |st AS (
+       |  SELECT event_type, COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS n1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE t = 1) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE t = 0) AS DOUBLE) AS s0
+       |  FROM base GROUP BY 1),
+       |per AS (
+       |  SELECT event_type AS stratum, n, n1 AS n_treated,
+       |    ${rSql("(n1 / n)", 6)} AS e_hat,
+       |    ${rSql(mu1, 4)} AS mu1,
+       |    ${rSql(mu0, 4)} AS mu0,
+       |    ${rSql(s"($mu1 - $mu0)", 4)} AS ate
+       |  FROM st),
+       |allr AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(n1) AS BIGINT) AS n_treated,
+       |    CAST(SUM(CAST(${rSql("(s1 / NULLIF(e, 0.0))", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS sw1,
+       |    CAST(SUM(CAST(${rSql("(s0 / NULLIF(1.0 - e, 0.0))", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS sw0
+       |  FROM (SELECT st.*, ${rSql("(n1 / n)", 6)} AS e FROM st))
+       |SELECT stratum, n, n_treated, e_hat, mu1, mu0, ate FROM per
+       |UNION ALL
+       |SELECT 'ALL' AS stratum, n, n_treated,
+       |  ${rSql("(n_treated / n)", 6)} AS e_hat,
+       |  ${rSql("(sw1 / n)", 4)} AS mu1,
+       |  ${rSql("(sw0 / n)", 4)} AS mu0,
+       |  ${rSql(s"(${rSql("(sw1 / n)", 4)} - ${rSql("(sw0 / n)", 4)})", 4)} AS ate
+       |FROM allr
+       |ORDER BY stratum""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_did", did, Some(didOracle)),
+    Op("q_ipw", ipw, Some(ipwOracle)),
     Op("q_ols_multi", olsMulti, Some(olsMultiOracle)),
     Op("q_hte", hte, Some(hteOracle)),
   )

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Op, Tables}
 import graft.functions.Compat._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -93,6 +94,106 @@ object Corpus {
        |FROM perdoc CROSS JOIN stats
        |WHERE ${rSql(s"($score)", 4)} > 0
        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+  }
+
+  // ------------------------------------------------- retrieval evaluation
+
+  /** Per-position DCG discounts 1/log₂(pos+1) for pos 1..10, emitted as
+    * LITERAL text into both engines' plans (Double.toString is shortest
+    * round-trip, so both parse the identical IEEE double) — no runtime
+    * transcendental, no cross-engine ulp risk. */
+  private val ndcgDiscounts: Seq[Double] =
+    (1 to 10).map(pos => 1.0 / (math.log(pos + 1.0) / math.log(2.0)))
+
+  /** nDCG@10 ranking evaluation per query term — the retrieval-quality
+    * readout a curation pipeline runs over its search stack (hard-
+    * negative mining, dedup-by-retrieval, eval-set construction all
+    * rank documents; this grades the ranking). Candidates are docs
+    * containing the term, the system ranking orders by normalized term
+    * frequency tf/dl, and graded relevance is rel = min(tf, 3);
+    * gain (2^rel−1)·disc(pos) with the standard log₂ discount.
+    *
+    * Scale: the per-term candidate list is selected through the native
+    * TopKPerGroup plan (terms are LOW-cardinality — a per-term
+    * row_number window would concentrate a near-global sort, the
+    * q_weighted_sample lesson), so only 10·terms·partitions rows
+    * shuffle; position assignment + DCG arithmetic run on the
+    * ≤ 10·|terms| frame. Gains are r6-rounded then DECIMAL-summed;
+    * (2^rel−1) ∈ {1,3,7} is an exact CASE, the discount an identical
+    * literal in both engines. */
+  def ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tfAggs = count(lit(1)).as("dl") +:
+      bm25Terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val scored = perDoc
+      .select(col("doc_id"), col("dl"), explode(array(bm25Terms.map(t =>
+        struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("s"))
+      .select(col("doc_id"), col("dl"), col("s.term").as("term"), col("s.tf").as("tf"))
+      .filter(col("tf") > 0)
+      .withColumn("score", r6(col("tf") / col("dl")))
+      .withColumn("rel", least(col("tf"), lit(3L)))
+    val gainNum = "CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END"
+    def dcgOf(df: DataFrame, key: String, out: String): DataFrame = {
+      val w = Window.partitionBy("term").orderBy(col(key).desc, col("doc_id"))
+      graft.plans.TopK.topKPerGroup(df, Seq("term"), key, "doc_id", 10)
+        .withColumn("pos", row_number().over(w))
+        .withColumn("g", r6(expr(s"($gainNum)") *
+          element_at(typedLit(ndcgDiscounts), col("pos"))))
+        .groupBy("term")
+        .agg(r4(sum(col("g").cast(dec)).cast(DoubleType)).as(out))
+    }
+    // TopK keys must be orderable columns: score for the system ranking,
+    // rel (cast to double: TopKExec orders per-type) for the ideal one
+    val sys = dcgOf(scored, "score", "dcg")
+    val ideal = dcgOf(scored.withColumn("relkey", col("rel").cast(DoubleType)), "relkey", "idcg")
+    scored.groupBy("term").agg(count(lit(1)).as("n_docs"))
+      .join(sys, "term").join(ideal, "term")
+      .withColumn("ndcg", r4(col("dcg") / col("idcg")))
+      .select("term", "n_docs", "dcg", "idcg", "ndcg")
+      .orderBy("term")
+  }
+
+  private val ndcgOracle = {
+    val tfCols = bm25Terms.map(t =>
+      s"COUNT(*) FILTER (WHERE word = '$t') AS tf_$t").mkString(",\n    ")
+    val longf = bm25Terms.map(t =>
+      s"SELECT doc_id, dl, '$t' AS term, tf_$t AS tf FROM perdoc WHERE tf_$t > 0")
+      .mkString("\n  UNION ALL\n  ")
+    val gainNum = "CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END"
+    val discArr = ndcgDiscounts.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+    def dcgCte(orderKey: String, name: String, out: String) =
+      s"""$name AS (
+         |  SELECT term, ${rSql("(CAST(SUM(CAST(g AS DECIMAL(28,6))) AS DOUBLE))", 4)} AS $out
+         |  FROM (
+         |    SELECT term, ${rSql(s"(($gainNum) * ($discArr)[pos])", 6)} AS g
+         |    FROM (
+         |      SELECT term, rel,
+         |        ROW_NUMBER() OVER (PARTITION BY term ORDER BY $orderKey DESC, doc_id) AS pos
+         |      FROM scored)
+         |    WHERE pos <= 10)
+         |  GROUP BY term)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |    $tfCols
+       |  FROM toks GROUP BY doc_id),
+       |longf AS (
+       |  $longf),
+       |scored AS (
+       |  SELECT doc_id, dl, term, tf,
+       |    ${rSql("(tf / dl)", 6)} AS score, LEAST(tf, 3) AS rel
+       |  FROM longf),
+       |${dcgCte("score", "sysdcg", "dcg")},
+       |${dcgCte("rel", "idealdcg", "idcg")},
+       |cand AS (SELECT term, COUNT(*) AS n_docs FROM scored GROUP BY term)
+       |SELECT cand.term, n_docs, dcg, idcg, ${rSql("(dcg / idcg)", 4)} AS ndcg
+       |FROM cand JOIN sysdcg ON cand.term = sysdcg.term
+       |JOIN idealdcg ON cand.term = idealdcg.term
+       |ORDER BY cand.term""".stripMargin
   }
 
   // ------------------------------------------------- bigram LM scoring
@@ -894,6 +995,7 @@ object Corpus {
 
   val ops: Seq[Op] = Seq(
     Op("q_bm25", bm25, Some(bm25Oracle)),
+    Op("q_ndcg", ndcg, Some(ndcgOracle)),
     Op("q_dsir", dsir, Some(dsirOracle)),
     Op("q_tfidf", tfidf, Some(tfidfOracle)),
     Op("q_entropy", entropy, Some(entropyOracle)),

@@ -405,6 +405,155 @@ object Similarity {
        |FROM scored GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ----------------------------------------------------- Product quantization
+
+  /** Train a product-quantization codebook: the 64-dim space splits
+    * into M=8 subspaces of 8 dims; each subspace gets K=4 centroids —
+    * deterministic init (subvectors of the first K vectors) + one Lloyd
+    * round under squared-L2. Re-estimation follows the trainIvf
+    * discipline: elements r6-widened, DECIMAL-summed (accumulation-
+    * order invariant), divided once in double, re-rounded — so the
+    * codebook lives on the 1e-6 grid and the DuckDB oracle replays
+    * training as a CTE chain. Driver state is M·K·8 = 256 doubles. */
+  def trainPq(emb: DataFrame, M: Int, dsub: Int, K: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import graft.functions.Compat.r6
+    val dec = DecimalType(28, 6)
+    val first = emb.filter(col("vec_id") < K).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    val init: Array[Array[Array[Double]]] =
+      Array.tabulate(M, K)((s, j) => first(j).slice(s * dsub, (s + 1) * dsub).toArray)
+    // assignment round 0: argmin squared-L2 per (vector, subspace);
+    // array_position picks the FIRST minimum = lowest cluster index,
+    // matching the oracle's ROW_NUMBER (dist, cl) tie-break
+    var a0 = emb
+    (0 until M).foreach { s =>
+      val dists = array((0 until K).map(j => VectorFunctions.sqDistFd(
+        slice(col("embedding"), s * dsub + 1, dsub), typedLit(init(s)(j).toSeq))): _*)
+      a0 = a0.withColumn(s"pqd$s", dists)
+        .withColumn(s"pqc$s", expr(s"array_position(pqd$s, array_min(pqd$s))").cast("int") - 1)
+    }
+    val means = a0
+      .withColumn("codes0", array((0 until M).map(s => col(s"pqc$s")): _*))
+      .select(col("codes0"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("s", expr(s"CAST(dim div $dsub AS INT)"))
+      .withColumn("sd", (col("dim") % dsub).cast("int"))
+      .withColumn("cl", element_at(col("codes0"), col("s") + 1))
+      .groupBy("s", "cl", "sd")
+      .agg(r6(sum(r6(col("v").cast(DoubleType)).cast(dec)).cast(DoubleType) /
+        count(lit(1))).as("m"))
+      .collect()
+    val next = init.map(_.map(_.clone()))
+    means.foreach { r =>
+      next(r.getAs[Int]("s"))(r.getAs[Int]("cl"))(r.getAs[Int]("sd")) = r.getAs[Double]("m")
+    }
+    next
+  }
+
+  /** PQ-compressed ANN with asymmetric distance computation (Jégou et
+    * al. 2011, "Product quantization for nearest neighbor search"):
+    * every vector is encoded as M=8 one-byte codes (its nearest
+    * centroid per subspace), and a query scores a candidate by summing
+    * 8 LOOKUPS into its per-subspace distance table instead of 64
+    * multiply-adds against raw floats.
+    *
+    * This is the memory side of the 100 TB ANN story (q_ann_ivf is the
+    * scan side): 64 float32 dims = 256 B/vector compress to 8 B of
+    * codes (32×), which is what lets a billion-vector index live in
+    * RAM; IVF+PQ composed is the standard FAISS serving layout. At
+    * scale the codebook trains on a sample, encoding is a scan-local
+    * expression against the broadcast codebook, and only the 8-byte
+    * codes ever shuffle.
+    *
+    * Determinism: squared-L2 folds are subtract/multiply/add only (no
+    * transcendentals — bit-identical cross-engine), LUT entries are
+    * r6-rounded, and the ADC sum folds the 8 grid values in fixed
+    * subspace order in both engines. Oracle replays init → assign →
+    * re-estimate → encode → LUT → ADC → rank as one CTE chain. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Compat.r6
+    val M = 8; val dsub = 8; val K = 4
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cb = trainPq(emb, M, dsub, K)
+    var enc = emb
+    (0 until M).foreach { s =>
+      val dists = array((0 until K).map(j => VectorFunctions.sqDistFd(
+        slice(col("embedding"), s * dsub + 1, dsub), typedLit(cb(s)(j).toSeq))): _*)
+      enc = enc.withColumn(s"pqd$s", dists)
+        .withColumn(s"pqc$s", expr(s"array_position(pqd$s, array_min(pqd$s))").cast("int") - 1)
+    }
+    val coded = enc
+      .withColumn("codes", array((0 until M).map(s => col(s"pqc$s")): _*))
+      .select("vec_id", "codes")
+    val qlut = emb.filter(col("vec_id") < 10)
+      .withColumn("lut", array((0 until M).map(s => array((0 until K).map(j =>
+        r6(VectorFunctions.sqDistFd(
+          slice(col("embedding"), s * dsub + 1, dsub), typedLit(cb(s)(j).toSeq)))): _*)): _*))
+      .select(col("vec_id").as("q_id"), col("lut"))
+    val scored = broadcast(qlut).join(coded, col("q_id") =!= col("vec_id"))
+      .withColumn("adc", r6(expr(
+        s"""aggregate(sequence(0, ${M - 1}), CAST(0.0 AS DOUBLE),
+           |  (acc, s) -> acc + element_at(element_at(lut, s + 1), element_at(codes, s + 1) + 1))""".stripMargin)))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "adc")
+      .orderBy("q_id", "rk")
+  }
+
+  private val annPqOracle = {
+    val sq = (z: String) => s"list_sum(list_transform($z, pz -> (pz[1] - pz[2]) * (pz[1] - pz[2])))"
+    s"""WITH subsp AS (SELECT unnest(generate_series(0, 7)) AS s),
+       |sub AS (
+       |  SELECT e.vec_id, subsp.s,
+       |    list_transform(list_slice(e.embedding, subsp.s * 8 + 1, subsp.s * 8 + 8),
+       |      sx -> CAST(sx AS DOUBLE)) AS v
+       |  FROM embeddings e CROSS JOIN subsp),
+       |cb0 AS (SELECT s, CAST(vec_id AS INT) AS cl, v AS c FROM sub WHERE vec_id < 4),
+       |d0 AS (
+       |  SELECT sub.vec_id, sub.s, cb0.cl, ${sq("list_zip(sub.v, cb0.c)")} AS dist
+       |  FROM sub JOIN cb0 ON sub.s = cb0.s),
+       |a0 AS (
+       |  SELECT vec_id, s, cl FROM (
+       |    SELECT vec_id, s, cl,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rn
+       |    FROM d0) WHERE rn = 1),
+       |mean1 AS (
+       |  SELECT a0.s, a0.cl, u.sd,
+       |    ${rSql("(CAST(SUM(CAST(" + rSql("u.rv", 6) + " AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 6)} AS m
+       |  FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s,
+       |    LATERAL (SELECT unnest(list_transform(generate_series(1, len(sub.v)),
+       |      mi -> {'sd': mi - 1, 'rv': sub.v[mi]})) AS u)
+       |  GROUP BY a0.s, a0.cl, u.sd),
+       |cb1 AS (
+       |  SELECT od.s, od.cl, list(COALESCE(mean1.m, od.ov) ORDER BY od.sd) AS c
+       |  FROM (
+       |    SELECT cb0.s, cb0.cl, u.sd, u.ov FROM cb0,
+       |      LATERAL (SELECT unnest(list_transform(generate_series(1, len(cb0.c)),
+       |        oi -> {'sd': oi - 1, 'ov': cb0.c[oi]})) AS u)) od
+       |  LEFT JOIN mean1 ON od.s = mean1.s AND od.cl = mean1.cl AND od.sd = mean1.sd
+       |  GROUP BY od.s, od.cl),
+       |d1 AS (
+       |  SELECT sub.vec_id, sub.s, cb1.cl, ${sq("list_zip(sub.v, cb1.c)")} AS dist
+       |  FROM sub JOIN cb1 ON sub.s = cb1.s),
+       |codes AS (
+       |  SELECT vec_id, s, cl FROM (
+       |    SELECT vec_id, s, cl,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS q_id, s, cl, ${rSql("dist", 6)} AS lv FROM d1 WHERE vec_id < 10),
+       |padc AS (
+       |  SELECT l.q_id, c.vec_id, list_sum(list(l.lv ORDER BY l.s)) AS raw
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.cl = c.cl AND c.vec_id <> l.q_id
+       |  GROUP BY l.q_id, c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ${rSql("raw", 6)} AS adc,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ${rSql("raw", 6)} ASC, vec_id) AS rk
+       |  FROM padc)
+       |SELECT q_id, rk, vec_id, adc FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   // ----------------------------------------------------------- SemDeDup
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -506,6 +655,7 @@ object Similarity {
     Op("q_embed_centroids", embedCentroids, Some(embedCentroidsOracle)),
     Op("q_ann_lsh", annLsh, Some(annLshOracle)),
     Op("q_ann_ivf", annIvf, Some(annIvfOracle), headline = true),
+    Op("q_ann_pq", annPq, Some(annPqOracle)),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
     Op("q_semdedup", semDedup, Some(semDedupOracle)),
   )

@@ -170,6 +170,60 @@ object TextAnalysis {
       |  GROUP BY lang, word)
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  /** Corpus term frequencies through the mergeable Count-Min sketch
+    * aggregate ([[graft.functions.CmsAgg]]): ONE 1.5 KB sketch absorbs
+    * the whole token stream (map-side partial merge = counter addition,
+    * so the shuffle carries D·W counters per partition, not tokens),
+    * then the exact top-10 tokens probe it. CM never undercounts and
+    * overcounts by at most ‖stream‖/W per row — `cms_ge_exact` is the
+    * driver-visible half of that contract.
+    *
+    * Unlike HLL/GK (rows-only), the sketch rows hash with the PORTABLE
+    * polynomial hash, so the DuckDB oracle rebuilds the ENTIRE counter
+    * grid as three GROUP BYs and replays the min-over-rows probe —
+    * estimates match bit-for-bit, making this the sketch whose 100 TB
+    * scale path is itself cross-engine verified. */
+  def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsAgg
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val sk = toks.agg(CmsAgg.cms(col("word")).as("sk"))
+    val top = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word")).limit(10)
+    val ests = (0 until CmsAgg.Depth).map(d =>
+      element_at(col("sk"),
+        (lit(d * CmsAgg.Width) + pmod(graft.functions.HashFunctions.polyHashCol(
+          col("word"), CmsAgg.seeds(d), graft.functions.HashFunctions.PolyMul),
+          lit(CmsAgg.Width.toLong))).cast("int") + 1))
+    top.join(broadcast(sk))
+      .withColumn("n_cms", least(ests: _*))
+      .select(col("word"), col("n_exact"), col("n_cms"),
+        (col("n_cms") >= col("n_exact")).as("cms_ge_exact"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
+  private val cmsFrequencyOracle = {
+    import graft.functions.CmsAgg
+    val b = (d: Int) => CmsAgg.bucketSql("word", d)
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |tb AS (
+       |  SELECT word, ${b(0)} AS b0, ${b(1)} AS b1, ${b(2)} AS b2 FROM toks),
+       |c0 AS (SELECT b0 AS b, COUNT(*) AS n FROM tb GROUP BY 1),
+       |c1 AS (SELECT b1 AS b, COUNT(*) AS n FROM tb GROUP BY 1),
+       |c2 AS (SELECT b2 AS b, COUNT(*) AS n FROM tb GROUP BY 1),
+       |top AS (
+       |  SELECT word, COUNT(*) AS n_exact, MIN(b0) AS b0, MIN(b1) AS b1, MIN(b2) AS b2
+       |  FROM tb GROUP BY word ORDER BY n_exact DESC, word LIMIT 10)
+       |SELECT top.word, top.n_exact,
+       |  LEAST(c0.n, c1.n, c2.n) AS n_cms,
+       |  (LEAST(c0.n, c1.n, c2.n) >= top.n_exact) AS cms_ge_exact
+       |FROM top
+       |JOIN c0 ON top.b0 = c0.b
+       |JOIN c1 ON top.b1 = c1.b
+       |JOIN c2 ON top.b2 = c2.b
+       |ORDER BY top.n_exact DESC, top.word""".stripMargin
+  }
+
   /** Benchmark decontamination — the training-data pass that flags
     * documents sharing any verbatim word-8-gram with an evaluation set.
     * The "leaked" eval set here is a re-keyed copy of every 25th doc
@@ -452,6 +506,7 @@ object TextAnalysis {
     Op("q_rag_chunk", ragChunk, Some(ragChunkOracle)),
     Op("q_chunk_dedup", chunkDedup, Some(chunkDedupOracle)),
     Op("q_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
+    Op("q_cms", cmsFrequency, Some(cmsFrequencyOracle)),
     Op("q_lang_id", langId, Some(langIdOracle)),
     Op("q_quality_score", qualityScore, Some(qualityScoreOracle)),
     Op("q_token_count", tokenCount, Some(tokenCountOracle), headline = true),

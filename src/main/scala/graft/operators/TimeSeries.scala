@@ -609,8 +609,199 @@ object TimeSeries {
        |    ELSE ${rSql("(CAST(s_stat - sign(s_stat) AS DOUBLE) / sqrt(var_s))", 4)} END) > 1.96 AS trend_sig
        |FROM fin ORDER BY event_type""".stripMargin
 
+  /** Kaplan–Meier survival curve: time from a user's FIRST event to
+    * their first 'purchase' (event), censored at their last observed
+    * event otherwise — the duration-KPI readout (time-to-conversion /
+    * time-to-delivery) that a mean hides when censoring is informative.
+    * Units split into two arms by user parity (the user-level A/B
+    * analog of the switchback assignment), S(t) = Π_{t'≤t} (1 − d/n)
+    * per arm at each event time.
+    *
+    * Determinism: the product runs in log space on the q_ngram_lm
+    * discipline — each ln(1−d/n) term r6-rounded THEN DECIMAL-summed
+    * (order-invariant), exp + r4 at readout; a d=n terminal row (the
+    * whole risk set dies) is emitted as an exact 0.0 in both engines
+    * (Spark ln(0) is NULL, DuckDB's is -inf — the CASE keeps the
+    * engines agreeing).
+    *
+    * Scale: one groupBy(user) pass over the fact (the only full
+    * shuffle), then all KM arithmetic happens on the |arms|×|distinct
+    * durations| frame — windows there scan dozens of rows, not the
+    * corpus. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("tp"),
+        max(to_date(col("ts"))).as("tmax"))
+    val units = perUser.select(
+      (col("user_id") % 2).as("grp"),
+      when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+        .otherwise(datediff(col("tmax"), col("t0"))).cast("long").as("dur"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("is_ev"))
+    val byDur = units.groupBy("grp", "dur")
+      .agg(sum(col("is_ev")).as("d"), count(lit(1)).as("c"))
+    val wTot = Window.partitionBy("grp")
+    val wPrev = Window.partitionBy("grp").orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byDur
+      .withColumn("n_risk",
+        sum(col("c")).over(wTot) - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("lnterm", when(col("d") === col("n_risk"), lit(0.0))
+        .otherwise(r6(log(lit(1.0) - col("d") / col("n_risk")))))
+    val wKm = Window.partitionBy("grp").orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    risk
+      .withColumn("cum", sum(col("lnterm").cast(dec)).over(wKm).cast(DoubleType))
+      .select(col("grp"), col("dur").as("t"), col("n_risk"), col("d").as("d_events"),
+        when(col("d") === col("n_risk"), lit(0.0)).otherwise(r4(exp(col("cum")))).as("s_km"))
+      .orderBy("grp", "t")
+  }
+
+  private val survivalKmOracle: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS tp,
+       |    MAX(CAST(ts AS DATE)) AS tmax
+       |  FROM events GROUP BY user_id),
+       |units AS (
+       |  SELECT user_id % 2 AS grp,
+       |    CAST(CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+       |         ELSE date_diff('day', t0, tmax) END AS BIGINT) AS dur,
+       |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS is_ev
+       |  FROM per_user),
+       |by_dur AS (
+       |  SELECT grp, dur, CAST(SUM(is_ev) AS BIGINT) AS d, COUNT(*) AS c
+       |  FROM units GROUP BY grp, dur),
+       |risk AS (
+       |  SELECT grp, dur, d,
+       |    CAST(SUM(c) OVER (PARTITION BY grp)
+       |      - COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY dur
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+       |  FROM by_dur),
+       |evr AS (
+       |  SELECT grp, dur, d, n_risk,
+       |    CASE WHEN d = n_risk THEN 0.0
+       |      ELSE ${rSql("ln(1.0 - d / n_risk)", 6)} END AS lnterm
+       |  FROM risk WHERE d > 0),
+       |km AS (
+       |  SELECT grp, dur, d, n_risk,
+       |    CAST(SUM(CAST(lnterm AS DECIMAL(28,6))) OVER (PARTITION BY grp ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+       |  FROM evr)
+       |SELECT grp, dur AS t, n_risk, d AS d_events,
+       |  CASE WHEN d = n_risk THEN 0.0 ELSE ${rSql("exp(cum)", 4)} END AS s_km
+       |FROM km ORDER BY grp, t""".stripMargin
+
+  /** Population stability index — the drift tripwire between a
+    * reference period (first half of the observation window, split at
+    * the q_did data-derived midpoint) and the current period: bin the
+    * reference's value distribution per event_type into quintiles, then
+    * PSI = Σ_bins (q−p)·ln(q/p) of current-vs-reference bin shares
+    * (add-half smoothed). PSI ≥ 0.2 is the conventional "investigate"
+    * threshold — the metric a 100 TB feature pipeline computes per
+    * column per day to catch upstream shifts before they poison
+    * training.
+    *
+    * Determinism: quintile cuts come from the interpolating exact
+    * percentile (the q_quantiles-proven quantile_cont pairing),
+    * r6-rounded BEFORE the strict > comparisons so both engines bin
+    * identically; each PSI term is r6-rounded then DECIMAL-summed.
+    *
+    * Scale: one aggregation for cuts (swap in the mergeable
+    * q_qsketch aggregate at real scale), cuts broadcast back for a
+    * scan-local bin assignment, one groupBy for counts; all PSI
+    * arithmetic on the |types|×5 frame. */
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val epochDay = "(unix_micros(date_trunc('day', ts)) div 86400000000)"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), expr(epochDay).as("day"))
+    val mid = ev.agg(((min("day") + max("day") + 1) / 2).cast("long").as("mid_day"))
+    val tagged = ev.crossJoin(broadcast(mid))
+      .withColumn("period", when(col("day") < col("mid_day"), "ref").otherwise("cur"))
+    val cuts = tagged.filter(col("period") === "ref")
+      .groupBy("event_type")
+      .agg(expr("transform(percentile(value, array(0.2, 0.4, 0.6, 0.8)), " +
+        "c -> sign(c) * floor(abs(c) * 1e6 + 0.5) / 1e6)").as("cuts"))
+    val counts = tagged.join(broadcast(cuts), "event_type")
+      .withColumn("bin",
+        expr("aggregate(cuts, 0, (acc, c) -> acc + (CASE WHEN value > c THEN 1 ELSE 0 END))"))
+      .groupBy("event_type", "period", "bin").agg(count(lit(1)).as("c"))
+    val grid = cuts.select(col("event_type"), explode(expr("sequence(0, 4)")).as("bin"))
+    val both = grid
+      .join(counts.filter(col("period") === "ref")
+        .select(col("event_type"), col("bin"), col("c").as("c_ref")), Seq("event_type", "bin"), "left")
+      .join(counts.filter(col("period") === "cur")
+        .select(col("event_type"), col("bin"), col("c").as("c_cur")), Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = both.groupBy("event_type")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    both.join(tot, "event_type")
+      .withColumn("p", expr("(c_ref + 0.5) / (n_ref + 2.5)"))
+      .withColumn("q", expr("(c_cur + 0.5) / (n_cur + 2.5)"))
+      .withColumn("term", r6((col("q") - col("p")) * log(col("q") / col("p"))))
+      .groupBy("event_type")
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        r4(sum(col("term").cast(dec)).cast(DoubleType)).as("psi"))
+      .withColumn("drift", col("psi") >= 0.2)
+      .orderBy("event_type")
+  }
+
+  private val psiOracle: String = {
+    val cut6 = rSql("c", 6)
+    s"""WITH ev AS (
+       |  SELECT event_type, "value",
+       |    (epoch_us(date_trunc('day', ts)) // 86400000000) AS day
+       |  FROM events),
+       |mid AS (SELECT CAST((MIN(day) + MAX(day) + 1) // 2 AS BIGINT) AS mid_day FROM ev),
+       |tagged AS (
+       |  SELECT event_type, "value",
+       |    CASE WHEN day < mid_day THEN 'ref' ELSE 'cur' END AS period
+       |  FROM ev CROSS JOIN mid),
+       |cuts AS (
+       |  SELECT event_type,
+       |    list_transform(quantile_cont("value", [0.2, 0.4, 0.6, 0.8]), c -> $cut6) AS cuts
+       |  FROM tagged WHERE period = 'ref' GROUP BY event_type),
+       |binned AS (
+       |  SELECT t.event_type, t.period,
+       |    list_sum(list_transform(cx.cuts,
+       |      bc -> CASE WHEN t."value" > bc THEN 1 ELSE 0 END)) AS bin
+       |  FROM tagged t JOIN cuts cx ON t.event_type = cx.event_type),
+       |counts AS (
+       |  SELECT event_type, period, bin, COUNT(*) AS c
+       |  FROM binned GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT cuts.event_type, g.bin
+       |  FROM cuts CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS bin) g),
+       |cells AS (
+       |  SELECT grid.event_type, grid.bin,
+       |    COALESCE(r.c, 0) AS c_ref, COALESCE(cu.c, 0) AS c_cur
+       |  FROM grid
+       |  LEFT JOIN counts r ON r.event_type = grid.event_type AND r.bin = grid.bin AND r.period = 'ref'
+       |  LEFT JOIN counts cu ON cu.event_type = grid.event_type AND cu.bin = grid.bin AND cu.period = 'cur'),
+       |tot AS (
+       |  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+       |    CAST(SUM(c_cur) AS BIGINT) AS n_cur
+       |  FROM cells GROUP BY event_type),
+       |terms AS (
+       |  SELECT cells.event_type, tot.n_ref, tot.n_cur,
+       |    ${rSql("(((c_cur + 0.5) / (n_cur + 2.5) - (c_ref + 0.5) / (n_ref + 2.5)) * ln(((c_cur + 0.5) / (n_cur + 2.5)) / ((c_ref + 0.5) / (n_ref + 2.5))))", 6)} AS term
+       |  FROM cells JOIN tot ON cells.event_type = tot.event_type)
+       |SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+       |  ${rSql("(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE))", 4)} AS psi,
+       |  ${rSql("(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE))", 4)} >= 0.2 AS drift
+       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_acf", acf, Some(acfOracle)),
+    Op("q_survival", survivalKm, Some(survivalKmOracle)),
+    Op("q_psi", psi, Some(psiOracle)),
     Op("q_mann_kendall", mannKendall, Some(mannKendallOracle)),
     Op("q_seasonality", seasonality, Some(seasonalityOracle)),
     Op("q_window_range", windowRange, Some(windowRangeOracle)),

@@ -208,6 +208,42 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Live drift monitor — the streaming twin of TimeSeries.psi: per
+    * finalized 1-day window × event_type, the population stability
+    * index of that day's value distribution against a FIXED reference
+    * binning (cut points + reference bin shares supplied by the
+    * caller — in production the batch q_psi computes both from a
+    * frozen reference snapshot, so batch defines "normal" and the
+    * stream patrols it). An upstream shift pages on the day it
+    * happens instead of at the next batch audit.
+    *
+    * Chop-invariance: bin assignment is scan-local, bin counts are
+    * additive longs, and the PSI folds its bins in fixed order from
+    * the FINALIZED counts only — so emitted rows are byte-identical
+    * under any micro-batch chop (the spec's claim). State per key is
+    * one count vector per open window. */
+  def psiMonitor(events: DataFrame, cuts: Seq[Double], refShares: Seq[Double]): DataFrame = {
+    require(refShares.size == cuts.size + 1, "one reference share per bin")
+    val nb = cuts.size + 1
+    val binCol = aggregate(typedLit(cuts), lit(0),
+      (acc, c) => acc + when(col("value") > c, 1).otherwise(0))
+    val cAggs = (0 until nb).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .withColumn("bin", binCol)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), cAggs: _*)
+    val terms = (0 until nb).map { b =>
+      val q = (col(s"c$b") + 0.5) / (col("n") + lit(nb * 0.5))
+      val p = lit(refShares(b))
+      graft.functions.Compat.r6((q - p) * log(q / p))
+    }
+    agg.select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), graft.functions.Compat.r4(terms.reduce(_ + _)).as("psi"))
+      .withColumn("drift", col("psi") >= 0.2)
+  }
+
   /** Live sample-ratio-mismatch guard — the streaming twin of
     * Switchback.srmChisq per tumbling window: a broken assignment
     * (e.g. a zone dropping out of one arm) shows up as a chi-square

@@ -325,6 +325,53 @@ class StreamingSpec extends SparkSpec {
       s"picks diverge from the batch law: ${one.diff(expected)}")
   }
 
+  test("streaming PSI drift monitor is chop-invariant and flags a shifted day") {
+    implicit val sqlCtx = spark.sqlContext
+    val cuts = Seq(5.0, 10.0, 15.0, 20.0)
+    val ref = Seq(0.2, 0.2, 0.2, 0.2, 0.2)
+    // day 1 draws values 0..24 uniformly (in-distribution vs ref);
+    // day 2 is shifted hard right (everything lands in the top bin)
+    val events = (0 until 200).map { i =>
+      val day = i / 100
+      val v = if (day == 0) (i % 25).toDouble else 22.0 + (i % 3)
+      Event(i.toLong, ts(day * 1440L + (i % 100) * 10L), i % 7L, "click", v)
+    }
+    def run(chunks: Seq[Seq[Event]], name: String): Set[(Long, String, Long, Double, Boolean)] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.psiMonitor(input.toDF(), cuts, ref)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(10000L), 0L, "click", 0.0)) // finalize all days
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
+    }
+    val one = run(Seq(events), "psi_a")
+    val chopped = run(events.grouped(29).toSeq, "psi_b")
+    assert(one === chopped, "PSI monitor must not depend on micro-batch chop")
+    // plain-Scala replay of the PSI law per finalized day
+    def r6d(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    def r4d(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
+    // the far-future probe's own window never finalizes, so the law
+    // replays over the real two days only
+    val expected = events
+      .groupBy(e => e.ts.getTime / 86400000L).map { case (day, es) =>
+        val n = es.size.toLong
+        val counts = (0 to 4).map(b => es.count(e => cuts.count(e.value > _) == b).toLong)
+        val psi = r4d((0 to 4).map { b =>
+          val q = (counts(b) + 0.5) / (n + 2.5)
+          r6d((q - ref(b)) * math.log(q / ref(b)))
+        }.sum)
+        (day * 86400000L, "click", n, psi, psi >= 0.2)
+      }.toSet
+    assert(one === expected, s"diverges from the batch law: ${one.diff(expected)}")
+    // the shifted day trips the drift flag; the in-distribution day doesn't
+    val byDay = one.toSeq.sortBy(_._1)
+    assert(!byDay.head._5, "in-distribution day must not flag")
+    assert(byDay(1)._5, "shifted day must flag drift")
+  }
+
   test("streaming mSPRT monitor drops events for already-finalized days") {
     implicit val sqlCtx = spark.sqlContext
     // same planted-effect layout as the chop spec: 3 days × 48 events
