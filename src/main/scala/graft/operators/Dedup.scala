@@ -609,8 +609,61 @@ object Dedup {
       .orderBy("train_id")
   }
 
+  // ------------------------------------------ edit-distance blocked linkage
+
+  /** Blocked record linkage by edit distance: near-identical part names
+    * found as levenshtein ≤ 3 pairs — the classic fuzzy-matching pass
+    * for entity resolution (product names, merchant names, addresses)
+    * that shingle-based dedup misses when strings are short.
+    *
+    * Scale shape (the record-linkage canon): (1) collapse rows to the
+    * DISTINCT value vocabulary with counts first — edit distance runs on
+    * |vocab|, never |rows|; (2) block on a cheap stable key (here the
+    * head noun = last token) so the pair space is Σ|block|², not
+    * |vocab|²; (3) a length-difference lower bound (|len_a − len_b| ≤ 3
+    * ⇒ necessary for dist ≤ 3) prunes before the O(len²) DP runs.
+    * At 100 TB the same plan holds: vocabulary tables are tiny relative
+    * to the fact table, and multi-key blocking (noun + soundex + length
+    * band) bounds any skewed block.
+    *
+    * Both engines' `levenshtein` is the exact integer DP, so the verify
+    * phase is oracle-replayed verbatim. */
+  def editBlocking(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n"))
+      .select(col("p_name"), col("n"),
+        element_at(split(col("p_name"), " "), -1).as("blk"),
+        length(col("p_name")).as("len"))
+    val a = vocab.select(col("p_name").as("name_a"), col("n").as("n_a"),
+      col("blk"), col("len").as("len_a"))
+    val b = vocab.select(col("p_name").as("name_b"), col("n").as("n_b"),
+      col("blk"), col("len").as("len_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= 3)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .orderBy("name_a", "name_b")
+  }
+
+  private val editBlockingOracle =
+    """WITH vocab AS (
+      |  SELECT p_name, COUNT(*) AS n,
+      |    split_part(p_name, ' ', -1) AS blk,
+      |    length(p_name) AS len
+      |  FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist, a.n AS n_a, b.n AS n_b
+      |FROM vocab a JOIN vocab b
+      |  ON a.blk = b.blk AND a.p_name < b.p_name
+      |  AND abs(a.len - b.len) <= 3
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_dedup_exact", dedupExact, Some(dedupExactOracle), headline = true),
+    Op("q_edit_blocking", editBlocking, Some(editBlockingOracle)),
     Op("q_decontam_fuzzy", fuzzyDecontam, Some(fuzzyDecontamOracle)),
     Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle), headline = true),
     Op("q_split_safe", splitSafe, Some(splitSafeOracle)),

@@ -1468,8 +1468,199 @@ object Stats {
        |  ${rSql("(ratio + 1.96 * jk_se)", 4)} AS ci_hi
        |FROM fin ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- Spearman rank correlation
+
+  /** Spearman rank correlation between gross price and net revenue
+    * (price·(1−disc)·(1+tax)) per return flag — the monotone-
+    * association readout (scipy.stats.spearmanr) the notebooks reach
+    * for when the KPI relationship is nonlinear: discount and tax
+    * perturb the ranking, Spearman measures how much order survives.
+    * Tie-corrected by construction: average ranks per tied block, then
+    * the Pearson formula on ranks (the textbook tie-general form).
+    *
+    * Determinism: doubled average ranks 2R = 2·cum_before + cnt + 1 are
+    * exact INTEGERS, so every moment (Σ2Rx·2Ry, …) is an exact
+    * DECIMAL(38,0) sum; ρ is computed from the (scale-invariant)
+    * doubled ranks in one fixed-order double expression.
+    *
+    * Scale (the MWU discipline): ranks come from per-DISTINCT-value
+    * count tables (a window over |distinct| rows per group, never a
+    * raw-row sort), and the rank join-back happens on the (x, y) PAIR
+    * vocabulary — the fact table is touched by exactly one groupBy. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("x"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    def rankTable(v: String, rk: String): DataFrame = {
+      val w = Window.partitionBy("flag").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pairs.groupBy("flag", v).agg(sum("cnt").as("c"))
+        .withColumn(rk,
+          lit(2) * coalesce(sum("c").over(w), lit(0L)) + col("c") + 1)
+        .drop("c")
+    }
+    val j = pairs
+      .join(rankTable("x", "rx2"), Seq("flag", "x"))
+      .join(rankTable("y", "ry2"), Seq("flag", "y"))
+    val m = j.groupBy("flag").agg(
+      sum("cnt").as("n"),
+      sum((col("cnt").cast(d38) * col("rx2"))).cast(DoubleType).as("sx"),
+      sum((col("cnt").cast(d38) * col("ry2"))).cast(DoubleType).as("sy"),
+      sum((col("cnt").cast(d38) * col("rx2") * col("rx2"))).cast(DoubleType).as("sxx"),
+      sum((col("cnt").cast(d38) * col("ry2") * col("ry2"))).cast(DoubleType).as("syy"),
+      sum((col("cnt").cast(d38) * col("rx2") * col("ry2"))).cast(DoubleType).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy")))
+    m.select(col("flag"), col("n"),
+        r6(num / when(den =!= 0, den)).as("rho"))
+      .orderBy("flag")
+  }
+
+  private val spearmanOracle = {
+    val num = "(n * sxy - sx * sy)"
+    val den = "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))"
+    s"""WITH pairs AS (
+       |  SELECT l_returnflag AS flag, l_extendedprice AS x,
+       |    l_extendedprice * (1 - l_discount) * (1 + l_tax) AS y,
+       |    COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1, 2, 3),
+       |xr AS (
+       |  SELECT flag, x,
+       |    2 * COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx2
+       |  FROM (SELECT flag, x, SUM(cnt) AS c FROM pairs GROUP BY 1, 2)),
+       |yr AS (
+       |  SELECT flag, y,
+       |    2 * COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ry2
+       |  FROM (SELECT flag, y, SUM(cnt) AS c FROM pairs GROUP BY 1, 2)),
+       |m AS (
+       |  SELECT p.flag, CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * rx2) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * ry2) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * rx2 * rx2) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * ry2 * ry2) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * rx2 * ry2) AS DOUBLE) AS sxy
+       |  FROM pairs p
+       |  JOIN xr ON p.flag = xr.flag AND p.x = xr.x
+       |  JOIN yr ON p.flag = yr.flag AND p.y = yr.y
+       |  GROUP BY 1)
+       |SELECT flag, n, ${rSql(s"($num / NULLIF($den, 0))", 6)} AS rho
+       |FROM m ORDER BY flag""".stripMargin
+  }
+
+  // ------------------------------------------------ TOST equivalence test
+
+  /** TOST equivalence test per event_type (two one-sided Welch t's):
+    * "is the On−Off difference provably INSIDE ±δ?" — the question the
+    * notebooks' A/A checks and non-inferiority calls actually ask,
+    * which a non-significant ordinary t-test cannot answer. δ is 5% of
+    * the Off-arm mean (data-derived, r6-pinned so both engines use the
+    * identical margin); p_equiv = max of the two one-sided p's
+    * (Schuirmann 1987), equivalent ⟺ p_equiv < 0.05.
+    *
+    * Scale: one map-side-combined moment aggregation; inference is
+    * arithmetic on the |event_type| frame. */
+  def tost(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val m = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), onOff.as("g"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On", col("value").cast(d))).cast(DoubleType).as("s1"),
+        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
+        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"))
+      .withColumn("m1", col("s1") / col("n1"))
+      .withColumn("m2", col("s2") / col("n2"))
+      .withColumn("v1", (col("ss1") - col("s1") * col("s1") / col("n1")) / nz(col("n1") - 1))
+      .withColumn("v2", (col("ss2") - col("s2") * col("s2") / col("n2")) / nz(col("n2") - 1))
+      .withColumn("se", sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
+      .withColumn("df",
+        pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
+          (pow(col("v1") / col("n1"), 2) / nz(col("n1") - 1) +
+            pow(col("v2") / col("n2"), 2) / nz(col("n2") - 1)))
+      .withColumn("delta", r6(abs(col("m2")) * 0.05))
+      .withColumn("t_lo", (col("m1") - col("m2") + col("delta")) / nz(col("se")))
+      .withColumn("t_hi", (col("delta") - (col("m1") - col("m2"))) / nz(col("se")))
+    // one-sided upper-tail p from the two-sided helper:
+    // p = two_sided(|t|)/2 when t ≥ 0, else 1 − two_sided(|t|)/2.
+    def oneSided(t: Column): Column = {
+      val two = expr(pTwoSidedTSql(
+        "least(greatest(tt, -300.0), 300.0)", "df", spark = true))
+      when(t >= 0, two / 2).otherwise(lit(1) - two / 2)
+    }
+    val withP = m
+      .withColumn("tt", col("t_lo"))
+      .withColumn("p_lo", oneSided(col("t_lo")))
+      .drop("tt")
+      .withColumn("tt", col("t_hi"))
+      .withColumn("p_hi", oneSided(col("t_hi")))
+      .drop("tt")
+    withP.select(col("event_type"),
+        r4(col("m1") - col("m2")).as("diff"), col("delta"),
+        r4(col("t_lo")).as("t_lower"), r4(col("t_hi")).as("t_upper"),
+        r6(greatest(col("p_lo"), col("p_hi"))).as("p_equiv"),
+        (greatest(col("p_lo"), col("p_hi")) < 0.05).as("equivalent"))
+      .orderBy("event_type")
+  }
+
+  private val tostOracle = {
+    def nzS(e: String) = s"NULLIF($e, 0)"
+    val p2 = pTwoSidedTSql("least(greatest(tt, -300.0), 300.0)", "df", spark = false)
+    s"""WITH m0 AS (
+       |  SELECT event_type,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS ss1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
+       |  FROM events GROUP BY 1),
+       |m1 AS (
+       |  SELECT event_type, s1 / n1 AS m1, s2 / n2 AS m2,
+       |    (ss1 - s1 * s1 / n1) / ${nzS("n1 - 1")} AS v1,
+       |    (ss2 - s2 * s2 / n2) / ${nzS("n2 - 1")} AS v2,
+       |    n1, n2
+       |  FROM m0),
+       |m2 AS (
+       |  SELECT event_type, m1, m2,
+       |    sqrt(v1 / n1 + v2 / n2) AS se,
+       |    pow(v1 / n1 + v2 / n2, 2) /
+       |      (pow(v1 / n1, 2) / ${nzS("n1 - 1")} +
+       |       pow(v2 / n2, 2) / ${nzS("n2 - 1")}) AS df,
+       |    ${rSql("(abs(m2) * 0.05)", 6)} AS delta
+       |  FROM m1),
+       |m3 AS (
+       |  SELECT event_type, m1, m2, delta, df,
+       |    (m1 - m2 + delta) / ${nzS("se")} AS t_lo,
+       |    (delta - (m1 - m2)) / ${nzS("se")} AS t_hi
+       |  FROM m2),
+       |plo AS (
+       |  SELECT m3.*, CASE WHEN t_lo >= 0 THEN ($p2) / 2 ELSE 1 - ($p2) / 2 END AS p_lo
+       |  FROM (SELECT m3.*, t_lo AS tt FROM m3) m3),
+       |phi AS (
+       |  SELECT plo.*, CASE WHEN t_hi >= 0 THEN ($p2) / 2 ELSE 1 - ($p2) / 2 END AS p_hi
+       |  FROM (SELECT plo.* EXCLUDE (tt), t_hi AS tt FROM plo) plo)
+       |SELECT event_type, ${rSql("(m1 - m2)", 4)} AS diff, delta,
+       |  ${rSql("t_lo", 4)} AS t_lower, ${rSql("t_hi", 4)} AS t_upper,
+       |  ${rSql("greatest(p_lo, p_hi)", 6)} AS p_equiv,
+       |  (greatest(p_lo, p_hi) < 0.05) AS equivalent
+       |FROM phi ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_ks_test", ksTest, Some(ksTestOracle)),
+    Op("q_spearman", spearman, Some(spearmanOracle)),
+    Op("q_tost", tost, Some(tostOracle)),
     Op("q_jackknife", jackknife, Some(jackknifeOracle)),
     Op("q_levene", levene, Some(leveneOracle)),
     Op("q_anova", anovaPosition, Some(anovaPositionOracle)),

@@ -630,8 +630,92 @@ object Switchback {
        |FROM stats ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------ intraclass correlation / design effect
+
+  /** Intraclass correlation + design effect of the switchback design:
+    * the randomization unit is the (hour-window × zone) cluster, so the
+    * effective sample size is n/deff, deff = 1 + (m̄ − 1)·ICC — the
+    * number every power calculation over clustered assignment needs
+    * (the reference's README window-size research is exactly a deff
+    * minimization; q_crse corrects inference for the same clustering,
+    * this measures how much the clustering costs).
+    *
+    * ICC via the one-way random-effects ANOVA estimator:
+    * MSB/MSW from between/within sums of squares, cluster-size
+    * correction m0 = (N − Σm²/N)/(G−1) for unequal clusters
+    * (Donner & Koval 1980), ICC = (MSB−MSW)/(MSB+(m0−1)·MSW).
+    *
+    * Determinism: per-cluster moments are exact DECIMAL; the
+    * between-cluster term s_g²/n_g is r6-rounded THEN decimal-summed
+    * (the q_ngram_lm discipline), so accumulation order never matters.
+    *
+    * Scale: two map-side-combined aggregations (rows → clusters →
+    * event_type); the cluster frame is |windows × zones| per type —
+    * thousands of rows per 100 TB partition, nothing global. */
+  def iccDesign(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val cl = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        concat_ws("_", hourIdx, zoneId).as("cluster"))
+      .groupBy("event_type", "cluster")
+      .agg(count(lit(1)).as("m"),
+        sum(col("value").cast(d)).cast(DoubleType).as("s"),
+        sum((col("value") * col("value")).cast(d)).cast(DoubleType).as("ss"))
+    val t = cl.groupBy("event_type")
+      .agg(sum("m").as("n"), count(lit(1)).as("g"),
+        sum(col("s").cast(d)).cast(DoubleType).as("s"),
+        sum(col("ss").cast(d)).cast(DoubleType).as("ss"),
+        sum(r6(col("s") * col("s") / col("m")).cast(d)).cast(DoubleType).as("sb"),
+        sum(col("m") * col("m")).as("sm2"))
+    val ssb = col("sb") - col("s") * col("s") / col("n")
+    val ssw = col("ss") - col("sb")
+    val msb = ssb / nz(col("g") - 1)
+    val msw = ssw / nz(col("n") - col("g"))
+    val m0 = (col("n") - col("sm2") / col("n")) / nz(col("g") - 1)
+    val icc = (msb - msw) / nz(msb + (m0 - 1) * msw)
+    val mbar = col("n") / col("g")
+    t.select(col("event_type"), col("n"), col("g").as("g_clusters"),
+        r4(mbar).as("m_bar"), r4(icc).as("icc"),
+        r4(lit(1) + (mbar - 1) * icc).as("deff"),
+        r4(col("n") / nz(lit(1) + (mbar - 1) * icc)).as("n_effective"))
+      .orderBy("event_type")
+  }
+
+  private val iccDesignOracle = {
+    def nzS(e: String) = s"NULLIF($e, 0)"
+    val ssb = "(sb - s * s / n)"
+    val ssw = "(ss - sb)"
+    val msb = s"($ssb / ${nzS("g - 1")})"
+    val msw = s"($ssw / ${nzS("n - g")})"
+    val m0 = s"((n - sm2 / n) / ${nzS("g - 1")})"
+    val icc = s"(($msb - $msw) / ${nzS(s"$msb + ($m0 - 1) * $msw")})"
+    val mbar = "(n / g)"
+    val deff = s"(1 + ($mbar - 1) * $icc)"
+    s"""WITH cl AS (
+       |  SELECT event_type,
+       |    CONCAT((epoch_us(date_trunc('hour', ts)) // 3600000000), '_', (user_id % 10)) AS cluster,
+       |    COUNT(*) AS m,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) AS DOUBLE) AS ss
+       |  FROM events GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type, CAST(SUM(m) AS BIGINT) AS n, COUNT(*) AS g,
+       |    CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST(ss AS DECIMAL(28,6))) AS DOUBLE) AS ss,
+       |    CAST(SUM(CAST(${rSql("(s * s / m)", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS sb,
+       |    CAST(SUM(m * m) AS BIGINT) AS sm2
+       |  FROM cl GROUP BY 1)
+       |SELECT event_type, n, g AS g_clusters,
+       |  ${rSql(mbar, 4)} AS m_bar, ${rSql(icc, 4)} AS icc,
+       |  ${rSql(deff, 4)} AS deff,
+       |  ${rSql(s"(n / ${nzS(deff)})", 4)} AS n_effective
+       |FROM t ORDER BY event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_sb_assign", sbAssign, Some(sbAssignOracle)),
+    Op("q_icc_design", iccDesign, Some(iccDesignOracle)),
     Op("q_qte", qte, Some(qteOracle)),
     Op("q_bayes_ab", bayesAb, Some(bayesAbOracle)),
     Op("q_gst", gst, Some(gstOracle)),

@@ -41,6 +41,13 @@ private final case class GstState(open: List[DayMoments],
 final case class GstReadout(event_type: String, week_start: java.sql.Timestamp,
     k: Long, n1: Long, n2: Long, z: Double, obf_bound: Double, reject: Boolean)
 
+private final case class CusumState(open: List[DayMoments],
+    cum: Double, lastFinalUs: Long)
+
+/** Daily CUSUM readout emitted when a day finalizes. */
+final case class CusumReadout(event_type: String, day: java.sql.Timestamp,
+    n: Long, daily_mean: Double, cusum: Double, alarm: Boolean)
+
 /** Structured Streaming twins of the batch operators (SURVEY.md §2
   * block D): the same switchback aggregations the reference computes
   * daily, expressed incrementally.
@@ -419,6 +426,65 @@ object EventStream {
           st = st.copy(open = open)
           state.update(st)
           open.map(_.dayUs + weekUs).sorted.headOption
+            .foreach(us => state.setTimeoutTimestamp(us / 1000L))
+          out.iterator
+      }
+  }
+
+  /** Live CUSUM change-point monitor — the streaming twin of
+    * TimeSeries.cusum: per event_type, each finalized day contributes
+    * (daily_mean − refMean) to a running cumulative sum, and the day's
+    * readout flags |cusum| > h — the classic tabular-CUSUM drift alarm
+    * (a level shift in the KPI accumulates linearly in the statistic,
+    * so a persistent break pages within days of onset, long before the
+    * batch change-point pass re-runs). refMean/h come from the caller
+    * — in production the batch q_cusum run over the frozen reference
+    * period defines "normal", the stream patrols it (the psiMonitor
+    * contract).
+    *
+    * Chop-invariance (msprtMonitor discipline): per-day value sums
+    * accumulate as micro-scaled longs (exact, order-invariant), days
+    * finalize in event-time order as the watermark crosses each
+    * boundary, and the cumulative sum folds finalized daily means in
+    * that deterministic order — so emitted rows are byte-identical
+    * under any micro-batch chop. State per key: open day buckets
+    * (watermark-bounded) + two scalars. */
+  def cusumMonitor(events: Dataset[Event], refMean: Double, h: Double): Dataset[CusumReadout] = {
+    import events.sparkSession.implicits._
+    val dayUsLen = 86400000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumReadout](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (eventType: String, it: Iterator[Event], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(Nil, 0.0, Long.MinValue))
+          it.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val day = us - java.lang.Math.floorMod(us, dayUsLen)
+            // append mode cannot retract an emitted readout: drop
+            // events racing the watermark into a finalized day
+            if (day > st.lastFinalUs) {
+              val vMicro = java.lang.Math.round(e.value * 1e6)
+              val cur = st.open.find(_.dayUs == day).getOrElse(
+                DayMoments(day, 0L, 0L, 0.0, 0L, 0L, 0.0))
+              val upd = cur.copy(n1 = cur.n1 + 1, s1Micro = cur.s1Micro + vMicro)
+              st = st.copy(open = upd :: st.open.filterNot(_.dayUs == day))
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = st.open.partition(_.dayUs + dayUsLen <= wmUs)
+          val out = done.sortBy(_.dayUs).flatMap { d =>
+            if (d.n1 > 0) {
+              val mean = d.s1Micro / 1e6 / d.n1
+              st = st.copy(cum = st.cum + (mean - refMean), lastFinalUs = d.dayUs)
+              Some(CusumReadout(eventType, new java.sql.Timestamp(d.dayUs / 1000L),
+                d.n1, mean, st.cum, math.abs(st.cum) > h))
+            } else { st = st.copy(lastFinalUs = d.dayUs); None }
+          }
+          st = st.copy(open = open)
+          state.update(st)
+          open.map(_.dayUs + dayUsLen).sorted.headOption
             .foreach(us => state.setTimeoutTimestamp(us / 1000L))
           out.iterator
       }

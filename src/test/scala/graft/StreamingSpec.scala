@@ -463,4 +463,45 @@ class StreamingSpec extends SparkSpec {
     // the planted effect is large: the monitor must have rejected by week 2
     assert(oneShot.exists(_.reject), "planted effect never crossed the boundary")
   }
+
+  test("streaming CUSUM monitor: daily readouts, chop-invariant, flags a level shift") {
+    implicit val sqlCtx = spark.sqlContext
+    // 6 days at mean 10, then a persistent +3 level shift for 4 days
+    val events = (0 until 240).map { i =>
+      val day = i / 24
+      val base = if (day < 6) 10.0 else 13.0
+      Event(i.toLong, ts(i * 60L), i % 7L, "click", base + (i % 5 - 2) * 0.5)
+    }
+    val refMean = 10.0; val h = 4.0
+    def run(chunks: Seq[Seq[Event]], name: String): Seq[graft.streaming.CusumReadout] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.cusumMonitor(input.toDS(), refMean, h)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(20L * 1440L), 0L, "click", refMean)) // wm past day 10
+      q.processAllAvailable(); q.stop()
+      spark.table(name).as[graft.streaming.CusumReadout].collect().toSeq
+        .sortBy(_.day.getTime)
+    }
+    val oneShot = run(Seq(events), "cusum_a")
+    val chopped = run(Seq(events.take(37), events.slice(37, 41), events.drop(41)), "cusum_b")
+    assert(oneShot.size >= 10, s"expected >=10 finalized days, got ${oneShot.size}")
+    assert(oneShot.map(r => (r.day.getTime, r.n, r.daily_mean, r.cusum, r.alarm)) ===
+      chopped.map(r => (r.day.getTime, r.n, r.daily_mean, r.cusum, r.alarm)))
+    // replay: cusum is the running sum of (daily mean − ref), in day order
+    val byDay = events.groupBy(e => e.ts.getTime / 86400000L).toSeq.sortBy(_._1)
+      .map { case (_, es) => es.map(_.value).sum / es.size }
+    var cum = 0.0
+    oneShot.zip(byDay).foreach { case (r, m) =>
+      cum += m - refMean
+      assert(math.abs(r.daily_mean - m) < 1e-9)
+      assert(math.abs(r.cusum - cum) < 1e-9)
+      assert(r.alarm === (math.abs(cum) > h))
+    }
+    // pre-shift days hover near zero: no alarm; the shift accumulates
+    // +3/day and must alarm within two post-shift days
+    assert(!oneShot.take(6).exists(_.alarm), "false alarm before the shift")
+    assert(oneShot.drop(7).exists(_.alarm), "level shift never alarmed")
+  }
 }
