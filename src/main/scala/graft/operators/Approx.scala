@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import graft.functions.Compat._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Approximate aggregation — the 100 TB stand-ins for exact operators:
   * HyperLogLog++ distinct counts and Greenwald-Khanna quantile sketches
@@ -296,8 +298,63 @@ object Approx {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------- training shard assignment
+
+  /** Deterministic training-shard assignment — the "global shuffle"
+    * every epoch of LLM training needs without ever sorting the corpus:
+    * each document hashes to one of 16 shards through the portable
+    * two-round LCG (salt 91), and its position WITHIN the shard is a
+    * second independent LCG draw (salt 92) — so a reader streaming
+    * shard files in (shard, position) order sees a reproducible
+    * pseudo-random permutation of the corpus. Emits the shard-balance
+    * readout (doc and char counts, share, and the χ² uniformity
+    * contribution) that gates a skewed shard from slowing every data-
+    * parallel rank to the largest file.
+    *
+    * Scale: assignment and position are scan-local expressions; the
+    * only shuffle is the 16-row balance aggregation. The same plan
+    * writes the shards themselves at 100 TB (partitionBy(shard),
+    * sortWithinPartitions(pos) — Sources.writePartitioned). */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 16
+    val docs = Tables.documents(spark, dir)
+      .withColumn("shard", expr(s"${lcgState("doc_id", 91L)} % $nShards"))
+      .withColumn("pos", expr(lcgState("doc_id", 92L)))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    // the two-round LCG is a bijection mod 2^31, so positions are
+    // distinct per doc and min_by is deterministic
+    docs.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        expr("min_by(doc_id, pos)").as("head_doc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", col("n_docs") - col("n_total").cast(DoubleType) / nShards)
+      .select(col("shard"), col("n_docs"), col("n_chars"), col("head_doc"),
+        r6(col("n_docs") / col("n_total")).as("share"),
+        r4(col("dev") * col("dev") /
+          (col("n_total").cast(DoubleType) / nShards)).as("chisq_term"))
+      .orderBy("shard")
+  }
+
+  private val shardAssignOracle: String = {
+    val nShards = 16
+    val dev = s"(COUNT(*) - CAST(n_total AS DOUBLE) / $nShards)"
+    s"""WITH docs AS (
+       |  SELECT doc_id, n_chars,
+       |    ${lcgState("doc_id", 91L)} % $nShards AS shard,
+       |    ${lcgState("doc_id", 92L)} AS pos
+       |  FROM documents),
+       |tot AS (SELECT COUNT(*) AS n_total FROM docs)
+       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  min_by(doc_id, pos) AS head_doc,
+       |  ${rSql("(COUNT(*) / n_total)", 6)} AS share,
+       |  ${rSql(s"($dev * $dev / (CAST(n_total AS DOUBLE) / $nShards))", 4)} AS chisq_term
+       |FROM docs, tot
+       |GROUP BY shard, n_total ORDER BY shard""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_approx_stats", approxStats, None),
+    Op("q_shard_assign", shardAssign, Some(shardAssignOracle)),
     Op("q_qsketch", quantileSketchStats, None),
     Op("q_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Op("q_weighted_sample", weightedSample, Some(weightedSampleOracle)),

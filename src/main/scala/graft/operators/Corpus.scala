@@ -993,8 +993,134 @@ object Corpus {
        |ORDER BY logw DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------ MRR / recall@k
+
+  /** MRR + recall@k for the tf/dl ranker over the BM25 query terms —
+    * the companion readout to q_ndcg: nDCG grades the whole top-10
+    * ordering, MRR answers "how deep must a user scroll to the first
+    * relevant hit", recall@k answers "how much of the relevant set the
+    * cutoff keeps" (relevant = graded rel ≥ 2, the ndcg scale). The
+    * top-10 per term comes through the native TopKPerGroup plan —
+    * bounded heaps, no per-term sort — and the relevant-set totals are
+    * one conditional aggregation over the same scored frame. */
+  def mrr(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tfAggs = count(lit(1)).as("dl") +:
+      bm25Terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val scored = perDoc
+      .select(col("doc_id"), col("dl"), explode(array(bm25Terms.map(t =>
+        struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("s"))
+      .select(col("doc_id"), col("dl"), col("s.term").as("term"), col("s.tf").as("tf"))
+      .filter(col("tf") > 0)
+      .withColumn("score", r6(col("tf") / col("dl")))
+      .withColumn("rel", least(col("tf"), lit(3L)))
+    val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    val top = graft.plans.TopK.topKPerGroup(scored, Seq("term"), "score", "doc_id", 10)
+      .withColumn("pos", row_number().over(w))
+    val nRel = scored.groupBy("term")
+      .agg(sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_rel"))
+    top.groupBy("term").agg(
+        min(when(col("rel") >= 2, col("pos").cast("long"))).as("first_rel"),
+        sum(when(col("rel") >= 2 && col("pos") <= 5, 1L).otherwise(0L)).as("rel5"),
+        sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("rel10"))
+      .join(nRel, Seq("term"))
+      .select(col("term"), col("n_rel"), col("first_rel"),
+        coalesce(r4(lit(1.0) / col("first_rel")), lit(0.0)).as("mrr"),
+        r4(col("rel5") / when(col("n_rel") =!= 0, col("n_rel"))).as("recall_5"),
+        r4(col("rel10") / when(col("n_rel") =!= 0, col("n_rel"))).as("recall_10"))
+      .orderBy("term")
+  }
+
+  private val mrrOracle = {
+    val tfCols = bm25Terms.map(t =>
+      s"COUNT(*) FILTER (WHERE word = '$t') AS tf_$t").mkString(",\n    ")
+    val longf = bm25Terms.map(t =>
+      s"SELECT doc_id, dl, '$t' AS term, tf_$t AS tf FROM perdoc WHERE tf_$t > 0")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |    $tfCols
+       |  FROM toks GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, term, ${rSql("(tf / dl)", 6)} AS score,
+       |    LEAST(tf, 3) AS rel
+       |  FROM ($longf)),
+       |ranked AS (
+       |  SELECT term, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS pos
+       |  FROM scored),
+       |top AS (
+       |  SELECT term,
+       |    MIN(CASE WHEN rel >= 2 THEN pos END) AS first_rel,
+       |    CAST(COUNT(*) FILTER (WHERE rel >= 2 AND pos <= 5) AS BIGINT) AS rel5,
+       |    CAST(COUNT(*) FILTER (WHERE rel >= 2) AS BIGINT) AS rel10
+       |  FROM ranked WHERE pos <= 10 GROUP BY term),
+       |nrel AS (
+       |  SELECT term, CAST(COUNT(*) FILTER (WHERE rel >= 2) AS BIGINT) AS n_rel
+       |  FROM scored GROUP BY term)
+       |SELECT term, n_rel, first_rel,
+       |  COALESCE(${rSql("(1.0 / first_rel)", 4)}, 0.0) AS mrr,
+       |  ${rSql("(rel5 / NULLIF(n_rel, 0))", 4)} AS recall_5,
+       |  ${rSql("(rel10 / NULLIF(n_rel, 0))", 4)} AS recall_10
+       |FROM top JOIN nrel USING (term)
+       |ORDER BY term""".stripMargin
+  }
+
+  // --------------------------------------------- negative-sampling table
+
+  /** word2vec-style negative-sampling table: p_ns(w) ∝ count(w)^0.75
+    * (Mikolov et al. 2013) — the unigram smoothing that up-weights rare
+    * words as negatives during embedding training. The ¾ power is
+    * computed as sqrt(c·sqrt(c)): sqrt and multiply are IEEE
+    * correctly-rounded on every engine, where a libm pow() is only
+    * 1-ulp-faithful — so the table is cross-engine exact without
+    * rounding tricks. Top-20 by raw count with a total-order
+    * tie-break; `boost` shows the rare-word up-weighting factor
+    * p_ns/p_uni.
+    *
+    * Scale: one vocabulary-bounded aggregation + a one-row broadcast
+    * totals frame + TakeOrdered — never a global sort. */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val uni = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .withColumn("w", r6(sqrt(col("c") * sqrt(col("c")))))
+    val tot = uni.agg(sum("c").as("n_tok"),
+      sum(col("w").cast(d)).cast(DoubleType).as("w_tot"))
+    uni.crossJoin(broadcast(tot))
+      .select(col("word"), col("c"),
+        r6(col("c") / col("n_tok")).as("p_uni"),
+        r6(col("w") / col("w_tot")).as("p_ns"),
+        r4((col("w") / col("w_tot")) / (col("c") / col("n_tok"))).as("boost"))
+      .orderBy(col("c").desc, col("word")).limit(20)
+  }
+
+  private val negativeSamplingOracle =
+    s"""WITH uni AS (
+       |  SELECT word, COUNT(*) AS c,
+       |    ${rSql("sqrt(COUNT(*) * sqrt(COUNT(*)))", 6)} AS w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |tot AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n_tok,
+       |    CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS w_tot
+       |  FROM uni)
+       |SELECT word, c,
+       |  ${rSql("(c / n_tok)", 6)} AS p_uni,
+       |  ${rSql("(w / w_tot)", 6)} AS p_ns,
+       |  ${rSql("((w / w_tot) / (c / n_tok))", 4)} AS boost
+       |FROM uni, tot
+       |ORDER BY c DESC, word LIMIT 20""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_bm25", bm25, Some(bm25Oracle)),
+    Op("q_mrr", mrr, Some(mrrOracle)),
+    Op("q_negative_sampling", negativeSampling, Some(negativeSamplingOracle)),
     Op("q_ndcg", ndcg, Some(ndcgOracle)),
     Op("q_dsir", dsir, Some(dsirOracle)),
     Op("q_tfidf", tfidf, Some(tfidfOracle)),

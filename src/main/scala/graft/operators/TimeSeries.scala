@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Op, Tables}
 import graft.functions.Compat._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -798,8 +798,122 @@ object TimeSeries {
        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // -------------------------------------------------- MAD anomaly detection
+
+  /** Robust anomaly detection on the daily KPI series: per event_type,
+    * the modified z-score rz = 0.6745·(x − median)/MAD (Iglewicz &
+    * Hoaglin 1993) flags days whose mean breaks from the series —
+    * median/MAD stay put when the anomaly itself would drag a
+    * mean/stddev threshold (the masking failure of plain z-scores).
+    * Flag at |rz| > 2.5, computed on the r4-rounded score so both
+    * engines flag identically at the boundary.
+    *
+    * Scale: the fact table is touched by ONE aggregation; medians and
+    * deviations run on the |types × days| daily frame (exact
+    * interpolating percentile, the q_quantiles pairing). */
+  def madAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(r6(sum(col("value").cast(d)).cast(DoubleType) / count(lit(1))).as("x"))
+    val med = daily.groupBy("event_type").agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("absdev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("event_type").agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .withColumn("rz", r4(lit(0.6745) * (col("x") - col("med")) / nz(col("mad"))))
+      .select(col("event_type"), col("day"), col("x").as("daily_mean"),
+        r4(col("med")).as("med"), r4(col("mad")).as("mad_v"),
+        col("rz"), (abs(col("rz")) > 2.5).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private val madAnomalyOracle = {
+    val xExpr = rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)
+    val rz = rSql("(0.6745 * (x - med) / NULLIF(mad, 0))", 4)
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day, $xExpr AS x
+       |  FROM events GROUP BY 1, 2),
+       |med AS (
+       |  SELECT event_type, quantile_cont(x, 0.5) AS med FROM daily GROUP BY 1),
+       |dev AS (
+       |  SELECT d.event_type, d.day, d.x, m.med, abs(d.x - m.med) AS absdev
+       |  FROM daily d JOIN med m USING (event_type)),
+       |mad AS (
+       |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+       |SELECT d.event_type, d.day, d.x AS daily_mean,
+       |  ${rSql("med", 4)} AS med, ${rSql("mad", 4)} AS mad_v,
+       |  $rz AS rz, (abs($rz) > 2.5) AS is_anomaly
+       |FROM dev d JOIN mad USING (event_type)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
+  // ------------------------------------------------------- cohort LTV curves
+
+  /** Cohort lifetime-value curves — the revenue companion of
+    * q_retention: users cohort by first-activity week, each
+    * (cohort, week-offset) cell carries that week's active users and
+    * revenue, and the running DECIMAL cumulative revenue yields the
+    * LTV-per-user curve product teams read payback periods from.
+    *
+    * Scale: one distinct-reduction + one aggregation over the fact
+    * table; the cumulative window runs over the |cohorts × offsets|
+    * cell frame (never raw events), exactly like q_retention. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val cells = ev.join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"),
+        col("user_id"), col("value"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("value").cast(d)).as("rev_d"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_d", sum("rev_d").over(w))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        r2(col("rev_d").cast(DoubleType)).as("revenue"),
+        r2(col("cum_d").cast(DoubleType)).as("cum_revenue"),
+        r4(col("cum_d").cast(DoubleType) / col("cohort_size")).as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val cohortLtvOracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, "value", CAST(date_trunc('week', ts) AS DATE) AS week
+       |  FROM events),
+       |cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+       |cells AS (
+       |  SELECT cohort_week,
+       |    CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+       |    COUNT(DISTINCT user_id) AS n_active,
+       |    SUM(CAST("value" AS DECIMAL(28,6))) AS rev_d
+       |  FROM ev JOIN cohorts USING (user_id)
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+       |cum AS (
+       |  SELECT c.*, SUM(rev_d) OVER (PARTITION BY cohort_week ORDER BY week_offset
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+       |  FROM cells c)
+       |SELECT cohort_week, week_offset, n_active, cohort_size,
+       |  ${rSql("CAST(rev_d AS DOUBLE)", 2)} AS revenue,
+       |  ${rSql("CAST(cum_d AS DOUBLE)", 2)} AS cum_revenue,
+       |  ${rSql("(CAST(cum_d AS DOUBLE) / cohort_size)", 4)} AS ltv_per_user
+       |FROM cum JOIN sizes USING (cohort_week)
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_acf", acf, Some(acfOracle)),
+    Op("q_mad_anomaly", madAnomaly, Some(madAnomalyOracle)),
+    Op("q_cohort_ltv", cohortLtv, Some(cohortLtvOracle)),
     Op("q_survival", survivalKm, Some(survivalKmOracle)),
     Op("q_psi", psi, Some(psiOracle)),
     Op("q_mann_kendall", mannKendall, Some(mannKendallOracle)),
