@@ -1489,12 +1489,16 @@ object Stats {
     * vocabulary — the fact table is touched by exactly one groupBy. */
   def spearman(spark: SparkSession, dir: String): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val pairs = Tables.lineitem(spark, dir)
+    // the pair table feeds three branches (both rank tables + the
+    // join-back); persist it so the fact-table groupBy runs ONCE —
+    // static planning does not reuse the identical exchanges
+    val pairs = graft.CacheScope.track(Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("flag"),
         col("l_extendedprice").as("x"),
         (col("l_extendedprice") * (lit(1) - col("l_discount")) *
           (lit(1) + col("l_tax"))).as("y"))
       .agg(count(lit(1)).as("cnt"))
+      .persist())
     def rankTable(v: String, rk: String): DataFrame = {
       val w = Window.partitionBy("flag").orderBy(v)
         .rowsBetween(Window.unboundedPreceding, -1)

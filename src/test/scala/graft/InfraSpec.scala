@@ -454,6 +454,45 @@ class InfraSpec extends SparkSpec {
     }
   }
 
+  test("plan audit round 6d/6e: blocked joins equi-keyed, mrr TopK, spearman/shard single-scan") {
+    // q_edit_blocking (blocked self-join) and q_kcore (6 peeling
+    // rounds of endpoint joins): every join is keyed — a cartesian in
+    // the blocked pair space would be the quadratic trap at vocab scale
+    Seq("q_edit_blocking", "q_kcore").foreach { n =>
+      val exec = Registry.byName(n).fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!exec.contains("CartesianProduct"), s"$n plans a cartesian product")
+      CacheScope.releaseAll()
+    }
+    // q_mrr: the per-term top-10 must come through the native TopK
+    // plan (bounded heaps), not a per-term sort of all scored docs
+    locally {
+      val exec = Registry.byName("q_mrr").fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(exec.contains("TopK"), s"native TopK plan missing:\n${exec.take(1200)}")
+    }
+    // q_spearman: the fact table must be scanned ONCE — the pair table
+    // is persisted, and both rank tables + the join-back read the cache
+    locally {
+      val qe = Registry.byName("q_spearman").fn(spark, sfDir).queryExecution
+      val exec = qe.executedPlan.toString
+      // all three branches (two rank tables + join-back) must read the
+      // persisted pair table; the parquet scan lives only inside the
+      // (single) cached relation, so runtime touches lineitem once
+      val cacheReads = exec.sliding("InMemoryTableScan".length)
+        .count(_ == "InMemoryTableScan")
+      assert(cacheReads >= 3, s"expected >=3 cached pair-table reads, got $cacheReads")
+      CacheScope.releaseAll()
+    }
+    // q_shard_assign: assignment is scan-local — one documents leaf,
+    // no Window, no join beyond the one-row totals broadcast
+    locally {
+      val qe = Registry.byName("q_shard_assign").fn(spark, sfDir).queryExecution
+      assert(qe.optimizedPlan.collectLeaves().size <= 2,
+        "shard assign must read documents + the one-row totals only")
+      assert(!qe.executedPlan.toString.contains("Window"),
+        "shard assignment must not sort/window anything")
+    }
+  }
+
   test("CacheScope enforces the single-runner contract across threads") {
     import java.util.concurrent.atomic.AtomicReference
     CacheScope.releaseAll() // clean slate (owning thread or empty: ok)
