@@ -646,6 +646,103 @@ object Corpus {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------- classifier calibration
+
+  /** Calibration / reliability readout for the trained quality
+    * classifier (q_quality_classifier's model): predicted probabilities
+    * bin into deciles, each bin reports mean confidence vs actual
+    * positive rate, and the ALL row carries the expected calibration
+    * error ECE = Σ (n_b/N)·|acc_b − conf_b| — the standard "can you
+    * trust the score as a probability" gate before using classifier
+    * scores to threshold or mix training data (Guo et al. 2017).
+    *
+    * Determinism: p = r6(sigmoid) so both engines bin identically;
+    * per-bin confidence sums are r6-then-DECIMAL; ECE terms likewise.
+    * The oracle re-derives the weights through the SAME 8-iteration
+    * CTE chain the classifier oracle replays (bit-reproducible weight
+    * path, proven in round 5).
+    *
+    * Scale: training is q_quality_classifier's (one map-side-combined
+    * pass per GD iteration); scoring + binning is scan-local over the
+    * persisted feature frame; the bin frame is ≤10 rows. */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val features = graft.CacheScope.track(lrFeatures(spark, dir).persist())
+    val w = trainLr(features)
+    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    val binned = features
+      .withColumn("p", r6(lit(1.0) / (lit(1.0) + exp(-z))))
+      .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+    val per = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(r6(col("p")).cast(dec)).cast(DoubleType).as("sp"),
+        sum(col("y").cast(dec)).cast(DoubleType).as("sy"))
+      .withColumn("conf_raw", col("sp") / col("n"))
+      .withColumn("acc_raw", col("sy") / col("n"))
+    val rows = per.select(col("bin").cast("string").as("bin"), col("n"),
+      r4(col("conf_raw")).as("conf"), r4(col("acc_raw")).as("acc"),
+      r4(abs(col("acc_raw") - col("conf_raw"))).as("gap"))
+    val all = per
+      .withColumn("term", r6(col("n") * abs(col("acc_raw") - col("conf_raw"))))
+      .agg(sum("n").as("n"),
+        sum(col("sp").cast(dec)).cast(DoubleType).as("sp"),
+        sum(col("sy").cast(dec)).cast(DoubleType).as("sy"),
+        sum(col("term").cast(dec)).cast(DoubleType).as("st"))
+      .select(lit("ALL").as("bin"), col("n"),
+        r4(col("sp") / col("n")).as("conf"),
+        r4(col("sy") / col("n")).as("acc"),
+        r4(col("st") / col("n")).as("gap"))
+    rows.unionByName(all).orderBy("bin")
+  }
+
+  private val calibrationOracle = {
+    val nTok = "len(string_split(text, ' '))"
+    val stop = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is')))"
+    val x1 = s"(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)"
+    val x2 = s"(CAST($stop AS DOUBLE) / $nTok)"
+    val x3 = s"(CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok / 10.0)"
+    val y = s"(CASE WHEN $stop >= 2 AND $x1 >= 0.3 THEN 1.0 ELSE 0.0 END)"
+    def sig = "(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))))"
+    def gSum(xj: String) =
+      s"CAST(SUM(CAST(${rSql(s"(($sig - y) * $xj)", 6)} AS DECIMAL(28,6))) AS DOUBLE)"
+    val iterCtes = (1 to lrIters).map { k =>
+      s"""it$k AS (
+         |  SELECT w0 - ${gSum("1.0")} / CAST(n AS DOUBLE) AS w0,
+         |         w1 - ${gSum("x1")} / CAST(n AS DOUBLE) AS w1,
+         |         w2 - ${gSum("x2")} / CAST(n AS DOUBLE) AS w2,
+         |         w3 - ${gSum("x3")} / CAST(n AS DOUBLE) AS w3
+         |  FROM f CROSS JOIN it${k - 1} CROSS JOIN cnt
+         |  GROUP BY w0, w1, w2, w3, n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT source, $x1 AS x1, $x2 AS x2, $x3 AS x3, $y AS y FROM documents),
+       |cnt AS (SELECT COUNT(*) AS n FROM f),
+       |it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$iterCtes,
+       |binned AS (
+       |  SELECT y, ${rSql(sig, 6)} AS p,
+       |    LEAST(CAST(FLOOR(${rSql(sig, 6)} * 10) AS BIGINT), 9) AS bin
+       |  FROM f CROSS JOIN it$lrIters),
+       |per AS (
+       |  SELECT bin, COUNT(*) AS n,
+       |    CAST(SUM(CAST(${rSql("p", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS sp,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy
+       |  FROM binned GROUP BY bin),
+       |per2 AS (
+       |  SELECT bin, n, sp, sy, sp / n AS conf_raw, sy / n AS acc_raw FROM per)
+       |SELECT CAST(bin AS VARCHAR) AS bin, n,
+       |  ${rSql("conf_raw", 4)} AS conf, ${rSql("acc_raw", 4)} AS acc,
+       |  ${rSql("abs(acc_raw - conf_raw)", 4)} AS gap
+       |FROM per2
+       |UNION ALL
+       |SELECT 'ALL' AS bin, CAST(SUM(n) AS BIGINT) AS n,
+       |  ${rSql("(CAST(SUM(CAST(sp AS DECIMAL(28,6))) AS DOUBLE) / SUM(n))", 4)} AS conf,
+       |  ${rSql("(CAST(SUM(CAST(sy AS DECIMAL(28,6))) AS DOUBLE) / SUM(n))", 4)} AS acc,
+       |  ${rSql("(CAST(SUM(CAST(" + rSql("(n * abs(acc_raw - conf_raw))", 6) + " AS DECIMAL(28,6))) AS DOUBLE) / SUM(n))", 4)} AS gap
+       |FROM per2
+       |ORDER BY bin""".stripMargin
+  }
+
   // ------------------------------------------------------------- TF-IDF
 
   /** TF-IDF keyword extraction: the top-3 characteristic terms of each
@@ -1129,6 +1226,7 @@ object Corpus {
     Op("q_pmi", pmiCollocations, Some(pmiOracle)),
     Op("q_zipf", zipfFit, Some(zipfOracle)),
     Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle), headline = true),
+    Op("q_calibration", calibration, Some(calibrationOracle)),
     Op("q_ngram_lm", ngramLm, Some(ngramLmOracle)),
     Op("q_ppl_filter", perplexityFilter, Some(perplexityFilterOracle)),
     Op("q_dedup_substring", dedupSubstring, Some(dedupSubstringOracle)),

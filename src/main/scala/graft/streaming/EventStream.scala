@@ -251,6 +251,35 @@ object EventStream {
       .withColumn("drift", col("psi") >= 0.2)
   }
 
+  /** Live robust-anomaly monitor — the streaming twin of
+    * TimeSeries.madAnomaly: per finalized 1-day window × event_type,
+    * the modified z-score 0.6745·(daily_mean − refMed)/refMad of the
+    * day's KPI against a FIXED reference median/MAD supplied by the
+    * caller (the batch q_mad_anomaly over a frozen reference period
+    * defines "normal" — the psiMonitor contract), flagging |rz| > 2.5.
+    * Median/MAD references make the alarm robust to the anomaly
+    * itself, where a live mean/σ threshold drifts with the break.
+    *
+    * Chop-invariance: the day's value sum accumulates in exact
+    * DECIMAL, the mean divides once at finalize, and rz is scan-local
+    * arithmetic on the finalized aggregate — emitted rows are
+    * byte-identical under any micro-batch chop. */
+  def madMonitor(events: DataFrame, refMed: Double, refMad: Double): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val r6 = graft.functions.Compat.r6 _
+    val r4 = graft.functions.Compat.r4 _
+    val mean = r6(col("s") / col("n"))
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("s"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"),
+        mean.as("daily_mean"),
+        r4(lit(0.6745) * (mean - refMed) / refMad).as("rz"))
+      .withColumn("is_anomaly", abs(col("rz")) > 2.5)
+  }
+
   /** Live sample-ratio-mismatch guard — the streaming twin of
     * Switchback.srmChisq per tumbling window: a broken assignment
     * (e.g. a zone dropping out of one arm) shows up as a chi-square

@@ -504,4 +504,35 @@ class StreamingSpec extends SparkSpec {
     assert(!oneShot.take(6).exists(_.alarm), "false alarm before the shift")
     assert(oneShot.drop(7).exists(_.alarm), "level shift never alarmed")
   }
+
+  test("streaming MAD monitor is chop-invariant and flags only the shifted day") {
+    implicit val sqlCtx = spark.sqlContext
+    // 8 days near mean 10; day 6 (index 5) carries a +5 level shift
+    val events = (0 until 192).map { i =>
+      val day = i / 24
+      val base = if (day == 5) 15.0 else 10.0
+      Event(i.toLong, ts(i * 60L), i % 7L, "click", base + (i % 5 - 2) * 0.1)
+    }
+    def run(chunks: Seq[Seq[Event]], name: String): Seq[(Long, String, Long, Double, Double, Boolean)] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.madMonitor(input.toDF(), refMed = 10.0, refMad = 0.5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(15L * 1440L), 0L, "click", 10.0))
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+        .toSeq.sortBy(_._1)
+    }
+    val oneShot = run(Seq(events), "mad_a")
+    val chopped = run(Seq(events.take(29), events.slice(29, 30), events.drop(30)), "mad_b")
+    assert(oneShot.size >= 8, s"expected >=8 finalized days, got ${oneShot.size}")
+    assert(oneShot === chopped, "MAD monitor not chop-invariant")
+    // exactly the shifted day flags: rz ≈ 0.6745·5/0.5 ≈ 6.7 there,
+    // ≈ ±0.3 elsewhere
+    val flagged = oneShot.filter(_._6)
+    assert(flagged.size === 1, s"expected exactly 1 anomaly, got ${flagged.size}")
+    assert(math.abs(flagged.head._5) > 5.0, "shifted day's rz too small")
+  }
 }
