@@ -60,6 +60,14 @@ object CacheScope {
     pending += f
   }
 
+  /** Free a localCheckpoint generation's materialized RDD blocks —
+    * the one release `Dataset.unpersist` cannot reach. Shared by every
+    * iterative operator (CC, pagerank, khop, kcore) so checkpoint-
+    * retirement semantics can never diverge between them. */
+  def freeCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.Bridge.materializedRdd(df)
+      .foreach(_.unpersist(blocking = false))
+
   /** Free every tracked cache. Safe to call repeatedly from the owning
     * thread (or any thread when nothing is live); fails fast when
     * another thread's caches are registered. */

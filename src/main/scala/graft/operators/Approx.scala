@@ -321,11 +321,13 @@ object Approx {
       .withColumn("shard", expr(s"${lcgState("doc_id", 91L)} % $nShards"))
       .withColumn("pos", expr(lcgState("doc_id", 92L)))
     val tot = docs.agg(count(lit(1)).as("n_total"))
-    // the two-round LCG is a bijection mod 2^31, so positions are
-    // distinct per doc and min_by is deterministic
+    // head doc = min over (pos, doc_id) — the LCG reduces doc_id mod
+    // 2^31, so two 64-bit ids CAN share a position; the lexicographic
+    // struct min breaks that tie identically in both engines where a
+    // bare min_by's tie resolution is engine-arbitrary
     docs.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
-        expr("min_by(doc_id, pos)").as("head_doc"))
+        min(struct(col("pos"), col("doc_id"))).getField("doc_id").as("head_doc"))
       .crossJoin(broadcast(tot))
       .withColumn("dev", col("n_docs") - col("n_total").cast(DoubleType) / nShards)
       .select(col("shard"), col("n_docs"), col("n_chars"), col("head_doc"),
@@ -345,7 +347,7 @@ object Approx {
        |  FROM documents),
        |tot AS (SELECT COUNT(*) AS n_total FROM docs)
        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-       |  min_by(doc_id, pos) AS head_doc,
+       |  (min(struct_pack(pos := pos, doc_id := doc_id))).doc_id AS head_doc,
        |  ${rSql("(COUNT(*) / n_total)", 6)} AS share,
        |  ${rSql(s"($dev * $dev / (CAST(n_total AS DOUBLE) / $nShards))", 4)} AS chisq_term
        |FROM docs, tot

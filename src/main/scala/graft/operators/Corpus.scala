@@ -121,20 +121,48 @@ object Corpus {
     * ≤ 10·|terms| frame. Gains are r6-rounded then DECIMAL-summed;
     * (2^rel−1) ∈ {1,3,7} is an exact CASE, the discount an identical
     * literal in both engines. */
-  def ndcg(spark: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(28, 6)
+  /** The (doc, term, score, rel) frame BOTH retrieval-eval readouts
+    * (q_ndcg, q_mrr) rank: per-doc tf for each query term, score =
+    * r6(tf/dl), graded relevance rel = min(tf, 3) — one shared
+    * construction so the two companions can never score differently. */
+  private def termScored(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tfAggs = count(lit(1)).as("dl") +:
       bm25Terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
     val perDoc = toks.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-    val scored = perDoc
+    perDoc
       .select(col("doc_id"), col("dl"), explode(array(bm25Terms.map(t =>
         struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("s"))
       .select(col("doc_id"), col("dl"), col("s.term").as("term"), col("s.tf").as("tf"))
       .filter(col("tf") > 0)
       .withColumn("score", r6(col("tf") / col("dl")))
       .withColumn("rel", least(col("tf"), lit(3L)))
+  }
+
+  /** Its DuckDB twin (toks/perdoc/scored CTE text), shared by the
+    * ndcg and mrr oracles. */
+  private lazy val termScoredSql: String = {
+    val tfCols = bm25Terms.map(t =>
+      s"COUNT(*) FILTER (WHERE word = '$t') AS tf_$t").mkString(",\n    ")
+    val longf = bm25Terms.map(t =>
+      s"SELECT doc_id, dl, '$t' AS term, tf_$t AS tf FROM perdoc WHERE tf_$t > 0")
+      .mkString("\n  UNION ALL\n  ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |    $tfCols
+       |  FROM toks GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, term, ${rSql("(tf / dl)", 6)} AS score,
+       |    LEAST(tf, 3) AS rel
+       |  FROM ($longf))""".stripMargin
+  }
+
+  def ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val scored = termScored(spark, dir)
     val gainNum = "CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END"
     def dcgOf(df: DataFrame, key: String, out: String): DataFrame = {
       val w = Window.partitionBy("term").orderBy(col(key).desc, col("doc_id"))
@@ -157,11 +185,6 @@ object Corpus {
   }
 
   private val ndcgOracle = {
-    val tfCols = bm25Terms.map(t =>
-      s"COUNT(*) FILTER (WHERE word = '$t') AS tf_$t").mkString(",\n    ")
-    val longf = bm25Terms.map(t =>
-      s"SELECT doc_id, dl, '$t' AS term, tf_$t AS tf FROM perdoc WHERE tf_$t > 0")
-      .mkString("\n  UNION ALL\n  ")
     val gainNum = "CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END"
     val discArr = ndcgDiscounts.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
     def dcgCte(orderKey: String, name: String, out: String) =
@@ -175,18 +198,7 @@ object Corpus {
          |      FROM scored)
          |    WHERE pos <= 10)
          |  GROUP BY term)""".stripMargin
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-       |perdoc AS (
-       |  SELECT doc_id, COUNT(*) AS dl,
-       |    $tfCols
-       |  FROM toks GROUP BY doc_id),
-       |longf AS (
-       |  $longf),
-       |scored AS (
-       |  SELECT doc_id, dl, term, tf,
-       |    ${rSql("(tf / dl)", 6)} AS score, LEAST(tf, 3) AS rel
-       |  FROM longf),
+    s"""WITH $termScoredSql,
        |${dcgCte("score", "sysdcg", "dcg")},
        |${dcgCte("rel", "idealdcg", "idcg")},
        |cand AS (SELECT term, COUNT(*) AS n_docs FROM scored GROUP BY term)
@@ -609,14 +621,18 @@ object Corpus {
   def qualityClassifierWeights(spark: SparkSession, dir: String): Array[Double] =
     trainLr(graft.CacheScope.track(lrFeatures(spark, dir).persist()))
 
-  private val qualityClassifierOracle = {
+  /** The shared DuckDB CTE prelude replaying lrFeatures + the full
+    * 8-iteration GD weight path (f, cnt, it0..it8) — composed by BOTH
+    * the classifier and calibration oracles so they can never verify
+    * against divergent weight chains. Also exposes the sigmoid text. */
+  private lazy val (lrOracleCtes: String, lrSigSql: String) = {
     val nTok = "len(string_split(text, ' '))"
     val stop = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is')))"
     val x1 = s"(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)"
     val x2 = s"(CAST($stop AS DOUBLE) / $nTok)"
     val x3 = s"(CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok / 10.0)"
     val y = s"(CASE WHEN $stop >= 2 AND $x1 >= 0.3 THEN 1.0 ELSE 0.0 END)"
-    def sig = "(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))))"
+    val sig = "(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))))"
     def gSum(xj: String) =
       s"CAST(SUM(CAST(${rSql(s"(($sig - y) * $xj)", 6)} AS DECIMAL(28,6))) AS DOUBLE)"
     val iterCtes = (1 to lrIters).map { k =>
@@ -628,11 +644,17 @@ object Corpus {
          |  FROM f CROSS JOIN it${k - 1} CROSS JOIN cnt
          |  GROUP BY w0, w1, w2, w3, n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH f AS (
-       |  SELECT source, $x1 AS x1, $x2 AS x2, $x3 AS x3, $y AS y FROM documents),
-       |cnt AS (SELECT COUNT(*) AS n FROM f),
-       |it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-       |$iterCtes,
+    val ctes =
+      s"""f AS (
+         |  SELECT source, $x1 AS x1, $x2 AS x2, $x3 AS x3, $y AS y FROM documents),
+         |cnt AS (SELECT COUNT(*) AS n FROM f),
+         |it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |$iterCtes""".stripMargin
+    (ctes, sig)
+  }
+
+  private val qualityClassifierOracle = {
+    s"""WITH $lrOracleCtes,
        |scored AS (
        |  SELECT source, y,
        |    CASE WHEN (w0 + w1 * x1 + w2 * x2 + w3 * x3) > 0 THEN 1.0 ELSE 0.0 END AS pred
@@ -696,32 +718,10 @@ object Corpus {
   }
 
   private val calibrationOracle = {
-    val nTok = "len(string_split(text, ' '))"
-    val stop = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is')))"
-    val x1 = s"(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)"
-    val x2 = s"(CAST($stop AS DOUBLE) / $nTok)"
-    val x3 = s"(CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok / 10.0)"
-    val y = s"(CASE WHEN $stop >= 2 AND $x1 >= 0.3 THEN 1.0 ELSE 0.0 END)"
-    def sig = "(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))))"
-    def gSum(xj: String) =
-      s"CAST(SUM(CAST(${rSql(s"(($sig - y) * $xj)", 6)} AS DECIMAL(28,6))) AS DOUBLE)"
-    val iterCtes = (1 to lrIters).map { k =>
-      s"""it$k AS (
-         |  SELECT w0 - ${gSum("1.0")} / CAST(n AS DOUBLE) AS w0,
-         |         w1 - ${gSum("x1")} / CAST(n AS DOUBLE) AS w1,
-         |         w2 - ${gSum("x2")} / CAST(n AS DOUBLE) AS w2,
-         |         w3 - ${gSum("x3")} / CAST(n AS DOUBLE) AS w3
-         |  FROM f CROSS JOIN it${k - 1} CROSS JOIN cnt
-         |  GROUP BY w0, w1, w2, w3, n)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH f AS (
-       |  SELECT source, $x1 AS x1, $x2 AS x2, $x3 AS x3, $y AS y FROM documents),
-       |cnt AS (SELECT COUNT(*) AS n FROM f),
-       |it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-       |$iterCtes,
+    s"""WITH $lrOracleCtes,
        |binned AS (
-       |  SELECT y, ${rSql(sig, 6)} AS p,
-       |    LEAST(CAST(FLOOR(${rSql(sig, 6)} * 10) AS BIGINT), 9) AS bin
+       |  SELECT y, ${rSql(lrSigSql, 6)} AS p,
+       |    LEAST(CAST(FLOOR(${rSql(lrSigSql, 6)} * 10) AS BIGINT), 9) AS bin
        |  FROM f CROSS JOIN it$lrIters),
        |per AS (
        |  SELECT bin, COUNT(*) AS n,
@@ -1101,18 +1101,7 @@ object Corpus {
     * bounded heaps, no per-term sort — and the relevant-set totals are
     * one conditional aggregation over the same scored frame. */
   def mrr(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val tfAggs = count(lit(1)).as("dl") +:
-      bm25Terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-    val perDoc = toks.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-    val scored = perDoc
-      .select(col("doc_id"), col("dl"), explode(array(bm25Terms.map(t =>
-        struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("s"))
-      .select(col("doc_id"), col("dl"), col("s.term").as("term"), col("s.tf").as("tf"))
-      .filter(col("tf") > 0)
-      .withColumn("score", r6(col("tf") / col("dl")))
-      .withColumn("rel", least(col("tf"), lit(3L)))
+    val scored = termScored(spark, dir)
     val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
     val top = graft.plans.TopK.topKPerGroup(scored, Seq("term"), "score", "doc_id", 10)
       .withColumn("pos", row_number().over(w))
@@ -1131,21 +1120,7 @@ object Corpus {
   }
 
   private val mrrOracle = {
-    val tfCols = bm25Terms.map(t =>
-      s"COUNT(*) FILTER (WHERE word = '$t') AS tf_$t").mkString(",\n    ")
-    val longf = bm25Terms.map(t =>
-      s"SELECT doc_id, dl, '$t' AS term, tf_$t AS tf FROM perdoc WHERE tf_$t > 0")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-       |perdoc AS (
-       |  SELECT doc_id, COUNT(*) AS dl,
-       |    $tfCols
-       |  FROM toks GROUP BY doc_id),
-       |scored AS (
-       |  SELECT doc_id, term, ${rSql("(tf / dl)", 6)} AS score,
-       |    LEAST(tf, 3) AS rel
-       |  FROM ($longf)),
+    s"""WITH $termScoredSql,
        |ranked AS (
        |  SELECT term, rel,
        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS pos
@@ -1183,10 +1158,13 @@ object Corpus {
     * totals frame + TakeOrdered — never a global sort. */
   def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(28, 6)
-    val uni = Tables.documents(spark, dir)
+    // uni feeds the totals frame AND the final projection — persist
+    // the vocabulary-bounded frame so the corpus tokenizes once
+    val uni = graft.CacheScope.track(Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
       .withColumn("w", r6(sqrt(col("c") * sqrt(col("c")))))
+      .persist())
     val tot = uni.agg(sum("c").as("n_tok"),
       sum(col("w").cast(d)).cast(DoubleType).as("w_tot"))
     uni.crossJoin(broadcast(tot))

@@ -424,8 +424,6 @@ object Dedup {
       edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
         .persist())
-    def free(df: DataFrame): Unit = org.apache.spark.sql.graft.Bridge
-      .materializedRdd(df).foreach(_.unpersist(blocking = false))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
     var prevSum: Option[Any] = None
@@ -442,13 +440,13 @@ object Dedup {
         .localCheckpoint()
       val s = Option(
         updated.agg(sum(col("component").cast(DecimalType(38, 0)))).head.get(0))
-      free(labels)
+      graft.CacheScope.freeCheckpoint(labels)
       labels = updated
       converged = s == prevSum
       prevSum = s
       i += 1
     }
-    graft.CacheScope.defer(() => free(labels))
+    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(labels))
     labels
   }
 

@@ -1609,11 +1609,14 @@ object Stats {
       .withColumn("tt", col("t_hi"))
       .withColumn("p_hi", oneSided(col("t_hi")))
       .drop("tt")
+    // decide on the ROUNDED p (the q_gst discipline): the CF p's are
+    // libm-dependent at the last ulp, so the flag must compare the
+    // same r6 value both engines emit
     withP.select(col("event_type"),
         r4(col("m1") - col("m2")).as("diff"), col("delta"),
         r4(col("t_lo")).as("t_lower"), r4(col("t_hi")).as("t_upper"),
         r6(greatest(col("p_lo"), col("p_hi"))).as("p_equiv"),
-        (greatest(col("p_lo"), col("p_hi")) < 0.05).as("equivalent"))
+        (r6(greatest(col("p_lo"), col("p_hi"))) < 0.05).as("equivalent"))
       .orderBy("event_type")
   }
 
@@ -1657,7 +1660,7 @@ object Stats {
        |SELECT event_type, ${rSql("(m1 - m2)", 4)} AS diff, delta,
        |  ${rSql("t_lo", 4)} AS t_lower, ${rSql("t_hi", 4)} AS t_upper,
        |  ${rSql("greatest(p_lo, p_hi)", 6)} AS p_equiv,
-       |  (greatest(p_lo, p_hi) < 0.05) AS equivalent
+       |  (${rSql("greatest(p_lo, p_hi)", 6)} < 0.05) AS equivalent
        |FROM phi ORDER BY event_type""".stripMargin
   }
 

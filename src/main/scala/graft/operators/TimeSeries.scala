@@ -814,9 +814,13 @@ object TimeSeries {
   def madAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(28, 6)
     def nz(c: Column): Column = when(c =!= 0, c)
-    val daily = Tables.events(spark, dir)
+    // daily feeds med, dev AND mad — persist the tiny |types×days|
+    // frame so the events aggregation runs once (static planning does
+    // not reuse the identical exchanges; the q_spearman discipline)
+    val daily = graft.CacheScope.track(Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(r6(sum(col("value").cast(d)).cast(DoubleType) / count(lit(1))).as("x"))
+      .persist())
     val med = daily.groupBy("event_type").agg(expr("percentile(x, 0.5)").as("med"))
     val dev = daily.join(med, Seq("event_type"))
       .withColumn("absdev", abs(col("x") - col("med")))
@@ -865,7 +869,11 @@ object TimeSeries {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("value"),
         date_trunc("week", col("ts")).cast("date").as("week"))
-    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    // cohorts feeds the cell join AND the sizes rollup — persist the
+    // |users|-row frame so the fact table is scanned twice total
+    // (cohort build + cells), the q_retention budget
+    val cohorts = graft.CacheScope.track(
+      ev.groupBy("user_id").agg(min("week").as("cohort_week")).persist())
     val cells = ev.join(cohorts, Seq("user_id"))
       .select(col("cohort_week"),
         (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"),

@@ -41,7 +41,11 @@ private final case class GstState(open: List[DayMoments],
 final case class GstReadout(event_type: String, week_start: java.sql.Timestamp,
     k: Long, n1: Long, n2: Long, z: Double, obf_bound: Double, reject: Boolean)
 
-private final case class CusumState(open: List[DayMoments],
+/** One day's single-arm count + exact micro-scaled sum — the minimal
+  * state a mean-based monitor needs (CUSUM has no On/Off split). */
+private final case class DaySum(dayUs: Long, n: Long, sMicro: Long)
+
+private final case class CusumState(open: List[DaySum],
     cum: Double, lastFinalUs: Long)
 
 /** Daily CUSUM readout emitted when a day finalizes. */
@@ -495,20 +499,19 @@ object EventStream {
             // events racing the watermark into a finalized day
             if (day > st.lastFinalUs) {
               val vMicro = java.lang.Math.round(e.value * 1e6)
-              val cur = st.open.find(_.dayUs == day).getOrElse(
-                DayMoments(day, 0L, 0L, 0.0, 0L, 0L, 0.0))
-              val upd = cur.copy(n1 = cur.n1 + 1, s1Micro = cur.s1Micro + vMicro)
+              val cur = st.open.find(_.dayUs == day).getOrElse(DaySum(day, 0L, 0L))
+              val upd = cur.copy(n = cur.n + 1, sMicro = cur.sMicro + vMicro)
               st = st.copy(open = upd :: st.open.filterNot(_.dayUs == day))
             }
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (done, open) = st.open.partition(_.dayUs + dayUsLen <= wmUs)
           val out = done.sortBy(_.dayUs).flatMap { d =>
-            if (d.n1 > 0) {
-              val mean = d.s1Micro / 1e6 / d.n1
+            if (d.n > 0) {
+              val mean = d.sMicro / 1e6 / d.n
               st = st.copy(cum = st.cum + (mean - refMean), lastFinalUs = d.dayUs)
               Some(CusumReadout(eventType, new java.sql.Timestamp(d.dayUs / 1000L),
-                d.n1, mean, st.cum, math.abs(st.cum) > h))
+                d.n, mean, st.cum, math.abs(st.cum) > h))
             } else { st = st.copy(lastFinalUs = d.dayUs); None }
           }
           st = st.copy(open = open)
