@@ -1558,6 +1558,76 @@ object Stats {
        |FROM m ORDER BY flag""".stripMargin
   }
 
+  // ------------------------------------------------ two-proportion z-test
+
+  /** Two-proportion z-test per event_type — the conversion-rate
+    * readout (statsmodels proportions_ztest): "conversion" is a value
+    * above the type's own median (data-derived, so every type has a
+    * non-degenerate rate), compared On vs Off with the pooled-SE z,
+    * two-sided normal p, and the unpooled-SE 95% CI on the
+    * difference — the one test family (proportions, not means/ranks)
+    * the block was still missing.
+    *
+    * Determinism: the median threshold is an exact interpolating
+    * percentile (the q_quantiles pairing) and conversion counting is
+    * pure integer; all divisions happen once, in fixed order.
+    *
+    * Scale: one aggregation for the medians (|types| rows, broadcast
+    * back), one conditional aggregation for the 2×2 counts. */
+  def propTest(spark: SparkSession, dir: String): DataFrame = {
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), onOff.as("g"))
+    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val m = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On" && col("value") > col("med"), 1L).otherwise(0L)).as("x1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off" && col("value") > col("med"), 1L).otherwise(0L)).as("x2"))
+    val p1 = col("x1") / nz(col("n1"))
+    val p2 = col("x2") / nz(col("n2"))
+    val pPool = (col("x1") + col("x2")) / nz(col("n1") + col("n2"))
+    val sePool = sqrt(pPool * (lit(1) - pPool) * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+    val seDiff = sqrt(p1 * (lit(1) - p1) / col("n1") + p2 * (lit(1) - p2) / col("n2"))
+    val z = (p1 - p2) / nz(sePool)
+    m.select(col("event_type"), col("n1"), col("x1"), col("n2"), col("x2"),
+        r4(p1).as("p_on"), r4(p2).as("p_off"),
+        r4(z).as("z"), r6(pTwoSidedNormal(z)).as("p_value"),
+        r4(p1 - p2 - lit(1.959964) * seDiff).as("ci_lo"),
+        r4(p1 - p2 + lit(1.959964) * seDiff).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  private val propTestOracle = {
+    def nzS(e: String) = s"NULLIF($e, 0)"
+    val p1 = s"(x1 / ${nzS("n1")})"
+    val p2 = s"(x2 / ${nzS("n2")})"
+    val pPool = s"((x1 + x2) / ${nzS("n1 + n2")})"
+    val sePool = s"sqrt($pPool * (1 - $pPool) * (1.0 / n1 + 1.0 / n2))"
+    val seDiff = s"sqrt($p1 * (1 - $p1) / n1 + $p2 * (1 - $p2) / n2)"
+    val z = s"(($p1 - $p2) / ${nzS(sePool)})"
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont("value", 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT e.event_type,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On' AND "value" > med) AS x1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off' AND "value" > med) AS x2
+       |  FROM events e JOIN med ON e.event_type = med.event_type
+       |  GROUP BY 1)
+       |SELECT event_type, n1, x1, n2, x2,
+       |  ${rSql(p1, 4)} AS p_on, ${rSql(p2, 4)} AS p_off,
+       |  ${rSql(z, 4)} AS z,
+       |  ${rSql(pTwoSidedNormalSql(z), 6)} AS p_value,
+       |  ${rSql(s"($p1 - $p2 - 1.959964 * $seDiff)", 4)} AS ci_lo,
+       |  ${rSql(s"($p1 - $p2 + 1.959964 * $seDiff)", 4)} AS ci_hi
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   // ------------------------------------------------ TOST equivalence test
 
   /** TOST equivalence test per event_type (two one-sided Welch t's):
@@ -1668,6 +1738,7 @@ object Stats {
     Op("q_ks_test", ksTest, Some(ksTestOracle)),
     Op("q_spearman", spearman, Some(spearmanOracle)),
     Op("q_tost", tost, Some(tostOracle)),
+    Op("q_prop_test", propTest, Some(propTestOracle)),
     Op("q_jackknife", jackknife, Some(jackknifeOracle)),
     Op("q_levene", levene, Some(leveneOracle)),
     Op("q_anova", anovaPosition, Some(anovaPositionOracle)),

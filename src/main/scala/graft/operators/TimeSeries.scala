@@ -853,6 +853,79 @@ object TimeSeries {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  // ------------------------------------------- additive seasonal decompose
+
+  /** Additive seasonal decomposition of the daily KPI series per
+    * event_type (statsmodels seasonal_decompose, period=7): trend =
+    * centered 7-day moving average (full windows only), seasonal =
+    * per-day-of-week mean of the detrended series, residual = x −
+    * trend − seasonal — the notebooks' "is the movement weekday
+    * pattern or real trend?" decomposition as one operator, feeding
+    * window-length choices the same way q_seasonality's index does.
+    *
+    * Determinism: daily means are r6; the trend's 7-day sum runs in
+    * DECIMAL over those r6 values; seasonal means are r6-then-DECIMAL
+    * sums of the (identical-both-engines) detrended doubles; dow uses
+    * the integer epoch-day formula (0 = Sunday, the q_seasonality
+    * convention).
+    *
+    * Scale: one fact aggregation; every window/join after runs on the
+    * |types × days| daily frame. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    val daily = graft.CacheScope.track(Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(r6(sum(col("value").cast(d)).cast(DoubleType) / count(lit(1))).as("x"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+      .persist())
+    val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("n7") === 7, sum(col("x").cast(d)).over(w7).cast(DoubleType) / 7))
+      .drop("n7")
+    val seasonal = withTrend.filter(col("trend").isNotNull)
+      .withColumn("det", col("x") - col("trend"))
+      .groupBy("event_type", "dow")
+      .agg((sum(r6(col("det")).cast(d)).cast(DoubleType) / count(lit(1))).as("s"))
+    withTrend.join(seasonal, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day"), col("dow"), col("x").as("daily_mean"),
+        r4(col("trend")).as("trend"), r4(col("s")).as("seasonal"),
+        r4(col("x") - col("trend") - col("s")).as("residual"))
+      .orderBy("event_type", "day")
+  }
+
+  private val seasonalDecomposeOracle = {
+    val xExpr = rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    (epoch_us(date_trunc('day', ts)) // 86400000000) AS day,
+       |    $xExpr AS x
+       |  FROM events GROUP BY 1, 2),
+       |dailyd AS (
+       |  SELECT event_type, day, x, (day + 4) % 7 AS dow FROM daily),
+       |wt AS (
+       |  SELECT event_type, day, dow, x,
+       |    CASE WHEN COUNT(*) OVER w = 7
+       |      THEN CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER w AS DOUBLE) / 7 END AS trend
+       |  FROM dailyd
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |seasonal AS (
+       |  SELECT event_type, dow,
+       |    CAST(SUM(CAST(${rSql("(x - trend)", 6)} AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS s
+       |  FROM wt WHERE trend IS NOT NULL GROUP BY 1, 2)
+       |SELECT wt.event_type, day, wt.dow, x AS daily_mean,
+       |  ${rSql("trend", 4)} AS trend, ${rSql("s", 4)} AS seasonal,
+       |  ${rSql("(x - trend - s)", 4)} AS residual
+       |FROM wt LEFT JOIN seasonal
+       |  ON wt.event_type = seasonal.event_type AND wt.dow = seasonal.dow
+       |ORDER BY wt.event_type, day""".stripMargin
+  }
+
   // ------------------------------------------------------- cohort LTV curves
 
   /** Cohort lifetime-value curves — the revenue companion of
@@ -921,6 +994,7 @@ object TimeSeries {
   val ops: Seq[Op] = Seq(
     Op("q_acf", acf, Some(acfOracle)),
     Op("q_mad_anomaly", madAnomaly, Some(madAnomalyOracle)),
+    Op("q_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeOracle)),
     Op("q_cohort_ltv", cohortLtv, Some(cohortLtvOracle)),
     Op("q_survival", survivalKm, Some(survivalKmOracle)),
     Op("q_psi", psi, Some(psiOracle)),

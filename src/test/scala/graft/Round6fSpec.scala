@@ -69,4 +69,78 @@ class Round6fSpec extends SparkSpec {
     val maxGap = per.values.map { case (_, c, a) => math.abs(a - c) }.max
     assert(gEce <= r4d(maxGap) + 1e-9)
   }
+
+  test("two-proportion z-test matches a plain-Scala 2x2 replay") {
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "value",
+        "case when ((unix_micros(date_trunc('hour', ts)) div 3600000000) + user_id % 10) % 2 = 0 then 'On' else 'Off' end as g")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val nn = s.length
+      if (nn % 2 == 1) s(nn / 2) else (s(nn / 2 - 1) + s(nn / 2)) / 2.0
+    }
+    val got = Registry.byName("q_prop_test").fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (et, evs) =>
+      val med = median(evs.map(_._2))
+      val on = evs.filter(_._3 == "On"); val off = evs.filter(_._3 == "Off")
+      val n1 = on.size.toDouble; val x1 = on.count(_._2 > med).toDouble
+      val n2 = off.size.toDouble; val x2 = off.count(_._2 > med).toDouble
+      val p1 = x1 / n1; val p2 = x2 / n2
+      val pp = (x1 + x2) / (n1 + n2)
+      val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+      val row = got(et)
+      assert(row.getLong(1) === n1.toLong && row.getLong(2) === x1.toLong)
+      assert(row.getLong(3) === n2.toLong && row.getLong(4) === x2.toLong)
+      assert(math.abs(row.getDouble(5) - r4d(p1)) < 1e-9)
+      assert(math.abs(row.getDouble(7) - r4d(z)) < 1e-9, s"$et z")
+      // the median threshold keeps the rate non-degenerate
+      assert(p1 > 0.2 && p1 < 0.8, s"$et p_on degenerate: $p1")
+      // p-value sanity against commons-math normal
+      val nd = new org.apache.commons.math3.distribution.NormalDistribution()
+      val pv = 2.0 * (1.0 - nd.cumulativeProbability(math.abs(z)))
+      assert(math.abs(row.getDouble(8) - pv) < 1e-4, s"$et p_value")
+    }
+  }
+
+  test("seasonal decomposition matches a replay and the parts re-sum to the series") {
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(date_trunc('day', ts)) div 86400000000 as day", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = Registry.byName("q_seasonal_decompose").fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Double]))).toMap
+    rows.groupBy(_._1).foreach { case (et, evs) =>
+      val daily = evs.groupBy(_._2).map { case (d, es) =>
+        d -> r6d(dsum(es.map(_._3)) / es.size)
+      }.toSeq.sortBy(_._1)
+      val xs = daily.map(_._2)
+      val trend = daily.indices.map { i =>
+        if (i >= 3 && i + 3 < daily.length) Some(dsum(xs.slice(i - 3, i + 4)) / 7)
+        else None
+      }
+      val seasonal = daily.indices.flatMap { i =>
+        trend(i).map(t => ((daily(i)._1 + 4) % 7, xs(i) - t))
+      }.groupBy(_._1).map { case (dow, ds) =>
+        dow -> dsum(ds.map(d => r6d(d._2))) / ds.size
+      }
+      daily.zipWithIndex.foreach { case ((day, x), i) =>
+        val (gx, gt, gs, gr) = got((et, day))
+        assert(math.abs(gx - x) < 1e-12, s"$et $day x")
+        trend(i) match {
+          case Some(t) =>
+            val s = seasonal(((day + 4) % 7).toInt)
+            assert(math.abs(gt.get - r4d(t)) < 1e-9, s"$et $day trend")
+            assert(math.abs(gs.get - r4d(s)) < 1e-9, s"$et $day seasonal")
+            assert(math.abs(gr.get - r4d(x - t - s)) < 1e-9, s"$et $day residual")
+          case None => assert(gt.isEmpty, s"$et $day trend should be null")
+        }
+      }
+      // seasonal components of an additive decomposition average ~0
+      val sbar = seasonal.values.sum / seasonal.size
+      assert(math.abs(sbar) < 1.0, s"$et seasonal mean far from 0: $sbar")
+    }
+  }
 }
