@@ -1578,7 +1578,11 @@ object Stats {
     def nz(c: Column): Column = when(c =!= 0, c)
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), onOff.as("g"))
-    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    // r6 the threshold (the levene discipline): the two engines'
+    // interpolation formulas can differ by 1 ulp, and an unrounded
+    // hard cutoff would flip integer conversion counts across engines
+    val med = ev.groupBy("event_type")
+      .agg(r6(expr("percentile(value, 0.5)")).as("med"))
     val m = ev.join(broadcast(med), Seq("event_type"))
       .groupBy("event_type")
       .agg(
@@ -1609,7 +1613,7 @@ object Stats {
     val seDiff = s"sqrt($p1 * (1 - $p1) / n1 + $p2 * (1 - $p2) / n2)"
     val z = s"(($p1 - $p2) / ${nzS(sePool)})"
     s"""WITH med AS (
-       |  SELECT event_type, quantile_cont("value", 0.5) AS med
+       |  SELECT event_type, ${rSql("quantile_cont(\"value\", 0.5)", 6)} AS med
        |  FROM events GROUP BY 1),
        |m AS (
        |  SELECT e.event_type,

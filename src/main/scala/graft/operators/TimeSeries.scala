@@ -18,6 +18,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object TimeSeries {
 
+  /** Integer epoch-day of the event — THE day/dow convention every
+    * daily-series operator shares (seasonality, decompose, PSI, …):
+    * dow = (day + 4) % 7 with 0 = Sunday. One definition per engine so
+    * the weekday buckets of companion operators can never diverge. */
+  private[operators] val epochDay =
+    "(unix_micros(date_trunc('day', ts)) div 86400000000)"
+  private[operators] val epochDaySql =
+    "(epoch_us(date_trunc('day', ts)) // 86400000000)"
+
   /** Exponentially-weighted mean (pandas ewm(alpha=0.2, adjust=True))
     * over each user's latest 20 events. The truncation keeps the weights
     * exactly computable in both engines (tail weight 0.8^20 ≈ 1e-2 of
@@ -501,9 +510,7 @@ object TimeSeries {
   def seasonality(spark: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(28, 6)
     val daily = Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("day"),
-        col("value"))
+      .select(col("event_type"), expr(epochDay).as("day"), col("value"))
       .groupBy("event_type", "day")
       .agg(sum(col("value").cast(d)).as("day_sum"))
       .withColumn("dow", pmod(col("day") + 4, lit(7)))
@@ -522,7 +529,7 @@ object TimeSeries {
 
   private val seasonalityOracle =
     s"""WITH daily AS (
-       |  SELECT event_type, (epoch_us(date_trunc('day', ts)) // 86400000000) AS day,
+       |  SELECT event_type, $epochDaySql AS day,
        |    SUM(CAST("value" AS DECIMAL(28,6))) AS day_sum
        |  FROM events GROUP BY 1, 2),
        |bydow AS (
@@ -716,7 +723,6 @@ object TimeSeries {
     * arithmetic on the |types|×5 frame. */
   def psi(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(28, 6)
-    val epochDay = "(unix_micros(date_trunc('day', ts)) div 86400000000)"
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), expr(epochDay).as("day"))
     val mid = ev.agg(((min("day") + max("day") + 1) / 2).cast("long").as("mid_day"))
@@ -873,25 +879,36 @@ object TimeSeries {
     * |types × days| daily frame. */
   def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(28, 6)
-    val daily = graft.CacheScope.track(Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("day"),
-        col("value"))
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(epochDay).as("day"), col("value"))
       .groupBy("event_type", "day")
       .agg(r6(sum(col("value").cast(d)).cast(DoubleType) / count(lit(1))).as("x"))
       .withColumn("dow", pmod(col("day") + 4, lit(7)))
-      .persist())
-    val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-    val withTrend = daily
+    // RANGE over the integer day, not ROWS: a calendar gap must void
+    // the centered 7-day window, not silently stretch it across 8+ days
+    val w7 = Window.partitionBy("event_type").orderBy("day").rangeBetween(-3, 3)
+    // withTrend feeds the seasonal rollup AND the final join — persist
+    // the multi-branch frame so the sort+window runs once (the
+    // madAnomaly/spearman discipline, one level up from daily)
+    val withTrend = graft.CacheScope.track(daily
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("trend",
         when(col("n7") === 7, sum(col("x").cast(d)).over(w7).cast(DoubleType) / 7))
       .drop("n7")
+      .persist())
+    // per-dow means of the detrended series, then CENTERED by the mean
+    // of the dow means (statsmodels: period_averages -= mean) so the
+    // seasonal component sums to ~0 and carries no level
+    val wType = Window.partitionBy("event_type")
     val seasonal = withTrend.filter(col("trend").isNotNull)
       .withColumn("det", col("x") - col("trend"))
       .groupBy("event_type", "dow")
-      .agg((sum(r6(col("det")).cast(d)).cast(DoubleType) / count(lit(1))).as("s"))
-    withTrend.join(seasonal, Seq("event_type", "dow"), "left")
+      .agg((sum(r6(col("det")).cast(d)).cast(DoubleType) / count(lit(1))).as("s0"))
+      .withColumn("s", col("s0") -
+        sum(r6(col("s0")).cast(d)).over(wType).cast(DoubleType) /
+          count(lit(1)).over(wType))
+    withTrend.join(seasonal.select("event_type", "dow", "s"),
+        Seq("event_type", "dow"), "left")
       .select(col("event_type"), col("day"), col("dow"), col("x").as("daily_mean"),
         r4(col("trend")).as("trend"), r4(col("s")).as("seasonal"),
         r4(col("x") - col("trend") - col("s")).as("residual"))
@@ -902,7 +919,7 @@ object TimeSeries {
     val xExpr = rSql("CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)
     s"""WITH daily AS (
        |  SELECT event_type,
-       |    (epoch_us(date_trunc('day', ts)) // 86400000000) AS day,
+       |    $epochDaySql AS day,
        |    $xExpr AS x
        |  FROM events GROUP BY 1, 2),
        |dailyd AS (
@@ -913,11 +930,17 @@ object TimeSeries {
        |      THEN CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER w AS DOUBLE) / 7 END AS trend
        |  FROM dailyd
        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |seasonal0 AS (
+       |  SELECT event_type, dow,
+       |    CAST(SUM(CAST(${rSql("(x - trend)", 6)} AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS s0
+       |  FROM wt WHERE trend IS NOT NULL GROUP BY 1, 2),
        |seasonal AS (
        |  SELECT event_type, dow,
-       |    CAST(SUM(CAST(${rSql("(x - trend)", 6)} AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS s
-       |  FROM wt WHERE trend IS NOT NULL GROUP BY 1, 2)
+       |    s0 - CAST(SUM(CAST(${rSql("s0", 6)} AS DECIMAL(28,6)))
+       |      OVER (PARTITION BY event_type) AS DOUBLE) /
+       |      COUNT(*) OVER (PARTITION BY event_type) AS s
+       |  FROM seasonal0)
        |SELECT wt.event_type, day, wt.dow, x AS daily_mean,
        |  ${rSql("trend", 4)} AS trend, ${rSql("s", 4)} AS seasonal,
        |  ${rSql("(x - trend - s)", 4)} AS residual

@@ -82,7 +82,7 @@ class Round6fSpec extends SparkSpec {
     val got = Registry.byName("q_prop_test").fn(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
     rows.groupBy(_._1).foreach { case (et, evs) =>
-      val med = median(evs.map(_._2))
+      val med = r6d(median(evs.map(_._2)))
       val on = evs.filter(_._3 == "On"); val off = evs.filter(_._3 == "Off")
       val n1 = on.size.toDouble; val x1 = on.count(_._2 > med).toDouble
       val n2 = off.size.toDouble; val x2 = off.count(_._2 > med).toDouble
@@ -94,8 +94,9 @@ class Round6fSpec extends SparkSpec {
       assert(row.getLong(3) === n2.toLong && row.getLong(4) === x2.toLong)
       assert(math.abs(row.getDouble(5) - r4d(p1)) < 1e-9)
       assert(math.abs(row.getDouble(7) - r4d(z)) < 1e-9, s"$et z")
-      // the median threshold keeps the rate non-degenerate
-      assert(p1 > 0.2 && p1 < 0.8, s"$et p_on degenerate: $p1")
+      // the median threshold keeps the rate non-degenerate (loose band:
+      // heavy ties at the median would legitimately depress it)
+      assert(x1 > 0 && p1 < 0.95, s"$et p_on degenerate: $p1")
       // p-value sanity against commons-math normal
       val nd = new org.apache.commons.math3.distribution.NormalDistribution()
       val pv = 2.0 * (1.0 - nd.cumulativeProbability(math.abs(z)))
@@ -116,16 +117,20 @@ class Round6fSpec extends SparkSpec {
       val daily = evs.groupBy(_._2).map { case (d, es) =>
         d -> r6d(dsum(es.map(_._3)) / es.size)
       }.toSeq.sortBy(_._1)
-      val xs = daily.map(_._2)
-      val trend = daily.indices.map { i =>
-        if (i >= 3 && i + 3 < daily.length) Some(dsum(xs.slice(i - 3, i + 4)) / 7)
-        else None
+      val byDay = daily.toMap
+      // calendar-range window: exactly the 7 days [t-3, t+3] or nothing
+      val trend = daily.map { case (day, _) =>
+        val win = (day - 3 to day + 3).flatMap(byDay.get)
+        if (win.size == 7) Some(dsum(win) / 7) else None
       }
-      val seasonal = daily.indices.flatMap { i =>
-        trend(i).map(t => ((daily(i)._1 + 4) % 7, xs(i) - t))
+      val seasonal0 = daily.indices.flatMap { i =>
+        trend(i).map(t => ((daily(i)._1 + 4) % 7, daily(i)._2 - t))
       }.groupBy(_._1).map { case (dow, ds) =>
         dow -> dsum(ds.map(d => r6d(d._2))) / ds.size
       }
+      // statsmodels centering: subtract the mean of the dow means
+      val center = dsum(seasonal0.values.map(r6d).toSeq) / seasonal0.size
+      val seasonal = seasonal0.map { case (k, v) => k -> (v - center) }
       daily.zipWithIndex.foreach { case ((day, x), i) =>
         val (gx, gt, gs, gr) = got((et, day))
         assert(math.abs(gx - x) < 1e-12, s"$et $day x")
@@ -138,9 +143,10 @@ class Round6fSpec extends SparkSpec {
           case None => assert(gt.isEmpty, s"$et $day trend should be null")
         }
       }
-      // seasonal components of an additive decomposition average ~0
+      // the centering makes the seasonal component mean exactly ~0
+      // (up to the r6 residue of the centering sum)
       val sbar = seasonal.values.sum / seasonal.size
-      assert(math.abs(sbar) < 1.0, s"$et seasonal mean far from 0: $sbar")
+      assert(math.abs(sbar) < 1e-5, s"$et seasonal mean not centered: $sbar")
     }
   }
 }
