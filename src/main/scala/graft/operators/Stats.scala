@@ -1632,6 +1632,90 @@ object Stats {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------- Cochran–Mantel–Haenszel test
+
+  /** Cochran–Mantel–Haenszel stratified conversion test per
+    * event_type, stratified by zone — q_prop_test's Simpson's-paradox-
+    * safe companion: when conversion AND assignment both vary by zone,
+    * the marginal 2×2 can show an effect that reverses within every
+    * stratum; CMH pools the per-stratum evidence instead. Conversion
+    * is the same r6-pinned per-type median cutoff; the statistic is
+    * the continuity-corrected (|Σ(a−E[a])| − 0.5)²/Σvar with
+    * hypergeometric E/var per stratum, p from χ²(1) = the two-sided
+    * normal on √χ².
+    *
+    * Determinism: cell counts are integers; each stratum's E and var
+    * terms are r6-rounded then DECIMAL-summed across strata.
+    *
+    * Scale: one medians pass broadcast back + ONE map-side-combined
+    * aggregation keyed (type, zone); CMH arithmetic runs on the
+    * |types×zones| frame. */
+  def cmhTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(28, 6)
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), onOff.as("g"),
+        (col("user_id") % 10).as("zone"))
+    val med = ev.groupBy("event_type")
+      .agg(r6(expr("percentile(value, 0.5)")).as("med"))
+    val cell = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type", "zone")
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On" && col("value") > col("med"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off" && col("value") > col("med"), 1L).otherwise(0L)).as("c"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("m1", col("a") + col("c"))
+      .withColumn("e", r6(col("n1").cast(DoubleType) * col("m1") /
+        nz(col("n").cast(DoubleType))))
+      .withColumn("v", r6(
+        (col("n1").cast(DoubleType) * col("n2") * col("m1") * (col("n") - col("m1"))) /
+          nz(col("n").cast(DoubleType) * col("n") * (col("n") - 1))))
+    val agg = cell.groupBy("event_type").agg(
+      count(lit(1)).as("n_strata"),
+      sum("a").as("sum_a"),
+      sum(col("e").cast(d)).cast(DoubleType).as("sum_e"),
+      sum(col("v").cast(d)).cast(DoubleType).as("sum_v"))
+    val dev = abs(col("sum_a") - col("sum_e")) - 0.5
+    val chi = dev * dev / nz(col("sum_v"))
+    agg.select(col("event_type"), col("n_strata"), col("sum_a"),
+        r4(col("sum_e")).as("e_a"), r4(chi).as("cmh_chi2"),
+        r6(pTwoSidedNormal(sqrt(chi))).as("p_value"))
+      .orderBy("event_type")
+  }
+
+  private val cmhTestOracle = {
+    def nzS(e: String) = s"NULLIF($e, 0)"
+    val e = rSql(s"(CAST(n1 AS DOUBLE) * m1 / ${nzS("CAST(n AS DOUBLE)")})", 6)
+    val v = rSql(s"((CAST(n1 AS DOUBLE) * n2 * m1 * (n - m1)) / ${nzS("(CAST(n AS DOUBLE) * n * (n - 1))")})", 6)
+    val dev = "(abs(sum_a - sum_e) - 0.5)"
+    val chi = s"($dev * $dev / ${nzS("sum_v")})"
+    s"""WITH med AS (
+       |  SELECT event_type, ${rSql("quantile_cont(\"value\", 0.5)", 6)} AS med
+       |  FROM events GROUP BY 1),
+       |cell0 AS (
+       |  SELECT e.event_type, user_id % 10 AS zone,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'On' AND "value" > med) AS a,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
+       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off' AND "value" > med) AS c
+       |  FROM events e JOIN med ON e.event_type = med.event_type
+       |  GROUP BY 1, 2),
+       |cell AS (
+       |  SELECT *, n1 + n2 AS n, a + c AS m1 FROM cell0),
+       |agg AS (
+       |  SELECT event_type, COUNT(*) AS n_strata,
+       |    CAST(SUM(a) AS BIGINT) AS sum_a,
+       |    CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE) AS sum_e,
+       |    CAST(SUM(CAST($v AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+       |  FROM cell GROUP BY 1)
+       |SELECT event_type, n_strata, sum_a,
+       |  ${rSql("sum_e", 4)} AS e_a, ${rSql(chi, 4)} AS cmh_chi2,
+       |  ${rSql(pTwoSidedNormalSql(s"sqrt($chi)"), 6)} AS p_value
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   // ------------------------------------------------ TOST equivalence test
 
   /** TOST equivalence test per event_type (two one-sided Welch t's):
@@ -1743,6 +1827,7 @@ object Stats {
     Op("q_spearman", spearman, Some(spearmanOracle)),
     Op("q_tost", tost, Some(tostOracle)),
     Op("q_prop_test", propTest, Some(propTestOracle)),
+    Op("q_cmh", cmhTest, Some(cmhTestOracle)),
     Op("q_jackknife", jackknife, Some(jackknifeOracle)),
     Op("q_levene", levene, Some(leveneOracle)),
     Op("q_anova", anovaPosition, Some(anovaPositionOracle)),

@@ -104,6 +104,45 @@ class Round6fSpec extends SparkSpec {
     }
   }
 
+  test("CMH stratified test matches a plain-Scala hypergeometric replay") {
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "value", "user_id % 10 as zone",
+        "case when ((unix_micros(date_trunc('hour', ts)) div 3600000000) + user_id % 10) % 2 = 0 then 'On' else 'Off' end as g")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val nn = s.length
+      if (nn % 2 == 1) s(nn / 2) else (s(nn / 2 - 1) + s(nn / 2)) / 2.0
+    }
+    val got = Registry.byName("q_cmh").fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (et, evs) =>
+      val med = r6d(median(evs.map(_._2)))
+      val strata = evs.groupBy(_._3).values.toSeq
+      val terms = strata.map { st =>
+        val on = st.filter(_._4 == "On"); val off = st.filter(_._4 == "Off")
+        val n1 = on.size.toDouble; val a = on.count(_._2 > med).toDouble
+        val n2 = off.size.toDouble; val c = off.count(_._2 > med).toDouble
+        val n = n1 + n2; val m1 = a + c
+        (a, r6d(n1 * m1 / n), r6d(n1 * n2 * m1 * (n - m1) / (n * n * (n - 1))))
+      }
+      val sumA = terms.map(_._1).sum
+      val sumE = dsum(terms.map(_._2))
+      val sumV = dsum(terms.map(_._3))
+      val dev = math.abs(sumA - sumE) - 0.5
+      val chi = dev * dev / sumV
+      val row = got(et)
+      assert(row.getLong(1) === strata.size.toLong)
+      assert(row.getLong(2) === sumA.toLong)
+      assert(math.abs(row.getDouble(3) - r4d(sumE)) < 1e-9, s"$et e_a")
+      assert(math.abs(row.getDouble(4) - r4d(chi)) < 1e-9, s"$et chi2")
+      // chi2(1) p == two-sided normal on sqrt(chi): cross-check with
+      // commons-math
+      val cd = new org.apache.commons.math3.distribution.ChiSquaredDistribution(1.0)
+      val pv = 1.0 - cd.cumulativeProbability(chi)
+      assert(math.abs(row.getDouble(5) - pv) < 1e-4, s"$et p ${row.getDouble(5)} vs $pv")
+    }
+  }
+
   test("seasonal decomposition matches a replay and the parts re-sum to the series") {
     val rows = Tables.events(spark, sfDir)
       .selectExpr("event_type", "unix_micros(date_trunc('day', ts)) div 86400000000 as day", "value")
