@@ -284,6 +284,40 @@ object EventStream {
       .withColumn("is_anomaly", abs(col("rz")) > 2.5)
   }
 
+  /** Live conversion-rate guard — the streaming twin of
+    * Stats.propTest: per finalized window × event_type, the On/Off
+    * conversion counts (conversion = value above a FROZEN batch-derived
+    * threshold, the psiMonitor contract) and the pooled-SE two-
+    * proportion z, flagging |z| > 3 — a conversion regression in one
+    * arm pages within the hour instead of at the daily batch readout.
+    *
+    * Chop-invariance: the 2×2 cells are additive integer counts and z
+    * is scan-local arithmetic on the finalized aggregate. */
+  def convGuard(events: DataFrame, threshold: Double): DataFrame = {
+    val r4 = graft.functions.Compat.r4 _
+    val onOff = when((expr("unix_micros(date_trunc('hour', ts)) div 3600000000") +
+      col("user_id") % 10) % 2 === 0, "On").otherwise("Off")
+    def nz(c: org.apache.spark.sql.Column) = when(c =!= 0, c)
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .withColumn("g", onOff)
+      .withColumn("conv", (col("value") > threshold).cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "On", col("conv")).otherwise(0L)).as("x1"),
+        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "Off", col("conv")).otherwise(0L)).as("x2"))
+    val p1 = col("x1") / nz(col("n1"))
+    val p2 = col("x2") / nz(col("n2"))
+    val pp = (col("x1") + col("x2")) / nz(col("n1") + col("n2"))
+    val z = (p1 - p2) /
+      nz(sqrt(pp * (lit(1) - pp) * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+    agg.select(col("window.start").as("window_start"), col("event_type"),
+        col("n1"), col("x1"), col("n2"), col("x2"), r4(z).as("z"))
+      .withColumn("alarm", abs(col("z")) > 3.0)
+  }
+
   /** Live sample-ratio-mismatch guard — the streaming twin of
     * Switchback.srmChisq per tumbling window: a broken assignment
     * (e.g. a zone dropping out of one arm) shows up as a chi-square

@@ -505,6 +505,48 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot.drop(7).exists(_.alarm), "level shift never alarmed")
   }
 
+  test("streaming conversion guard is chop-invariant and flags a one-arm regression") {
+    implicit val sqlCtx = spark.sqlContext
+    // 4 hours of balanced conversions, then 4 hours where the On arm's
+    // values collapse below the threshold (a conversion regression)
+    val events = (0 until 480).map { i =>
+      val t = ts(i.toLong)
+      val hour = java.lang.Math.floorDiv(t.getTime * 1000L, 3600000000L)
+      val uid = i % 10L
+      val on = (hour + uid) % 2 == 0
+      val broken = i >= 240 && on
+      // (i/2)%2 decorrelates conversion from the parity-based arm:
+      // both arms convert ~50% in the healthy phase
+      val v = if (broken) 1.0 else if ((i / 2) % 2 == 0) 10.0 else 2.0
+      Event(i.toLong, t, uid, "click", v)
+    }
+    def run(chunks: Seq[Seq[Event]], name: String): Seq[(Long, Long, Long, Long, Long, Double, Boolean)] = {
+      val input = MemoryStream[Event]
+      val q = EventStream.convGuard(input.toDF(), threshold = 5.0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach(c => { input.addData(c); q.processAllAvailable() })
+      input.addData(Event(999L, ts(2000L), 0L, "click", 0.0))
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect().map(r => (r.getTimestamp(0).getTime,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6), r.getBoolean(7))).toSeq.sortBy(_._1)
+    }
+    val oneShot = run(Seq(events), "conv_a")
+    val chopped = run(Seq(events.take(101), events.slice(101, 103), events.drop(103)), "conv_b")
+    assert(oneShot.size >= 8, s"expected >=8 finalized windows, got ${oneShot.size}")
+    assert(oneShot === chopped, "conversion guard not chop-invariant")
+    val (healthy, broken) = oneShot.partition(_._1 < ts(240).getTime)
+    assert(!healthy.exists(_._7), "false alarm during the balanced phase")
+    assert(broken.exists(_._7), "one-arm conversion collapse never alarmed")
+    // replay one broken window's z by hand
+    val w = broken.find(_._7).get
+    val p1 = w._3.toDouble / w._2; val p2 = w._5.toDouble / w._4
+    val pp = (w._3 + w._5).toDouble / (w._2 + w._4)
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / w._2 + 1.0 / w._4))
+    assert(math.abs(w._6 - math.signum(z) * math.floor(math.abs(z) * 1e4 + 0.5) / 1e4) < 1e-9)
+  }
+
   test("streaming MAD monitor is chop-invariant and flags only the shifted day") {
     implicit val sqlCtx = spark.sqlContext
     // 8 days near mean 10; day 6 (index 5) carries a +5 level shift
