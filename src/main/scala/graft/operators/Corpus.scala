@@ -688,9 +688,17 @@ object Corpus {
     * pass per GD iteration); scoring + binning is scan-local over the
     * persisted feature frame; the bin frame is ≤10 rows. */
   def calibration(spark: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(28, 6)
     val features = graft.CacheScope.track(lrFeatures(spark, dir).persist())
-    val w = trainLr(features)
+    calibrationFrom(features, trainLr(features))
+  }
+
+  /** Binning + ECE stage on an explicit (x1,x2,x3,y) frame and weight
+    * vector — split out so the multi-bin path (bin ordering, per-bin
+    * conf/acc, ECE weighting) is unit-testable on a synthetic frame
+    * whose scores span several deciles, which the sf fixtures' trained
+    * scores do not (they collapse into one bin). */
+  private[graft] def calibrationFrom(features: DataFrame, w: Array[Double]): DataFrame = {
+    val dec = DecimalType(28, 6)
     val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
     val binned = features
       .withColumn("p", r6(lit(1.0) / (lit(1.0) + exp(-z))))

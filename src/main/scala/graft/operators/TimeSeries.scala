@@ -827,10 +827,13 @@ object TimeSeries {
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(r6(sum(col("value").cast(d)).cast(DoubleType) / count(lit(1))).as("x"))
       .persist())
-    val med = daily.groupBy("event_type").agg(expr("percentile(x, 0.5)").as("med"))
+    // med/MAD r6-pinned BEFORE absdev/rz (the q_prop_test/q_cmh levene
+    // discipline): a 1-ulp interpolation gap between Spark percentile
+    // and DuckDB quantile_cont must not flip is_anomaly at the boundary
+    val med = daily.groupBy("event_type").agg(r6(expr("percentile(x, 0.5)")).as("med"))
     val dev = daily.join(med, Seq("event_type"))
       .withColumn("absdev", abs(col("x") - col("med")))
-    val mad = dev.groupBy("event_type").agg(expr("percentile(absdev, 0.5)").as("mad"))
+    val mad = dev.groupBy("event_type").agg(r6(expr("percentile(absdev, 0.5)")).as("mad"))
     dev.join(mad, Seq("event_type"))
       .withColumn("rz", r4(lit(0.6745) * (col("x") - col("med")) / nz(col("mad"))))
       .select(col("event_type"), col("day"), col("x").as("daily_mean"),
@@ -846,12 +849,12 @@ object TimeSeries {
        |  SELECT event_type, date_trunc('day', ts) AS day, $xExpr AS x
        |  FROM events GROUP BY 1, 2),
        |med AS (
-       |  SELECT event_type, quantile_cont(x, 0.5) AS med FROM daily GROUP BY 1),
+       |  SELECT event_type, ${rSql("quantile_cont(x, 0.5)", 6)} AS med FROM daily GROUP BY 1),
        |dev AS (
        |  SELECT d.event_type, d.day, d.x, m.med, abs(d.x - m.med) AS absdev
        |  FROM daily d JOIN med m USING (event_type)),
        |mad AS (
-       |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+       |  SELECT event_type, ${rSql("quantile_cont(absdev, 0.5)", 6)} AS mad FROM dev GROUP BY 1)
        |SELECT d.event_type, d.day, d.x AS daily_mean,
        |  ${rSql("med", 4)} AS med, ${rSql("mad", 4)} AS mad_v,
        |  $rz AS rz, (abs($rz) > 2.5) AS is_anomaly

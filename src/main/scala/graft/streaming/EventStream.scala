@@ -273,6 +273,9 @@ object EventStream {
     val r6 = graft.functions.Compat.r6 _
     val r4 = graft.functions.Compat.r4 _
     val mean = r6(col("s") / col("n"))
+    // degenerate reference (refMad == 0) yields null rz, not Infinity —
+    // mirroring the batch twin's nz(col("mad")) divisor guard
+    val madDiv = when(lit(refMad) =!= 0.0, lit(refMad))
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -280,7 +283,7 @@ object EventStream {
         sum(col("value").cast(dec)).cast("double").as("s"))
       .select(col("window.start").as("day"), col("event_type"), col("n"),
         mean.as("daily_mean"),
-        r4(lit(0.6745) * (mean - refMed) / refMad).as("rz"))
+        r4(lit(0.6745) * (mean - refMed) / madDiv).as("rz"))
       .withColumn("is_anomaly", abs(col("rz")) > 2.5)
   }
 
