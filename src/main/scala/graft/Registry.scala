@@ -16,7 +16,8 @@ object Registry {
       operators.Causal.ops ++
       operators.Graph.ops ++
       operators.Multimodal.ops ++
-      operators.Approx.ops
+      operators.Approx.ops ++
+      streaming.StreamingOps.ops
 
   def byName: Map[String, Op] = ops.map(o => o.name -> o).toMap
 }

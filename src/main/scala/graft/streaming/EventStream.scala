@@ -68,7 +68,10 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      // DECIMAL sum (Compat discipline): float accumulation order varies
+      // with the micro-batch chop, exact decimal state does not
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Compat.sumMoney(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -81,7 +84,13 @@ object EventStream {
         when((expr("unix_micros(date_trunc('hour', ts)) div 3600000000") +
           col("user_id") % 10) % 2 === 0, "On").otherwise("Off"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("on_off"))
-      .agg(count(lit(1)).as("n"), avg("value").as("value_per_order"))
+      // exact-decimal mean, r2-rounded — the batch sbMetrics discipline,
+      // and chop-invariant where a float avg() would not be
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Compat.r2(
+          graft.functions.Compat.avgMoney(col("value"))).as("value_per_order"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("on_off"), col("n"), col("value_per_order"))
 
   /** Streaming windowed quantiles through the custom mergeable
     * quantile sketch (functions.QuantileSketchAgg): p50/p95 per
@@ -314,8 +323,10 @@ object EventStream {
     val p1 = col("x1") / nz(col("n1"))
     val p2 = col("x2") / nz(col("n2"))
     val pp = (col("x1") + col("x2")) / nz(col("n1") + col("n2"))
+    // nz on every divisor: an empty arm must yield a null z, and under
+    // ANSI mode (Spark 4 default) an unguarded 1/0 kills the stream
     val z = (p1 - p2) /
-      nz(sqrt(pp * (lit(1) - pp) * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+      nz(sqrt(pp * (lit(1) - pp) * (lit(1.0) / nz(col("n1")) + lit(1.0) / nz(col("n2")))))
     agg.select(col("window.start").as("window_start"), col("event_type"),
         col("n1"), col("x1"), col("n2"), col("x2"), r4(z).as("z"))
       .withColumn("alarm", abs(col("z")) > 3.0)

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Batch-replay harness: feeds the recorded `events` table through a
+  * Structured Streaming transform in event-time order, chopped into
+  * micro-batches, and returns the finalized output as an ordinary
+  * DataFrame — making every streaming monitor visible to the driver's
+  * batch correctness gate (the daily-monitoring loop the reference's
+  * notebooks run by hand, replayed end-to-end).
+  *
+  * Mechanics: the recorded events are sorted by (ts, event_id) and fed
+  * as `chunks` micro-batches, so the run is genuinely incremental —
+  * watermarks advance between batches, window state merges partial
+  * aggregates, and flatMapGroupsWithState monitors finalize days as the
+  * watermark crosses each boundary, exactly as they would on a live
+  * stream. A far-future sentinel row (event_id −1, its own never-
+  * finalized window/group) then pushes the watermark past every real
+  * window so the append-mode output is complete.
+  *
+  * MemoryStream is driver-fed BY DESIGN — this is the replay/test
+  * adapter, not the production ingestion path (a deployment reads
+  * `spark.readStream` from Kafka/files; every transform here takes the
+  * stream as a parameter precisely so the source is swappable). The
+  * replay data volume is one sf table, the same rows every batch
+  * operator scans.
+  */
+object Replay {
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay `dir`'s events through `xform`; returns the finalized
+    * rows as a stable local DataFrame.
+    *
+    * @param chunks  number of micro-batches to chop the feed into
+    * @param dupFeed re-deliver every chunk a second time (at-least-once
+    *                delivery simulation, for dedup semantics)
+    */
+  def replay(spark: SparkSession, dir: String, chunks: Int = 10,
+      dupFeed: Boolean = false)(xform: Dataset[Event] => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, s"no events under $dir")
+    val input = MemoryStream[Event]
+    val name = s"graft_replay_${counter.incrementAndGet()}"
+    val q = xform(input.toDS()).writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      val per = math.max(1, math.ceil(evs.length.toDouble / chunks).toInt)
+      evs.grouped(per).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        if (dupFeed) input.addData(chunk.toIndexedSeq)
+      }
+      // sentinel: 30 days past the last event — its own window/group can
+      // never finalize (watermark stays 2h behind it), so it affects
+      // nothing but the watermark
+      val maxMs = evs.last.ts.getTime
+      input.addData(Event(-1L, new java.sql.Timestamp(maxMs + 30L * 86400000L),
+        -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // snapshot the memory sink into a local frame independent of the
+    // (now stopped) query
+    val out = spark.table(name)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+}

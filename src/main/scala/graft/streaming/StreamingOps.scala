@@ -1,0 +1,353 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Op
+import graft.functions.Compat.{r4, r6, rSql}
+
+/** Driver-visible batch replays of the Structured Streaming monitors
+  * (SURVEY.md §2 block D) — each entry feeds the recorded events table
+  * through [[Replay]] in micro-batches and exposes the finalized
+  * append-mode output as an ordinary query, so the correctness gate
+  * hash-checks the streaming path against a DuckDB oracle computing the
+  * same finalized windows in batch. This is the reference's daily
+  * monitoring loop (switchback_analysis.ipynb re-read per day) run
+  * end-to-end through real watermark/state machinery.
+  *
+  * Frozen monitor references (the psiMonitor contract: a batch run over
+  * a reference period defines "normal"; the stream patrols it) are
+  * fixed constants here so the oracle SQL can embed the identical
+  * values — in production they come from the batch operators.
+  */
+object StreamingOps {
+
+  // frozen references, embedded in both engines
+  private val PsiCuts = Seq(15.0, 30.0, 60.0, 120.0)
+  private val PsiRef = Seq(0.25, 0.20, 0.25, 0.21, 0.09)
+  private val MadRefMed = 49.0
+  private val MadRefMad = 1.5
+  private val ConvThreshold = 35.0
+  private val CusumRefMean = 50.0
+  private val CusumH = 5.0
+  private val DpSeed = 7L
+
+  private val onOffSql =
+    "((epoch_us(date_trunc('hour', ts)) // 3600000000) + (user_id % 10)) % 2 = 0"
+
+  // ------------------------------------------------------------ tumbling
+
+  private def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds => EventStream.tumblingCounts(ds.toDF()))
+      .orderBy("window_start", "event_type")
+
+  private val streamTumblingOracle =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ sb rollup
+
+  private def streamSbRollup(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds => EventStream.sbMetricsStream(ds.toDF()))
+      .orderBy("window_start", "event_type", "on_off")
+
+  private val streamSbRollupOracle = {
+    val vpo = rSql("(CAST(SUM(CAST(\"value\" AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))", 2)
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  CASE WHEN $onOffSql THEN 'On' ELSE 'Off' END AS on_off,
+       |  COUNT(*) AS n, $vpo AS value_per_order
+       |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // ------------------------------------------------------------ SRM guard
+
+  private def streamSrm(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds => EventStream.srmGuard(ds.toDF()))
+      .orderBy("window_start", "event_type")
+
+  private val streamSrmOracle =
+    s"""WITH c AS (
+       |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |    COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN 1 ELSE 0 END) AS BIGINT) AS n_on
+       |  FROM events GROUP BY 1, 2)
+       |SELECT window_start, event_type, n, n_on, n - n_on AS n_off,
+       |  ((n_on - n / 2.0) * (n_on - n / 2.0) / (n / 2.0) +
+       |   ((n - n_on) - n / 2.0) * ((n - n_on) - n / 2.0) / (n / 2.0)) AS chisq
+       |FROM c ORDER BY window_start, event_type""".stripMargin
+
+  // ------------------------------------------------------------ PSI drift
+
+  private def streamPsi(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds =>
+      EventStream.psiMonitor(ds.toDF(), PsiCuts, PsiRef))
+      .orderBy("window_start", "event_type")
+
+  private val streamPsiOracle = {
+    val bin = PsiCuts.map(c => s"CASE WHEN value > $c THEN 1 ELSE 0 END").mkString(" + ")
+    val nb = PsiCuts.size + 1
+    val counts = (0 until nb)
+      .map(b => s"CAST(SUM(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS c$b")
+      .mkString(",\n    ")
+    // identical fold order to the Spark side's terms.reduce(_ + _)
+    val terms = (0 until nb).map { b =>
+      val q = s"((c$b + 0.5) / (n + ${nb * 0.5}))"
+      rSql(s"(($q - ${PsiRef(b)}) * ln($q / ${PsiRef(b)}))", 6)
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT date_trunc('day', ts) AS window_start, event_type,
+       |    ($bin) AS bin
+       |  FROM events),
+       |c AS (
+       |  SELECT window_start, event_type, COUNT(*) AS n,
+       |    $counts
+       |  FROM b GROUP BY 1, 2),
+       |t AS (
+       |  SELECT window_start, event_type, n, ${rSql(s"($terms)", 4)} AS psi
+       |  FROM c)
+       |SELECT window_start, event_type, n, psi, psi >= 0.2 AS drift
+       |FROM t ORDER BY window_start, event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------ MAD guard
+
+  private def streamMad(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds =>
+      EventStream.madMonitor(ds.toDF(), MadRefMed, MadRefMad))
+      .orderBy("day", "event_type")
+
+  private val streamMadOracle = {
+    val mean = rSql("(CAST(SUM(CAST(\"value\" AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 6)
+    val rz = rSql(s"(0.6745 * (daily_mean - $MadRefMed) / $MadRefMad)", 4)
+    s"""WITH d AS (
+       |  SELECT date_trunc('day', ts) AS day, event_type,
+       |    COUNT(*) AS n, $mean AS daily_mean
+       |  FROM events GROUP BY 1, 2)
+       |SELECT day, event_type, n, daily_mean, $rz AS rz,
+       |  abs($rz) > 2.5 AS is_anomaly
+       |FROM d ORDER BY day, event_type""".stripMargin
+  }
+
+  // ------------------------------------------------ conversion-rate guard
+
+  private def streamConv(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds =>
+      EventStream.convGuard(ds.toDF(), ConvThreshold))
+      .orderBy("window_start", "event_type")
+
+  private val streamConvOracle = {
+    val z = """((x1 * 1.0 / n1) - (x2 * 1.0 / n2)) /
+      |    NULLIF(sqrt(((x1 + x2) * 1.0 / (n1 + n2)) * (1 - (x1 + x2) * 1.0 / (n1 + n2))
+      |      * (1.0 / n1 + 1.0 / n2)), 0)""".stripMargin
+    s"""WITH g AS (
+       |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |    CASE WHEN $onOffSql THEN 'On' ELSE 'Off' END AS grp,
+       |    CASE WHEN value > $ConvThreshold THEN 1 ELSE 0 END AS conv
+       |  FROM events),
+       |c AS (
+       |  SELECT window_start, event_type,
+       |    CAST(SUM(CASE WHEN grp = 'On' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN grp = 'On' THEN conv ELSE 0 END) AS BIGINT) AS x1,
+       |    CAST(SUM(CASE WHEN grp = 'Off' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN grp = 'Off' THEN conv ELSE 0 END) AS BIGINT) AS x2
+       |  FROM g GROUP BY 1, 2),
+       |t AS (
+       |  SELECT window_start, event_type, n1, x1, n2, x2,
+       |    CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+       |      ELSE ${rSql(s"($z)", 4)} END AS z
+       |  FROM c)
+       |SELECT window_start, event_type, n1, x1, n2, x2, z,
+       |  abs(z) > 3.0 AS alarm
+       |FROM t ORDER BY window_start, event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------ CUSUM
+
+  private def streamCusum(spark: SparkSession, dir: String): DataFrame = {
+    Replay.replay(spark, dir)(ds =>
+      EventStream.cusumMonitor(ds, CusumRefMean, CusumH).toDF()
+        .select(col("event_type"), col("day"), col("n"),
+          r6(col("daily_mean")).as("daily_mean"),
+          r4(col("cusum")).as("cusum"), col("alarm")))
+      .orderBy("event_type", "day")
+  }
+
+  private val streamCusumOracle = {
+    // Math.round(v*1e6) == floor(v*1e6 + 0.5) == DuckDB round() for the
+    // strictly positive values in this table
+    val meanRaw = "(CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*))"
+    s"""WITH d AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
+       |    $meanRaw AS mean_raw
+       |  FROM events GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, day, n, mean_raw,
+       |    SUM(mean_raw - $CusumRefMean) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT event_type, day, n, ${rSql("mean_raw", 6)} AS daily_mean,
+       |  ${rSql("cum", 4)} AS cusum, abs(cum) > $CusumH AS alarm
+       |FROM c ORDER BY event_type, day""".stripMargin
+  }
+
+  // ------------------------------------------------------------ sessions
+
+  private def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds =>
+      EventStream.sessionize(ds).toDF()
+        // epoch-µs longs: exact cross-engine compare; sum_value is a raw
+        // sequential float fold (unordered SQL SUM can differ 1 ulp), so
+        // the driver projection carries the exact session identity only
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events")))
+      .orderBy("user_id", "session_start_us")
+
+  private val streamSessionizeOracle =
+    // epoch_ms * 1000: the monitor's state keys sessions on
+    // Timestamp.getTime (ms-floored), so the oracle must bucket on the
+    // same ms grid, not raw µs
+    """WITH o AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pms
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN pms IS NULL OR ms - pms > 1800000 THEN 1 ELSE 0 END AS brk
+      |  FROM o),
+      |s AS (
+      |  SELECT user_id, ms,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(ms) * 1000 AS session_start_us,
+      |  MAX(ms) * 1000 AS session_end_us, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // ------------------------------------------------------------ dedup
+
+  private def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    // dupFeed: every micro-batch is delivered twice (at-least-once
+    // simulation); the watermark-bounded state drops the re-deliveries
+    Replay.replay(spark, dir, dupFeed = true)(ds =>
+      EventStream.dedupStream(ds.toDF())
+        .filter(col("event_id") >= 0)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value")))
+      .orderBy("event_id")
+
+  private val streamDedupOracle =
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "value"
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ attribution
+
+  private def streamAttribution(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds =>
+      EventStream.clickAttribution(ds.toDF())
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+          unix_micros(col("click_ts")).as("click_ts_us"), col("value")))
+      .orderBy("purchase_id", "click_id")
+
+  private val streamAttributionOracle =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+      |  epoch_us(c.ts) AS click_ts_us, p."value"
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.user_id = p.user_id
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+  // ------------------------------------------------------------ DP release
+
+  private def streamDp(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds =>
+      EventStream.dpReleaseStream(ds.toDF(), DpSeed))
+      .orderBy("day", "event_type")
+
+  private val streamDpOracle = {
+    val gk = "((length(event_type) * 256 + ascii(substring(event_type, 1, 1)))" +
+      " * 64 + (epoch_us(day) // 86400000000) % 64)"
+    def lap(salt: Long, scale: String): String = {
+      val sFold = java.lang.Math.floorMod(DpSeed, 2147483648L)
+      val add = java.lang.Math.floorMod(
+        12345L + salt * 1013904223L + sFold * 69069L, 2147483648L)
+      val st = s"(((($gk % 2147483648) * 1103515245 + $add) % 2147483648)" +
+        " * 1103515245 + 12345) % 2147483648"
+      val u = s"((($st) + 1.0) / 2147483649.0)"
+      s"(-$scale * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+    }
+    s"""WITH d AS (
+       |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS true_n,
+       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS true_sum
+       |  FROM events GROUP BY 1, 2)
+       |SELECT day, event_type,
+       |  ${rSql(s"(true_n + ${lap(1L, "1.0")})", 4)} AS dp_n,
+       |  ${rSql(s"(true_sum + ${lap(2L, "200.0")})", 4)} AS dp_sum
+       |FROM d ORDER BY day, event_type""".stripMargin
+  }
+
+  // ------------------------------------- rows-only, self-certifying trio
+
+  /** mSPRT replay — rows-only by design: the squared-sum state term is a
+    * float accumulation (documented ~1e-9 spec tolerance), so the
+    * anytime-p can shift a ulp vs any batch SQL. Self-certification:
+    * p_seq ∈ (0,1], the running-min law p_avp ≤ p_seq, and exact
+    * cumulative counts must be nondecreasing per type (append order). */
+  private def streamMsprt(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds => EventStream.msprtMonitor(ds).toDF())
+      .withColumn("cert_ok",
+        col("p_seq") > 0.0 && col("p_seq") <= 1.0 && col("p_avp") <= col("p_seq"))
+      .orderBy("event_type", "day")
+
+  /** GST replay — rows-only for the same float-state reason; the
+    * O'Brien–Fleming boundary and the reject decision are re-derived in
+    * the certification column. */
+  private def streamGst(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds => EventStream.gstMonitor(ds).toDF())
+      .withColumn("cert_ok",
+        abs(col("obf_bound") - lit(2.024) * sqrt(lit(4.0) / col("k"))) < 1e-12 &&
+          (col("reject") === (abs(col("z")) > col("obf_bound"))))
+      .orderBy("event_type", "week_start")
+
+  /** Windowed quantile-sketch replay — rows-only (DDSketch interior
+    * state is not SQL); certified against the batch per-window true
+    * min/max envelope widened by the sketch's α = 1% relative-error
+    * guarantee (bucket midpoints may overshoot the extremes by up to
+    * ~2α relative), plus the p50 ≤ p95 order law. */
+  private def streamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = Replay.replay(spark, dir)(ds =>
+      EventStream.windowedQuantiles(ds.toDF()))
+    val bounds = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour")).agg(
+        min("value").as("lo"), max("value").as("hi"))
+      .select(col("window.start").as("window_start"), col("lo"), col("hi"))
+    streamed.join(bounds, Seq("window_start"))
+      .withColumn("within_bound",
+        col("p50") <= col("p95") &&
+          col("p50") >= col("lo") * 0.98 && col("p95") <= col("hi") * 1.02)
+      .orderBy("window_start")
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("q_stream_tumbling", streamTumbling, Some(streamTumblingOracle)),
+    Op("q_stream_sb_rollup", streamSbRollup, Some(streamSbRollupOracle)),
+    Op("q_stream_srm", streamSrm, Some(streamSrmOracle)),
+    Op("q_stream_psi", streamPsi, Some(streamPsiOracle)),
+    Op("q_stream_mad", streamMad, Some(streamMadOracle)),
+    Op("q_stream_conv", streamConv, Some(streamConvOracle)),
+    Op("q_stream_cusum", streamCusum, Some(streamCusumOracle)),
+    Op("q_stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
+    Op("q_stream_dedup", streamDedup, Some(streamDedupOracle)),
+    Op("q_stream_attribution", streamAttribution, Some(streamAttributionOracle)),
+    Op("q_stream_dp", streamDp, Some(streamDpOracle)),
+    Op("q_stream_msprt", streamMsprt, None),
+    Op("q_stream_gst", streamGst, None),
+    Op("q_stream_quantiles", streamQuantiles, None),
+  )
+}

@@ -58,4 +58,28 @@ class Round7Spec extends SparkSpec {
     assert(orderedBins === orderedBins.sorted, "bin column sorts as emitted")
     assert(orderedBins.last === "ALL")
   }
+
+  test("streaming replay harness: finalized tumbling windows equal the batch twin") {
+    val streamed = Registry.byName("q_stream_tumbling").fn(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        functions.Compat.sumMoney(col("value")).as("sum_value"))
+      .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming replay harness: double-delivered batches dedup to the unique event set") {
+    val ids = Registry.byName("q_stream_dedup").fn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size === ids.size, "no event emitted twice")
+    val expected = Tables.events(spark, sfDir).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.toSet === expected)
+  }
 }
