@@ -60,13 +60,49 @@ object CacheScope {
     pending += f
   }
 
-  /** Free a localCheckpoint generation's materialized RDD blocks —
-    * the one release `Dataset.unpersist` cannot reach. Shared by every
-    * iterative operator (CC, pagerank, khop, kcore) so checkpoint-
-    * retirement semantics can never diverge between them. */
+  /** Checkpoint a loop generation for lineage truncation — the shared
+    * entry of every iterative operator (CC, pagerank, khop, kcore).
+    *
+    * Default: `localCheckpoint` — executor-block storage, no extra I/O,
+    * right for dev/local runs, but a single lost executor makes the
+    * truncated lineage unrecoverable and fails the job.
+    *
+    * Cluster mode: set `spark.graft.checkpointDir` to an HDFS/object-
+    * store path and generations go through RELIABLE `Dataset
+    * .checkpoint` instead — an hours-long 100 TB iterative job survives
+    * executor loss, at the cost of one write+read of the generation per
+    * round. Retirement ([[freeCheckpoint]]) deletes the superseded
+    * generation's files, so the directory holds at most two
+    * generations per operator at any time. */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = spark.sparkContext
+        // setCheckpointDir appends a fresh UUID subdir on EVERY call,
+        // and retirement resolves rdd-N paths against the CURRENT dir —
+        // so set it only when the base dir actually changed, or retired
+        // generations from earlier calls would never be found on disk
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+  }
+
+  /** `.graftCheckpoint()` postfix syntax for [[checkpoint]], so loop
+    * bodies read like the `.localCheckpoint()` they replace. */
+  implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
+    def graftCheckpoint(): DataFrame = CacheScope.checkpoint(df)
+  }
+
+  /** Free a retired checkpoint generation — local-checkpoint executor
+    * blocks, or a reliable generation's files + cache. Shared by every
+    * iterative operator so checkpoint-retirement semantics can never
+    * diverge between them. Only call once the SUCCESSOR generation has
+    * materialized: a checkpoint has no lineage, so nothing can
+    * recompute a freed one. */
   def freeCheckpoint(df: DataFrame): Unit =
-    org.apache.spark.sql.graft.Bridge.materializedRdd(df)
-      .foreach(_.unpersist(blocking = false))
+    org.apache.spark.sql.graft.Bridge.freeCheckpointed(df)
 
   /** Free every tracked cache. Safe to call repeatedly from the owning
     * thread (or any thread when nothing is live); fails fast when

@@ -899,6 +899,106 @@ object Corpus {
       |SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY 1
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  // ------------------------------------------------- BPE merge training
+
+  private val bpeIters = 8
+
+  /** Full BPE tokenizer induction (Sennrich et al. 2016) — the
+    * iterated count→merge→re-tokenize loop that q_bpe_pairs only runs
+    * one step of. Eight rounds, each: count adjacent symbol pairs
+    * weighted by word frequency, take the most frequent pair
+    * (deterministic (count desc, lhs, rhs) tie-break), fuse it across
+    * the vocabulary. The output is the merge table — the trained
+    * artifact a tokenizer ships (merges.txt).
+    *
+    * Portable merge kernel: a word's symbol sequence is one STRING
+    * with each symbol space-wrapped (" a  b  c " — words are
+    * space-split, so no symbol can ever contain the separator), and
+    * fusing the pair (l, r) is `replace(s, " l  r ", " lr ")`. Both
+    * engines' replace() scans left-to-right non-overlapping, which IS
+    * greedy BPE merging, and the double separator means adjacent
+    * matches share no characters — so "a a a a" under (a,a) correctly
+    * fuses to "aa aa", and a symbol ending in `l` can never
+    * false-match before one starting with `r`. Identical kernel in
+    * the unrolled MATERIALIZED-CTE oracle (the kcore discipline).
+    *
+    * Scale: the corpus is touched ONCE (word-frequency vocabulary);
+    * every round runs on the DISTINCT vocabulary (vocabulary-bounded,
+    * the BM25/q_ngram_lm shuffle shape), pair counts are map-side
+    * combined, only the single winning pair row comes to the driver
+    * per round (dimension-bounded, the IVF-centroid discipline), and
+    * each round's vocabulary is checkpointed + retired on the khop
+    * fixed-round contract (reliable under `spark.graft.checkpointDir`,
+    * [[graft.CacheScope.checkpoint]]). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.CacheScope.CheckpointOps
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(expr(
+        "concat_ws('', transform(split(word, ''), c -> concat(' ', c, ' ')))").as("s"),
+        col("cnt"))
+      .graftCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (k <- 1 to bpeIters) {
+      val top = vocab
+        .select(col("cnt"), split(expr("substring(s, 2, length(s) - 2)"), "  ").as("syms"))
+        // single-symbol words carry no pairs — and Spark's
+        // sequence(1, 0) counts DOWN, which under ANSI mode turns the
+        // unguarded transform into an array-index error
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct('l', syms[i-1], 'r', syms[i]))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).head()
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((k, l, r, l + r, c))
+      val next = vocab
+        .withColumn("s", call_function("replace",
+          col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+        .graftCheckpoint()
+      graft.CacheScope.freeCheckpoint(vocab)
+      vocab = next
+    }
+    // the merge table is the trained artifact; the final vocabulary
+    // generation is no longer referenced
+    graft.CacheScope.freeCheckpoint(vocab)
+    import spark.implicits._
+    merges.result().toDF("it", "lhs", "rhs", "merged", "cnt").orderBy("it")
+  }
+
+  private val bpeTrainOracle = {
+    val base =
+      """v0 AS MATERIALIZED (
+        |  SELECT concat(' ', array_to_string(list_transform(
+        |      generate_series(1, length(word)), i -> substring(word, i, 1)), '  '), ' ') AS s,
+        |    cnt
+        |  FROM (
+        |    SELECT word, COUNT(*) AS cnt
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |    WHERE length(word) >= 1 GROUP BY 1))""".stripMargin
+    val steps = (1 to bpeIters).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, SUM(cnt) AS c
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+         |    FROM (SELECT string_split(trim(s, ' '), '  ') AS syms, cnt FROM v${k - 1}))
+         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s, cnt
+         |  FROM v${k - 1} CROSS JOIN p$k)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to bpeIters).map { k =>
+      s"SELECT $k AS it, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS cnt FROM p$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n$steps\n$outs\nORDER BY it"
+  }
+
   // ------------------------------------------------- PMI collocations
 
   /** Pointwise-mutual-information collocation mining: adjacent word
@@ -1209,6 +1309,7 @@ object Corpus {
     Op("q_tfidf", tfidf, Some(tfidfOracle)),
     Op("q_entropy", entropy, Some(entropyOracle)),
     Op("q_bpe_pairs", bpePairs, Some(bpePairsOracle)),
+    Op("q_bpe_train", bpeTrain, Some(bpeTrainOracle)),
     Op("q_pmi", pmiCollocations, Some(pmiOracle)),
     Op("q_zipf", zipfFit, Some(zipfOracle)),
     Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle), headline = true),

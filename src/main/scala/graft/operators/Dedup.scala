@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import graft.CacheScope.CheckpointOps
 import graft.functions.Compat._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -412,12 +413,20 @@ object Dedup {
     * Plan/cache discipline: the symmetrized edge list is persisted
     * ONCE (it is read every round, and transitively re-running the
     * pair-discovery subplan each round is the dominant cost
-    * otherwise); each round's labels are localCheckpoint'ed — the
-    * plan stays constant-size (unrolled lineage previously made
-    * Catalyst analysis the per-round bottleneck, superlinear in round
-    * number), and the superseded generation's blocks are freed as
-    * soon as the new checkpoint materializes (a checkpoint has no
-    * lineage, so nothing can reference the old one). */
+    * otherwise); each round's labels are checkpointed through
+    * [[graft.CacheScope.checkpoint]] — the plan stays constant-size
+    * (unrolled lineage previously made Catalyst analysis the per-round
+    * bottleneck, superlinear in round number), and the superseded
+    * generation is freed as soon as the new checkpoint materializes (a
+    * checkpoint has no lineage, so nothing can reference the old one).
+    *
+    * Cluster mode: by default generations localCheckpoint (executor
+    * blocks — fast, but unrecoverable if an executor dies mid-job); on
+    * a real cluster set `spark.graft.checkpointDir` to an HDFS/object-
+    * store path and every generation goes through RELIABLE
+    * `Dataset.checkpoint`, so an hours-long 100 TB CC run survives
+    * executor loss. Same results, same retirement discipline
+    * (spec-pinned in Round7Spec). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val sym = graft.CacheScope.track(
@@ -425,7 +434,7 @@ object Dedup {
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
         .persist())
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node")).localCheckpoint()
+      .withColumn("component", col("node")).graftCheckpoint()
     var prevSum: Option[Any] = None
     var converged = false
     var i = 0
@@ -435,11 +444,15 @@ object Dedup {
       val par = labels.select(col("node").as("pn"), col("component").as("pc"))
       val jump = labels.join(par, labels("component") === par("pn"))
         .select(labels("node"), col("pc").as("component"))
+      // the Σ-labels convergence probe rides the checkpoint
+      // materialization via observe() — one job per round, not two
+      // (the probe used to be its own driver action per round)
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
       val updated = nbr.unionAll(labels).unionAll(jump)
         .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
-      val s = Option(
-        updated.agg(sum(col("component").cast(DecimalType(38, 0)))).head.get(0))
+        .observe(obs, sum(col("component").cast(DecimalType(38, 0))).as("s"))
+        .graftCheckpoint()
+      val s = Option(obs.get("s"))
       graft.CacheScope.freeCheckpoint(labels)
       labels = updated
       converged = s == prevSum

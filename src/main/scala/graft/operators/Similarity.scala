@@ -237,10 +237,12 @@ object Similarity {
        |  GROUP BY od.cluster)""".stripMargin
   }
 
-  private val annIvfOracle = {
-    val dotQ = "list_sum(list_transform(list_zip(q.embedding, e.embedding), qz -> CAST(qz[1] AS DOUBLE) * CAST(qz[2] AS DOUBLE)))"
-    val nrm = (t: String) => s"sqrt(list_sum(list_transform($t.embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))"
-    s"""WITH c0 AS (
+  /** The shared IVF oracle chain (init → 2 Lloyd rounds → cluster
+    * assignment → nprobe=2 probe list) — composed by annIvfOracle and
+    * the IVF-PQ oracle so the coarse quantizer can never diverge
+    * between them. */
+  private lazy val ivfChainCtes: String =
+    s"""c0 AS (
        |  SELECT vec_id AS cluster, list_transform(embedding, cx -> CAST(cx AS DOUBLE)) AS c
        |  FROM embeddings WHERE vec_id < 8),
        |${lloydCtes(1, "c0", "c1")},
@@ -260,7 +262,12 @@ object Similarity {
        |  SELECT vec_id AS q_id, embedding, cluster FROM (
        |    SELECT vec_id, embedding, cluster,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
-       |    FROM final_sc WHERE vec_id < 10) WHERE rn <= 2),
+       |    FROM final_sc WHERE vec_id < 10) WHERE rn <= 2)""".stripMargin
+
+  private val annIvfOracle = {
+    val dotQ = "list_sum(list_transform(list_zip(q.embedding, e.embedding), qz -> CAST(qz[1] AS DOUBLE) * CAST(qz[2] AS DOUBLE)))"
+    val nrm = (t: String) => s"sqrt(list_sum(list_transform($t.embedding, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))"
+    s"""WITH $ivfChainCtes,
        |scored AS (
        |  SELECT q.q_id, e.vec_id,
        |    ${rSql(s"($dotQ / (${nrm("q")} * ${nrm("e")}))", 6)} AS cos
@@ -470,6 +477,73 @@ object Similarity {
     * r6-rounded, and the ADC sum folds the 8 grid values in fixed
     * subspace order in both engines. Oracle replays init → assign →
     * re-estimate → encode → LUT → ADC → rank as one CTE chain. */
+  /** Composed IVF-PQ ANN — the standard FAISS serving layout (Jégou et
+    * al. 2011; Johnson et al. 2017 "Billion-scale similarity search
+    * with GPUs"): coarse IVF pruning picks nprobe=2 of the k=8
+    * clusters per query (the SCAN side: touch nprobe/k of the data)
+    * and PQ/ADC scores only the candidates inside the probed clusters
+    * (the RAM side: 8-byte codes instead of 256-byte vectors). Both
+    * training kernels are reused verbatim ([[trainIvf]], [[trainPq]]),
+    * so the oracle composes the SAME c0→c2 Lloyd chain and the SAME
+    * cb0→cb1→codes/lut PQ chain the two standalone operators verify
+    * against, joined through the probe list.
+    *
+    * Scale: assignment + encoding are scan-local broadcast-codebook
+    * expressions computed at ingest; a query reads nprobe/k of the
+    * code table and sums 8 LUT lookups per candidate; the per-query
+    * top-3 window runs over one cluster-bounded candidate set. The
+    * recall floor is spec-pinned: every planted exact twin is
+    * retrieved (Round7Spec), which also bounds it from below by the
+    * full-scan PQ path on those queries. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqSearch(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      col("vec_id") < 10)
+
+  /** The composed search, parameterized by the query predicate so the
+    * recall spec can search planted twins over a seeded corpus. */
+  private[graft] def ivfPqSearch(emb: DataFrame, isQuery: Column): DataFrame = {
+    import graft.functions.Compat.r6
+    val M = 8; val dsub = 8; val K = 4
+    val centroids = trainIvf(emb, k = 8, iters = 2)
+    val cb = trainPq(emb, M, dsub, K)
+    val cCols = centroids.map(c =>
+      VectorFunctions.dotFd(col("embedding"), typedLit(c)) /
+        (VectorFunctions.norm(col("embedding")) * typedLit(l2(c))))
+    val assigned = emb.withColumn("dots", array(cCols: _*))
+      .withColumn("cluster",
+        expr("array_position(dots, array_max(dots))").cast("int") - 1)
+    // PQ-encode every vector (ingest-side, scan-local)
+    var enc = assigned.drop("dots")
+    (0 until M).foreach { s =>
+      val dists = array((0 until K).map(j => VectorFunctions.sqDistFd(
+        slice(col("embedding"), s * dsub + 1, dsub), typedLit(cb(s)(j).toSeq))): _*)
+      enc = enc.withColumn(s"pqd$s", dists)
+        .withColumn(s"pqc$s", expr(s"array_position(pqd$s, array_min(pqd$s))").cast("int") - 1)
+    }
+    val coded = enc
+      .withColumn("codes", array((0 until M).map(s => col(s"pqc$s")): _*))
+      .select("vec_id", "cluster", "codes")
+    // queries: 2 nearest clusters (coarse probe) + their ADC lookup table
+    val queries = assigned.filter(isQuery)
+      .withColumn("probe", expr(
+        "slice(array_sort(arrays_zip(dots, sequence(0, size(dots) - 1)), (a, b) -> CASE WHEN a.dots > b.dots THEN -1 WHEN a.dots < b.dots THEN 1 WHEN a.`1` < b.`1` THEN -1 ELSE 1 END), 1, 2).`1`"))
+      .withColumn("lut", array((0 until M).map(s => array((0 until K).map(j =>
+        r6(VectorFunctions.sqDistFd(
+          slice(col("embedding"), s * dsub + 1, dsub), typedLit(cb(s)(j).toSeq)))): _*)): _*))
+      .select(col("vec_id").as("q_id"), col("lut"), explode(col("probe")).as("cluster"))
+    val scored = broadcast(queries)
+      .join(coded, Seq("cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", r6(expr(
+        s"""aggregate(sequence(0, ${M - 1}), CAST(0.0 AS DOUBLE),
+           |  (acc, s) -> acc + element_at(element_at(lut, s + 1), element_at(codes, s + 1) + 1))""".stripMargin)))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "adc")
+      .orderBy("q_id", "rk")
+  }
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Compat.r6
     val M = 8; val dsub = 8; val K = 4
@@ -501,9 +575,13 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  private val annPqOracle = {
+  /** The shared PQ oracle chain (subspace split → codebook init → one
+    * re-estimation round → codes + query LUTs) — composed by
+    * annPqOracle and the IVF-PQ oracle so the fine quantizer can never
+    * diverge between them. */
+  private lazy val pqChainCtes: String = {
     val sq = (z: String) => s"list_sum(list_transform($z, pz -> (pz[1] - pz[2]) * (pz[1] - pz[2])))"
-    s"""WITH subsp AS (SELECT unnest(generate_series(0, 7)) AS s),
+    s"""subsp AS (SELECT unnest(generate_series(0, 7)) AS s),
        |sub AS (
        |  SELECT e.vec_id, subsp.s,
        |    list_transform(list_slice(e.embedding, subsp.s * 8 + 1, subsp.s * 8 + 8),
@@ -518,7 +596,7 @@ object Similarity {
        |    SELECT vec_id, s, cl,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rn
        |    FROM d0) WHERE rn = 1),
-       |mean1 AS (
+       |pqmean1 AS (
        |  SELECT a0.s, a0.cl, u.sd,
        |    ${rSql("(CAST(SUM(CAST(" + rSql("u.rv", 6) + " AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 6)} AS m
        |  FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s,
@@ -526,12 +604,12 @@ object Similarity {
        |      mi -> {'sd': mi - 1, 'rv': sub.v[mi]})) AS u)
        |  GROUP BY a0.s, a0.cl, u.sd),
        |cb1 AS (
-       |  SELECT od.s, od.cl, list(COALESCE(mean1.m, od.ov) ORDER BY od.sd) AS c
+       |  SELECT od.s, od.cl, list(COALESCE(pqmean1.m, od.ov) ORDER BY od.sd) AS c
        |  FROM (
        |    SELECT cb0.s, cb0.cl, u.sd, u.ov FROM cb0,
        |      LATERAL (SELECT unnest(list_transform(generate_series(1, len(cb0.c)),
        |        oi -> {'sd': oi - 1, 'ov': cb0.c[oi]})) AS u)) od
-       |  LEFT JOIN mean1 ON od.s = mean1.s AND od.cl = mean1.cl AND od.sd = mean1.sd
+       |  LEFT JOIN pqmean1 ON od.s = pqmean1.s AND od.cl = pqmean1.cl AND od.sd = pqmean1.sd
        |  GROUP BY od.s, od.cl),
        |d1 AS (
        |  SELECT sub.vec_id, sub.s, cb1.cl, ${sq("list_zip(sub.v, cb1.c)")} AS dist
@@ -542,7 +620,11 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rn
        |    FROM d1) WHERE rn = 1),
        |lut AS (
-       |  SELECT vec_id AS q_id, s, cl, ${rSql("dist", 6)} AS lv FROM d1 WHERE vec_id < 10),
+       |  SELECT vec_id AS q_id, s, cl, ${rSql("dist", 6)} AS lv FROM d1 WHERE vec_id < 10)""".stripMargin
+  }
+
+  private val annPqOracle =
+    s"""WITH $pqChainCtes,
        |padc AS (
        |  SELECT l.q_id, c.vec_id, list_sum(list(l.lv ORDER BY l.s)) AS raw
        |  FROM codes c JOIN lut l ON l.s = c.s AND l.cl = c.cl AND c.vec_id <> l.q_id
@@ -552,7 +634,28 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ${rSql("raw", 6)} ASC, vec_id) AS rk
        |  FROM padc)
        |SELECT q_id, rk, vec_id, adc FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
-  }
+
+  /** IVF-PQ composed oracle: the SAME coarse chain (probe list) and
+    * fine chain (codes/LUTs), joined — candidates come from the probed
+    * clusters only, scores from ADC. */
+  private val annIvfPqOracle =
+    s"""WITH $ivfChainCtes,
+       |$pqChainCtes,
+       |cand AS (
+       |  SELECT q.q_id, e.vec_id
+       |  FROM probes q JOIN assigned e
+       |    ON q.cluster = e.cluster AND e.vec_id <> q.q_id),
+       |padc AS (
+       |  SELECT cand.q_id, cand.vec_id, list_sum(list(l.lv ORDER BY l.s)) AS raw
+       |  FROM cand
+       |  JOIN codes c ON c.vec_id = cand.vec_id
+       |  JOIN lut l ON l.q_id = cand.q_id AND l.s = c.s AND l.cl = c.cl
+       |  GROUP BY cand.q_id, cand.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ${rSql("raw", 6)} AS adc,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ${rSql("raw", 6)} ASC, vec_id) AS rk
+       |  FROM padc)
+       |SELECT q_id, rk, vec_id, adc FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
   // ----------------------------------------------------------- SemDeDup
 
@@ -656,6 +759,7 @@ object Similarity {
     Op("q_ann_lsh", annLsh, Some(annLshOracle)),
     Op("q_ann_ivf", annIvf, Some(annIvfOracle), headline = true),
     Op("q_ann_pq", annPq, Some(annPqOracle)),
+    Op("q_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
     Op("q_semdedup", semDedup, Some(semDedupOracle)),
   )

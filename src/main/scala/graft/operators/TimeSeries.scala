@@ -139,6 +139,28 @@ object TimeSeries {
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** "Last 7 days" daily KPI tile — the canonical time-bounded
+    * dashboard query, routed through [[graft.Tables.eventsRange]] so
+    * the ts bound reaches the parquet scan as a pushed filter (both
+    * unit hypotheses OR'd against the raw int64 column; plan-audited
+    * in Round7Spec). The window is pinned to the fixture's final week
+    * so the oracle can embed the same literal bounds. At 100 TB this
+    * is the difference between reading a week and reading the table. */
+  def windowRecent(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsRange(spark, dir,
+        1706054400000000L, 1706659200000000L) // [2024-01-24, 2024-01-31) UTC
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  private val windowRecentOracle =
+    """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-31 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Week-over-week growth: weekly revenue with lag + percent change
     * (the dashboard trend tile). */
   def growth(spark: SparkSession, dir: String): DataFrame = {
@@ -1038,5 +1060,6 @@ object TimeSeries {
     Op("q_asof_join", asofJoin, Some(asofJoinOracle), headline = true),
     Op("q_range_join", rangeJoin, Some(rangeJoinOracle)),
     Op("q_window_tumbling", windowTumbling, Some(windowTumblingOracle)),
+    Op("q_window_recent", windowRecent, Some(windowRecentOracle)),
   )
 }

@@ -29,6 +29,22 @@ object Bridge {
       case _ => None
     }
 
+  /** Free whatever a checkpointed Dataset generation holds: the
+    * executor blocks of a localCheckpoint (unpersist on the
+    * materialized RDD — the one release `Dataset.unpersist` cannot
+    * reach), and, for a RELIABLE checkpoint, the generation's files in
+    * the checkpoint directory (Spark never deletes these on its own
+    * unless the reference-tracking cleaner is enabled — an iterative
+    * operator that checkpoints every round would otherwise leak one
+    * directory per round for the lifetime of the job). */
+  def freeCheckpointed(df: org.apache.spark.sql.DataFrame): Unit =
+    materializedRdd(df).foreach { rdd =>
+      if (rdd.getCheckpointFile.isDefined)
+        org.apache.spark.rdd.ReliableRDDCheckpointData.cleanCheckpoint(
+          rdd.sparkContext, rdd.id)
+      rdd.unpersist(blocking = false)
+    }
+
   /** Register a native function on a live session (the extensions path
     * only works at session build time). */
   def registerFunction(

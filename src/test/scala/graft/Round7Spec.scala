@@ -74,6 +74,101 @@ class Round7Spec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("bpe training loop equals a sequential single-machine replay") {
+    // reference implementation: greedy BPE on (symbol-seq -> count)
+    val counts = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) =>
+        w.toCharArray.map(_.toString).toVector -> xs.length.toLong
+      }
+    var vocab: Map[Vector[String], Long] = counts
+    val expect = (1 to 8).map { k =>
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+        }
+      }
+      val ((l, r), c) = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      def merge(syms: Vector[String]): Vector[String] =
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      vocab = vocab.toSeq.map { case (s, n) => merge(s) -> n }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      (k, l, r, l + r, c)
+    }
+    val got = Registry.byName("q_bpe_train").fn(spark, sfDir).collect()
+      .map(rw => (rw.getInt(0), rw.getString(1), rw.getString(2),
+        rw.getString(3), rw.getLong(4))).toSeq
+    assert(got === expect)
+  }
+
+  test("ivf-pq retrieves every planted exact twin (recall floor >= full-scan PQ path)") {
+    // plant exact duplicates (the q_semdedup seeding) and search FROM
+    // each twin: its original shares cluster and codes, so a correct
+    // composed index must place it in the top-3 — an exact-twin recall
+    // of 1.0, which trivially bounds the full-scan PQ path from below
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val planted = base.unionAll(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val res = operators.Similarity.ivfPqSearch(planted, col("vec_id") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(twins.nonEmpty)
+    twins.foreach { orig =>
+      val top = res.getOrElse(orig + 1000000L, Array.empty).map(_._2).toSet
+      assert(top.contains(orig), s"twin of $orig missed its original: $top")
+    }
+  }
+
+  test("reliable checkpoint mode: CC + pagerank results identical, generations retired from disk") {
+    def ccRun(): Map[Long, Long] = {
+      val out = Registry.byName("q_dedup_clusters").fn(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheScope.releaseAll()
+      out
+    }
+    def prRun(): Seq[(Int, Long, Double)] = {
+      val out = Registry.byName("q_pagerank").fn(spark, sfDir)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      CacheScope.releaseAll()
+      out
+    }
+    val ccLocal = ccRun()
+    val prLocal = prRun()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.conf.set("spark.graft.checkpointDir", dir.getAbsolutePath)
+    try {
+      assert(ccRun() === ccLocal, "CC identical under reliable checkpointing")
+      assert(prRun() === prLocal, "pagerank identical under reliable checkpointing")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+    // retirement must have deleted every generation's files — at most
+    // empty rdd-*/app dirs may remain
+    val leftover = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).filter(_.getName.startsWith("part-"))
+    }
+    assert(leftover.isEmpty, s"checkpoint data files not retired: $leftover")
+  }
+
+  test("eventsRange pushes the raw int64 ts bound to the parquet scan") {
+    val df = Tables.eventsRange(spark, sfDir, 1706054400000000L, 1706659200000000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts,1706054400000000)"),
+      s"ts bound not pushed to the events scan:\n$plan")
+    // semantic check vs the post-conversion filter on the plain loader
+    val expect = Tables.events(spark, sfDir)
+      .filter(col("ts") >= org.apache.spark.sql.functions.expr("timestamp_micros(1706054400000000)") &&
+        col("ts") < org.apache.spark.sql.functions.expr("timestamp_micros(1706659200000000)"))
+      .count()
+    assert(df.count() === expect)
+  }
+
   test("streaming replay harness: double-delivered batches dedup to the unique event set") {
     val ids = Registry.byName("q_stream_dedup").fn(spark, sfDir)
       .collect().map(_.getLong(0)).toSeq
