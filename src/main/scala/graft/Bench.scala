@@ -86,7 +86,10 @@ object Bench {
       "org.apache.spark.rdd.MapPartitionsRDD",  // "was locally checkpointed …"
       "org.apache.spark.rdd.ParallelCollectionRDD",
       "org.apache.spark.scheduler.DAGScheduler", // "Broadcasting large task binary …"
-      "org.apache.spark.storage.BlockManager"    // "Block … already exists"
+      "org.apache.spark.storage.BlockManager",   // "Block … already exists"
+      // "No Partition Defined" — deliberate tiny global windows (top-20
+      // rank frames etc., each plan-audited to run over bounded rows)
+      "org.apache.spark.sql.execution.window.WindowExec"
     ).foreach(Configurator.setLevel(_, Level.ERROR))
   }
 
