@@ -931,6 +931,14 @@ object Corpus {
     * fixed-round contract (reliable under `spark.graft.checkpointDir`,
     * [[graft.CacheScope.checkpoint]]). */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpeMerges(spark, dir)
+    import spark.implicits._
+    merges.toDF("it", "lhs", "rhs", "merged", "cnt").orderBy("it")
+  }
+
+  /** The count→merge→re-tokenize loop behind q_bpe_train / q_bpe_encode:
+    * returns the ordered merge table (it, lhs, rhs, merged, pair count). */
+  private def trainBpeMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] = {
     import graft.CacheScope.CheckpointOps
     var vocab = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -967,8 +975,69 @@ object Corpus {
     // the merge table is the trained artifact; the final vocabulary
     // generation is no longer referenced
     graft.CacheScope.freeCheckpoint(vocab)
-    import spark.implicits._
-    merges.result().toDF("it", "lhs", "rhs", "merged", "cnt").orderBy("it")
+    merges.result()
+  }
+
+  /** BPE tokenizer APPLICATION — the other half of the tokenizer
+    * lifecycle (train → encode): segment the vocabulary with the merge
+    * table q_bpe_train produces. Once the merges are known the encode
+    * is a SCAN-LOCAL chain of 8 literal replaces over the distinct-word
+    * vocabulary — no iteration, no shuffle beyond the vocabulary
+    * groupBy — which is exactly how a 100 TB corpus gets tokenized
+    * (merges broadcast as literals, one embarrassingly-parallel pass;
+    * here the chain is folded into a single projected expression).
+    * Output: the 20 most frequent words with their segmentation and
+    * token count. Oracle: the q_bpe_train CTE chain with the word
+    * column carried through every fused generation. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpeMerges(spark, dir)
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", expr(
+        "concat_ws('', transform(split(word, ''), c -> concat(' ', c, ' ')))"))
+    val encoded = merges.foldLeft(vocab) { case (df, (_, l, r, _, _)) =>
+      df.withColumn("s", call_function("replace",
+        col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    encoded
+      .withColumn("toks", split(expr("substring(s, 2, length(s) - 2)"), "  "))
+      .select(col("word"), col("cnt"),
+        size(col("toks")).as("n_tokens"),
+        concat_ws(" ", col("toks")).as("seg"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+  }
+
+  private val bpeEncodeOracle = {
+    val base =
+      """v0 AS MATERIALIZED (
+        |  SELECT word, concat(' ', array_to_string(list_transform(
+        |      generate_series(1, length(word)), i -> substring(word, i, 1)), '  '), ' ') AS s,
+        |    cnt
+        |  FROM (
+        |    SELECT word, COUNT(*) AS cnt
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |    WHERE length(word) >= 1 GROUP BY 1))""".stripMargin
+    val steps = (1 to bpeIters).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, SUM(cnt) AS c
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+         |    FROM (SELECT string_split(trim(s, ' '), '  ') AS syms, cnt FROM v${k - 1}))
+         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT word, replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s, cnt
+         |  FROM v${k - 1} CROSS JOIN p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$steps
+       |SELECT word, cnt,
+       |  len(string_split(substring(s, 2, length(s) - 2), '  ')) AS n_tokens,
+       |  array_to_string(string_split(substring(s, 2, length(s) - 2), '  '), ' ') AS seg
+       |FROM v$bpeIters ORDER BY cnt DESC, word LIMIT 20""".stripMargin
   }
 
   private val bpeTrainOracle = {
@@ -1310,6 +1379,7 @@ object Corpus {
     Op("q_entropy", entropy, Some(entropyOracle)),
     Op("q_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     Op("q_bpe_train", bpeTrain, Some(bpeTrainOracle)),
+    Op("q_bpe_encode", bpeEncode, Some(bpeEncodeOracle)),
     Op("q_pmi", pmiCollocations, Some(pmiOracle)),
     Op("q_zipf", zipfFit, Some(zipfOracle)),
     Op("q_quality_classifier", qualityClassifier, Some(qualityClassifierOracle), headline = true),

@@ -203,7 +203,12 @@ object EventStream {
     * so emitted samples are independent of the micro-batch chop — and
     * equal a batch replay of the same law over the finalized window
     * (the spec's claim). Weight value+1 keeps the key finite for
-    * zero-valued events. */
+    * zero-valued events.
+    *
+    * Determinism: ekey is rounded to the 1e-6 grid BEFORE selection —
+    * the same discipline as the batch Approx.weightedSample (JVM and
+    * libm `ln` can differ by 1 ulp; post-rounding ties break on
+    * event_id identically in every engine). */
   def sampleReservoir(events: DataFrame, k: Int = 3): DataFrame = {
     val c77 = 12345L + 77L * 1013904223L
     val u = s"((((((event_id % 2147483648) * 1103515245 + $c77) % 2147483648)" +
@@ -211,7 +216,7 @@ object EventStream {
     val ekey = s"(-ln($u) / (greatest(value, 0.0) + 1.0))"
     events
       .withWatermark("ts", "2 hours")
-      .withColumn("ekey", expr(ekey))
+      .withColumn("ekey", graft.functions.Compat.r6(expr(ekey)))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(graft.functions.BottomKAgg.bottomK(col("ekey"), col("event_id"), k).as("picks"))
       .select(col("window.start").as("window_start"), col("event_type"),

@@ -263,6 +263,51 @@ object StreamingOps {
       |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // ------------------------------------------------------ heavy hitters
+
+  private def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds => EventStream.windowedHeavyHitters(ds.toDF()))
+      .orderBy("window_start", "rank")
+
+  // exact at this cardinality (5 event types << the sketch's 1024
+  // capacity), so the plain count/row_number oracle applies — the same
+  // contract the batch q_heavy_hitters verifies
+  private val streamHeavyHittersOracle =
+    """SELECT window_start, rank, event_type, cnt FROM (
+      |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |    COUNT(*) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+      |      ORDER BY COUNT(*) DESC, event_type) AS rank
+      |  FROM events GROUP BY 1, 2)
+      |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin
+
+  // ------------------------------------------------------------ reservoir
+
+  private def streamReservoir(spark: SparkSession, dir: String): DataFrame =
+    Replay.replay(spark, dir)(ds => EventStream.sampleReservoir(ds.toDF()))
+      .orderBy("window_start", "event_type", "rk")
+
+  private val streamReservoirOracle = {
+    // identical LCG text to EventStream.sampleReservoir (salt 77), ekey
+    // r6-rounded before ranking per the weightedSample discipline
+    val c77 = 12345L + 77L * 1013904223L
+    val u = s"((((((event_id % 2147483648) * 1103515245 + $c77) % 2147483648)" +
+      s" * 1103515245 + 12345) % 2147483648) + 1.0) / 2147483649.0"
+    val ekey = rSql(s"""(-ln($u) / (greatest("value", 0.0) + 1.0))""", 6)
+    s"""WITH keyed AS (
+       |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |    event_id, $ekey AS ekey
+       |  FROM events),
+       |ranked AS (
+       |  SELECT window_start, event_type, event_id, ekey,
+       |    ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+       |      ORDER BY ekey, event_id) AS rk
+       |  FROM keyed)
+       |SELECT window_start, event_type, rk, event_id, ekey
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY window_start, event_type, rk""".stripMargin
+  }
+
   // ------------------------------------------------------------ DP release
 
   private def streamDp(spark: SparkSession, dir: String): DataFrame =
@@ -343,6 +388,8 @@ object StreamingOps {
     Op("q_stream_conv", streamConv, Some(streamConvOracle)),
     Op("q_stream_cusum", streamCusum, Some(streamCusumOracle)),
     Op("q_stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
+    Op("q_stream_heavy_hitters", streamHeavyHitters, Some(streamHeavyHittersOracle)),
+    Op("q_stream_reservoir", streamReservoir, Some(streamReservoirOracle)),
     Op("q_stream_dedup", streamDedup, Some(streamDedupOracle)),
     Op("q_stream_attribution", streamAttribution, Some(streamAttributionOracle)),
     Op("q_stream_dp", streamDp, Some(streamDpOracle)),

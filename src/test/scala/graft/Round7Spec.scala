@@ -105,6 +105,25 @@ class Round7Spec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("bpe encode: segmentation round-trips to the word and leaves no trained pair unfused") {
+    val merges = Registry.byName("q_bpe_train").fn(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    val rows = Registry.byName("q_bpe_encode").fn(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (word, nTok, seg) = (r.getString(0), r.getInt(2), r.getString(3))
+      val toks = seg.split(" ", -1).toSeq
+      assert(toks.length === nTok, s"n_tokens mismatch for '$word'")
+      assert(toks.mkString("") === word, s"segmentation must round-trip '$word'")
+      // merges only fuse, never split, and every fused symbol is a new
+      // name — so a trained pair surviving adjacent means the replace
+      // chain missed an occurrence
+      toks.iterator.zip(toks.iterator.drop(1)).foreach { p =>
+        assert(!merges.contains(p), s"unfused trained pair $p in '$word'")
+      }
+    }
+  }
+
   test("ivf-pq retrieves every planted exact twin (recall floor >= full-scan PQ path)") {
     // plant exact duplicates (the q_semdedup seeding) and search FROM
     // each twin: its original shares cluster and codes, so a correct

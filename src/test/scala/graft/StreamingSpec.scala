@@ -317,7 +317,9 @@ class StreamingSpec extends SparkSpec {
       .flatMap { case ((ws, et), es) =>
         es.map { e =>
           val u = (lcg(e.event_id) + 1.0) / 2147483649.0
-          (e.event_id, -math.log(u) / (math.max(e.value, 0.0) + 1.0))
+          val raw = -math.log(u) / (math.max(e.value, 0.0) + 1.0)
+          // same 1e-6 pre-selection rounding as the operator
+          (e.event_id, math.signum(raw) * math.floor(math.abs(raw) * 1e6 + 0.5) / 1e6)
         }.sortBy { case (id, k) => (k, id) }.take(3).zipWithIndex
           .map { case ((id, _), i) => (ws, et, i + 1, id) }
       }.toSet
