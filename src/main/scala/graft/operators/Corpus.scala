@@ -990,24 +990,33 @@ object Corpus {
     * token count. Oracle: the q_bpe_train CTE chain with the word
     * column carried through every fused generation. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = trainBpeMerges(spark, dir)
     val vocab = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("s", expr(
-        "concat_ws('', transform(split(word, ''), c -> concat(' ', c, ' ')))"))
-    val encoded = merges.foldLeft(vocab) { case (df, (_, l, r, _, _)) =>
+    bpeEncodeWith(trainBpeMerges(spark, dir).map(m => (m._2, m._3)), vocab)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+  }
+
+  /** Library entry for APPLYING an already-trained merge table (the
+    * production path: train once, encode many corpora — re-training per
+    * encode would waste 8 driver rounds). `vocab` needs a `word`
+    * column; all other columns pass through. Appends `n_tokens` and
+    * `seg` (space-joined BPE segmentation). Scan-local: the merges
+    * land as literals in one projected replace chain. */
+  def bpeEncodeWith(merges: Seq[(String, String)], vocab: DataFrame): DataFrame = {
+    val wrapped = vocab.withColumn("s", expr(
+      "concat_ws('', transform(split(word, ''), c -> concat(' ', c, ' ')))"))
+    val encoded = merges.foldLeft(wrapped) { case (df, (l, r)) =>
       df.withColumn("s", call_function("replace",
         col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
     }
     encoded
       .withColumn("toks", split(expr("substring(s, 2, length(s) - 2)"), "  "))
-      .select(col("word"), col("cnt"),
-        size(col("toks")).as("n_tokens"),
-        concat_ws(" ", col("toks")).as("seg"))
-      .orderBy(col("cnt").desc, col("word"))
-      .limit(20)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("seg", concat_ws(" ", col("toks")))
+      .drop("s", "toks")
   }
 
   private val bpeEncodeOracle = {
@@ -1378,7 +1387,7 @@ object Corpus {
     Op("q_tfidf", tfidf, Some(tfidfOracle)),
     Op("q_entropy", entropy, Some(entropyOracle)),
     Op("q_bpe_pairs", bpePairs, Some(bpePairsOracle)),
-    Op("q_bpe_train", bpeTrain, Some(bpeTrainOracle)),
+    Op("q_bpe_train", bpeTrain, Some(bpeTrainOracle), headline = true),
     Op("q_bpe_encode", bpeEncode, Some(bpeEncodeOracle)),
     Op("q_pmi", pmiCollocations, Some(pmiOracle)),
     Op("q_zipf", zipfFit, Some(zipfOracle)),

@@ -759,7 +759,7 @@ object Similarity {
     Op("q_ann_lsh", annLsh, Some(annLshOracle)),
     Op("q_ann_ivf", annIvf, Some(annIvfOracle), headline = true),
     Op("q_ann_pq", annPq, Some(annPqOracle)),
-    Op("q_ann_ivfpq", annIvfPq, Some(annIvfPqOracle)),
+    Op("q_ann_ivfpq", annIvfPq, Some(annIvfPqOracle), headline = true),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
     Op("q_semdedup", semDedup, Some(semDedupOracle)),
   )

@@ -124,6 +124,23 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("bpeEncodeWith applies a pre-trained merge table scan-locally (no exchange added)") {
+    import spark.implicits._
+    val vocab = Seq(("aaab", 7L), ("ba", 2L), ("c", 1L)).toDF("word", "cnt")
+    val out = operators.Corpus.bpeEncodeWith(Seq(("a", "a"), ("aa", "b")), vocab)
+    // greedy non-overlapping fusion: aaab -> (a,a)-> "aa a b" -> (aa,b) no
+    // adjacent aa+b (aa, a, b), stays; ba untouched; c single symbol
+    val got = out.collect().map(r => r.getString(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(got("aaab") === ((3, "aa a b")))
+    assert(got("ba") === ((2, "b a")))
+    assert(got("c") === ((1, "c")))
+    // the encode chain is one projection: no shuffle beyond the input
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"encode added a shuffle: $exchanges")
+  }
+
   test("ivf-pq retrieves every planted exact twin (recall floor >= full-scan PQ path)") {
     // plant exact duplicates (the q_semdedup seeding) and search FROM
     // each twin: its original shares cluster and codes, so a correct
