@@ -433,8 +433,14 @@ object Dedup {
       edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
         .persist())
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node")).graftCheckpoint()
+    // seed labels at min(self, min neighbor) — exactly the state a
+    // first identity-seeded round would produce, for the same single
+    // shuffle a distinct() would cost: one full round (checkpoint +
+    // probe) never runs
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("component"))
+      .graftCheckpoint()
     var prevSum: Option[Any] = None
     var converged = false
     var i = 0

@@ -30,6 +30,75 @@ import org.apache.spark.sql.streaming.OutputMode
 object Replay {
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** File-source replay — the PRODUCTION-shaped twin of [[replay]]: the
+    * recorded events are laid out as `chunks` ts-ordered parquet files
+    * and streamed back through `spark.readStream` with
+    * `maxFilesPerTrigger = 1`, so each micro-batch arrives through the
+    * real FileStreamSource (listing, offset tracking, exactly-once file
+    * accounting) rather than a driver-fed MemoryStream. The ts-ordered
+    * layout means watermarks advance monotonically across batches just
+    * as they do on a live tailing source; the far-future sentinel file
+    * (sorted last by name, processed last) finalizes every real window.
+    *
+    * The chunk layout runs through the engine itself (one sort + write),
+    * so nothing round-trips the driver at any size. */
+  def replayViaFiles(spark: SparkSession, dir: String, chunks: Int = 10)
+      (xform: Dataset[Event] => DataFrame): DataFrame = {
+    import spark.implicits._
+    val id = counter.incrementAndGet()
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_file_replay_$id")
+    val evs = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val maxTs = evs.agg(org.apache.spark.sql.functions.max("ts"))
+      .head().getTimestamp(0)
+    val sentinel = Seq(Event(-1L,
+      new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L), -1L,
+      "sentinel", 0.0)).toDS()
+    // ts-ordered chunk files named in feed order: repartitionByRange
+    // keeps each file a contiguous ts slice; the lexicographically-last
+    // chunk index is the sentinel's own file
+    evs.repartitionByRange(chunks, $"ts", $"event_id")
+      .sortWithinPartitions($"ts", $"event_id")
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    // FileStreamSource feeds files in modification-time order, and the
+    // write above lands every part file within the same millisecond —
+    // stamp strictly increasing mtimes in partition order (part-0000i
+    // names sort with i) so the feed replays the ts-ordered slices in
+    // order; the sentinel (appended and stamped after all of them)
+    // closes the run
+    def parquetFiles() = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val dataFiles = parquetFiles().sortBy(_.getName)
+    val base = System.currentTimeMillis() - (dataFiles.length + 2) * 1000L
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L): Unit
+    }
+    val preSentinel = dataFiles.map(_.getName).toSet
+    sentinel.coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
+    parquetFiles().filterNot(f => preSentinel(f.getName))
+      .foreach(f => f.setLastModified(base + (dataFiles.length + 1) * 1000L): Unit)
+    val input = spark.readStream
+      .schema(evs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(stage.getAbsolutePath)
+      .as[Event]
+    val name = s"graft_file_replay_$id"
+    val q = xform(input).writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+    val rows = out.collect()
+    deleteRecursively(stage)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Replay `dir`'s events through `xform`; returns the finalized
     * rows as a stable local DataFrame.
     *

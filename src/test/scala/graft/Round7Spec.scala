@@ -205,6 +205,19 @@ class Round7Spec extends SparkSpec {
     assert(df.count() === expect)
   }
 
+  test("file-source replay (real readStream, no driver feed) equals the MemoryStream replay") {
+    val viaFiles = streaming.Replay.replayViaFiles(spark, sfDir)(ds =>
+      streaming.EventStream.tumblingCounts(ds.toDF()))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val viaMemory = streaming.Replay.replay(spark, sfDir)(ds =>
+      streaming.EventStream.tumblingCounts(ds.toDF()))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(viaFiles === viaMemory)
+    assert(viaFiles.nonEmpty)
+  }
+
   test("streaming replay harness: double-delivered batches dedup to the unique event set") {
     val ids = Registry.byName("q_stream_dedup").fn(spark, sfDir)
       .collect().map(_.getLong(0)).toSeq
