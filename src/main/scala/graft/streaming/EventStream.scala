@@ -62,6 +62,35 @@ final case class CusumReadout(event_type: String, day: java.sql.Timestamp,
   */
 object EventStream {
 
+  /** EXACTLY-ONCE parquet sink for an append-mode finalized frame —
+    * the production landing side of every monitor here (the memory
+    * sink in specs/replays is the test adapter).
+    *
+    * foreachBatch is at-least-once: after a crash the last
+    * un-committed micro-batch re-executes. Each batch therefore lands
+    * as ONE self-contained directory keyed by its batchId
+    * (`.../batch=<id>/`) written with mode Overwrite — a replayed
+    * batch overwrites only its own directory, so restart duplicates
+    * are structurally impossible and readers see the union of
+    * committed batches as an ordinary partitioned parquet dataset.
+    * Append-mode inputs emit each finalized window exactly once
+    * across batches, so no deduplication across directories is ever
+    * needed.
+    *
+    * At scale this is the standard idempotent-landing pattern; the
+    * checkpoint directory carries source offsets, so a restarted
+    * query resumes, re-runs at most one batch, and lands it on top of
+    * itself. */
+  def exactlyOnceParquetSink(finalized: DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    finalized.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+      }
+      .start()
+
   /** Tumbling 1-hour per-event_type KPI aggregation with a 2-hour
     * watermark — the streaming twin of TimeSeries.windowTumbling. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -218,6 +218,50 @@ class Round7Spec extends SparkSpec {
     assert(viaFiles.nonEmpty)
   }
 
+  test("exactly-once parquet sink survives a stop/restart without duplicating windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val events = (0 until 600).map { i =>
+      streaming.Event(i.toLong, ts(i.toLong), i % 5L,
+        if (i % 2 == 0) "click" else "view", (i % 13).toDouble)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_").toFile
+    val (out, cp) = (new java.io.File(root, "out"), new java.io.File(root, "cp"))
+    val input = MemoryStream[streaming.Event]
+    def startQuery() = streaming.EventStream.exactlyOnceParquetSink(
+      streaming.EventStream.tumblingCounts(input.toDF()),
+      out.getAbsolutePath, cp.getAbsolutePath)
+
+    val q1 = startQuery()
+    input.addData(events.take(200)); q1.processAllAvailable()
+    input.addData(events.slice(200, 400)); q1.processAllAvailable()
+    q1.stop() // crash/redeploy: the NEXT query resumes from the checkpoint
+    val q2 = startQuery()
+    input.addData(events.drop(400))
+    input.addData(streaming.Event(9999L, ts(100000L), 0L, "sentinel", 0.0)) // finalize all
+    q2.processAllAvailable(); q2.stop()
+
+    val landed = spark.read.parquet(out.getAbsolutePath)
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    // no window lands twice, whatever batches were replayed on restart
+    assert(landed.size === landed.toSet.size, "duplicate finalized windows")
+    val batch = events.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), functions.Compat.sumMoney($"value").as("sum_value"))
+      .select($"window.start", $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(landed.toSet === batch, "landed dataset must equal the batch twin")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(root)
+  }
+
   test("streaming replay harness: double-delivered batches dedup to the unique event set") {
     val ids = Registry.byName("q_stream_dedup").fn(spark, sfDir)
       .collect().map(_.getLong(0)).toSeq
