@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{Decimal, DoubleType}
-import graft.functions.{DotExpr, MinHashSketchExpr, NormExpr, PipExpr, QuantileSketchAgg, ShingleHashesExpr}
+import graft.functions.{BottomKPairsAgg, CmsSketchAgg, DotExpr, MinHashSketchExpr, NormExpr, PipExpr, QuantileSketchAgg, ShingleHashesExpr, SqDistFDExpr, TopKItemsAgg}
 
 /** SQL surface for graft's native expressions. Install at session build
   * with `.withExtensions(new GraftExtensions)` / the
@@ -31,6 +31,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
+
+  /** Evaluate a parameter that sizes an aggregation buffer — it must be
+    * a literal (foldable-check first: eval(null) on a column reference
+    * throws an unbound-attribute error instead of a usable message). */
+  private def litInt(e: Expression, fn: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got non-literal ${e.sql}")
+    e.eval(null) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected an integer literal, got $other")
+    }
+  }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("pip"),
@@ -70,6 +83,31 @@ object GraftExtensions {
         // bare AggregateFunction: the analyzer wraps it in AggregateExpression
         QuantileSketchAgg(Cast(args.head, DoubleType), qs)
       }),
+    (FunctionIdentifier("vec_sqdist"),
+      info("vec_sqdist",
+        "vec_sqdist(a, b) - squared L2 distance: FLOAT-array a (stored vectors) vs " +
+          "DOUBLE-array b (query/codebook), accumulated in double"),
+      (args: Seq[Expression]) => SqDistFDExpr(args(0), args(1))),
+    (FunctionIdentifier("topk_items"),
+      info("topk_items",
+        "topk_items(item, k[, capacity]) - SpaceSaving heavy hitters: top-k (item, cnt) " +
+          "structs, exact while distinct items <= capacity (default 1024), " +
+          "eps-approximate at bounded memory beyond"),
+      (args: Seq[Expression]) => TopKItemsAgg(args(0),
+        litInt(args(1), "topk_items"),
+        if (args.length > 2) litInt(args(2), "topk_items") else 1024)),
+    (FunctionIdentifier("bottom_k"),
+      info("bottom_k",
+        "bottom_k(key, id, k) - the k smallest (key, id) pairs under (key asc, id asc); " +
+          "mergeable k-bounded state (map-side combine, no sort)"),
+      (args: Seq[Expression]) => BottomKPairsAgg(Cast(args(0), DoubleType),
+        Cast(args(1), org.apache.spark.sql.types.LongType),
+        litInt(args(2), "bottom_k"))),
+    (FunctionIdentifier("cms_sketch"),
+      info("cms_sketch",
+        "cms_sketch(item) - Count-Min counter grid (depth x width flat array); " +
+          "merge = counter addition; estimate = min over rows"),
+      (args: Seq[Expression]) => CmsSketchAgg(args(0))),
   )
 
   /** Register on an already-built session (temp-function registry). */

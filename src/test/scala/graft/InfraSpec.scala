@@ -31,6 +31,27 @@ class InfraSpec extends SparkSpec {
       assert(math.abs(q(0) - 2.0) <= 0.03)   // median within 1%
       assert(math.abs(q(1) - 300.0) <= 3.1)  // max within 1%
     }
+    locally { // the mergeable aggregates + sqdist kernel
+      val r = spark.sql(
+        """SELECT vec_sqdist(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+          |                  array(4D, 6D)) AS sq""".stripMargin)
+        .head().getDouble(0)
+      assert(r === 25.0)
+      val hh = spark.sql(
+        """SELECT topk_items(w, 2) AS top FROM VALUES
+          |  ('a'),('a'),('a'),('b'),('b'),('c') AS t(w)""".stripMargin)
+        .selectExpr("inline(top)").collect().map(x => (x.getString(0), x.getLong(1)))
+      assert(hh.toSeq === Seq(("a", 3L), ("b", 2L)))
+      val bk = spark.sql(
+        """SELECT bottom_k(k, id, 2) AS picks FROM VALUES
+          |  (3.0, 30L), (1.0, 10L), (2.0, 20L), (1.0, 5L) AS t(k, id)""".stripMargin)
+        .selectExpr("inline(picks)").collect().map(x => (x.getDouble(0), x.getLong(1)))
+      assert(bk.toSeq === Seq((1.0, 5L), (1.0, 10L)))
+      val cm = spark.sql(
+        """SELECT cms_sketch(w) AS g FROM VALUES ('a'),('a'),('b') AS t(w)""")
+        .head().getSeq[Long](0)
+      assert(cm.sum === 3L * graft.functions.CmsAgg.Depth) // each row counts every item once
+    }
   }
 
   test("bucketedRangeJoin equals brute-force non-equi join off bucket alignment") {
