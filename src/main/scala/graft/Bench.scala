@@ -22,10 +22,14 @@ object Bench {
     * short time) and main exits nonzero, so a regression can never
     * produce a green-looking bench line. BenchSpec guards this.
     *
-    * @return (the single-line JSON report, number of failed queries)
+    * @return (the single-line JSON report, number of failed queries,
+    *         the bare `queries` JSON object — returned structurally so
+    *         no caller ever re-parses the report text: an error message
+    *         containing braces/quotes would defeat any textual
+    *         extraction)
     */
   def run(spark: SparkSession, sfDir: String, ops: Seq[Op],
-      timedRuns: Int = 2): (String, Int) = {
+      timedRuns: Int = 2): (String, Int, String) = {
     val results: Seq[(String, Either[String, Double], Seq[Double])] = ops.map { op =>
       try op.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failure re-surfaces in the timed runs
@@ -58,23 +62,14 @@ object Bench {
     val total = results.collect { case (_, Right(t), _) => t }.sum
     val errs = results.count(_._2.isLeft)
     (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"sf":${Json.str(sfDir)}}""",
-      errs)
-  }
-
-  /** Lift the `"queries"` object out of a full report line. */
-  private def extractQueries(json: String): String = {
-    val start = json.indexOf("\"queries\":{") + "\"queries\":".length
-    var depth = 0; var i = start
-    do { if (json(i) == '{') depth += 1 else if (json(i) == '}') depth -= 1; i += 1 }
-    while (depth > 0)
-    json.substring(start, i)
+      errs, qs)
   }
 
   /** Per-query times as a bare JSON object (one untimed warmup + one
     * timed run each) — the cheap probe behind the three-point scale
     * readout. */
   private def timesAt(spark: SparkSession, sfDir: String, ops: Seq[Op]): String =
-    extractQueries(run(spark, sfDir, ops, timedRuns = 1)._1)
+    run(spark, sfDir, ops, timedRuns = 1)._3
 
   /** The expected WARN flood classes (checkpoint-generation retirement,
     * large-broadcast notices) drown a real error in the artifact tail —
@@ -111,7 +106,7 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     val heads = Registry.ops.filter(_.headline)
-    val (json, errs) = run(spark, sfDir, heads)
+    val (json, errs, primaryQueries) = run(spark, sfDir, heads)
 
     // three-point scale evidence: per-query times at the sibling scale
     // factors (single timed run each — the scaling EXPONENT is the
@@ -124,7 +119,7 @@ object Bench {
       .map(_.getAbsolutePath)
     // the primary point reuses the best-of-2 numbers already measured
     val scaling = (siblings.map(d => Json.str(d) + ":" + timesAt(spark, d, heads)) :+
-      (Json.str(sfDir) + ":" + extractQueries(json)))
+      (Json.str(sfDir) + ":" + primaryQueries))
       .mkString("{", ",", "}")
     val withScaling = json.dropRight(1) + s""","scaling":$scaling}"""
 

@@ -84,7 +84,14 @@ object CacheScope {
         // so set it only when the base dir actually changed, or retired
         // generations from earlier calls would never be found on disk
         if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
-        df.checkpoint()
+        // persist first: an unpersisted reliable checkpoint runs the
+        // plan TWICE (the count job, then ReliableRDDCheckpointData's
+        // file write re-executes it — Spark's documented caveat), which
+        // at the advertised hours-long-100TB scale doubles every round
+        // and double-fires any observe() metric riding the plan
+        df.persist()
+        try df.checkpoint()
+        finally df.unpersist(blocking = false)
       case _ => df.localCheckpoint()
     }
   }

@@ -949,7 +949,9 @@ object Corpus {
         col("cnt"))
       .graftCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (k <- 1 to bpeIters) {
+    var k = 1
+    var dry = false
+    while (k <= bpeIters && !dry) {
       val top = vocab
         .select(col("cnt"), split(expr("substring(s, 2, length(s) - 2)"), "  ").as("syms"))
         // single-symbol words carry no pairs — and Spark's
@@ -962,15 +964,24 @@ object Corpus {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).head()
-      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((k, l, r, l + r, c))
-      val next = vocab
-        .withColumn("s", call_function("replace",
-          col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
-        .graftCheckpoint()
-      graft.CacheScope.freeCheckpoint(vocab)
-      vocab = next
+        .limit(1).collect().headOption
+      top match {
+        case None =>
+          // every word is down to one symbol: the (shorter) merge
+          // table found so far IS the trained artifact — stop, don't
+          // crash on head() of an empty pair frame
+          dry = true
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((k, l, r, l + r, c))
+          val next = vocab
+            .withColumn("s", call_function("replace",
+              col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+            .graftCheckpoint()
+          graft.CacheScope.freeCheckpoint(vocab)
+          vocab = next
+          k += 1
+      }
     }
     // the merge table is the trained artifact; the final vocabulary
     // generation is no longer referenced
@@ -1019,46 +1030,32 @@ object Corpus {
       .drop("s", "toks")
   }
 
-  private val bpeEncodeOracle = {
-    val base =
-      """v0 AS MATERIALIZED (
-        |  SELECT word, concat(' ', array_to_string(list_transform(
-        |      generate_series(1, length(word)), i -> substring(word, i, 1)), '  '), ' ') AS s,
-        |    cnt
-        |  FROM (
-        |    SELECT word, COUNT(*) AS cnt
-        |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |    WHERE length(word) >= 1 GROUP BY 1))""".stripMargin
-    val steps = (1 to bpeIters).map { k =>
-      s"""p$k AS MATERIALIZED (
-         |  SELECT pr.l AS l, pr.r AS r, SUM(cnt) AS c
-         |  FROM (
-         |    SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
-         |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
-         |    FROM (SELECT string_split(trim(s, ' '), '  ') AS syms, cnt FROM v${k - 1}))
-         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
-         |v$k AS MATERIALIZED (
-         |  SELECT word, replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s, cnt
-         |  FROM v${k - 1} CROSS JOIN p$k)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $base,
-       |$steps
+  private val bpeEncodeOracle =
+    s"""WITH ${bpeChainSql(withWord = true)}
        |SELECT word, cnt,
        |  len(string_split(substring(s, 2, length(s) - 2), '  ')) AS n_tokens,
        |  array_to_string(string_split(substring(s, 2, length(s) - 2), '  '), ' ') AS seg
        |FROM v$bpeIters ORDER BY cnt DESC, word LIMIT 20""".stripMargin
-  }
 
-  private val bpeTrainOracle = {
+  /** The unrolled BPE CTE chain (v0..v8 vocabulary generations + p1..p8
+    * winning pairs), shared by the train and encode oracles so the
+    * merge kernel can never silently diverge between them — the
+    * ivfChainCtes/pqChainCtes discipline. `withWord` carries the word
+    * column through every fused generation (the encode oracle needs
+    * the original word beside its segmentation; pair counting is
+    * unaffected because the vocabulary rows are distinct words either
+    * way). */
+  private def bpeChainSql(withWord: Boolean): String = {
+    val w = if (withWord) "word, " else ""
     val base =
-      """v0 AS MATERIALIZED (
-        |  SELECT concat(' ', array_to_string(list_transform(
-        |      generate_series(1, length(word)), i -> substring(word, i, 1)), '  '), ' ') AS s,
-        |    cnt
-        |  FROM (
-        |    SELECT word, COUNT(*) AS cnt
-        |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |    WHERE length(word) >= 1 GROUP BY 1))""".stripMargin
+      s"""v0 AS MATERIALIZED (
+         |  SELECT ${w}concat(' ', array_to_string(list_transform(
+         |      generate_series(1, length(word)), i -> substring(word, i, 1)), '  '), ' ') AS s,
+         |    cnt
+         |  FROM (
+         |    SELECT word, COUNT(*) AS cnt
+         |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |    WHERE length(word) >= 1 GROUP BY 1))""".stripMargin
     val steps = (1 to bpeIters).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT pr.l AS l, pr.r AS r, SUM(cnt) AS c
@@ -1068,13 +1065,17 @@ object Corpus {
          |    FROM (SELECT string_split(trim(s, ' '), '  ') AS syms, cnt FROM v${k - 1}))
          |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
          |v$k AS MATERIALIZED (
-         |  SELECT replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s, cnt
+         |  SELECT ${w}replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s, cnt
          |  FROM v${k - 1} CROSS JOIN p$k)""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$steps"
+  }
+
+  private val bpeTrainOracle = {
     val outs = (1 to bpeIters).map { k =>
       s"SELECT $k AS it, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS cnt FROM p$k"
     }.mkString("\nUNION ALL\n")
-    s"WITH $base,\n$steps\n$outs\nORDER BY it"
+    s"WITH ${bpeChainSql(withWord = false)}\n$outs\nORDER BY it"
   }
 
   // ------------------------------------------------- PMI collocations

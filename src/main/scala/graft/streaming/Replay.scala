@@ -52,6 +52,7 @@ object Replay {
       .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
     val maxTs = evs.agg(org.apache.spark.sql.functions.max("ts"))
       .head().getTimestamp(0)
+    require(maxTs != null, s"no events under $dir")
     val sentinel = Seq(Event(-1L,
       new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L), -1L,
       "sentinel", 0.0)).toDS()
@@ -69,15 +70,19 @@ object Replay {
     // closes the run
     def parquetFiles() = Option(stage.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // a silently-failed stamp would let the sentinel feed early and
+    // the 30-days-ahead watermark drop EVERY real event as late —
+    // an empty result instead of an error, so the stamps are checked
     val dataFiles = parquetFiles().sortBy(_.getName)
     val base = System.currentTimeMillis() - (dataFiles.length + 2) * 1000L
     dataFiles.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base + i * 1000L): Unit
+      require(f.setLastModified(base + i * 1000L), s"cannot stamp mtime on $f")
     }
     val preSentinel = dataFiles.map(_.getName).toSet
     sentinel.coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
-    parquetFiles().filterNot(f => preSentinel(f.getName))
-      .foreach(f => f.setLastModified(base + (dataFiles.length + 1) * 1000L): Unit)
+    parquetFiles().filterNot(f => preSentinel(f.getName)).foreach(f =>
+      require(f.setLastModified(base + (dataFiles.length + 1) * 1000L),
+        s"cannot stamp mtime on $f"))
     val input = spark.readStream
       .schema(evs.schema)
       .option("maxFilesPerTrigger", "1")
@@ -121,8 +126,15 @@ object Replay {
     try {
       val per = math.max(1, math.ceil(evs.length.toDouble / chunks).toInt)
       evs.grouped(per).foreach { chunk =>
+        // drain after every feed: without the barrier the engine can
+        // absorb several pending chunks into ONE micro-batch (it takes
+        // all available MemoryStream blocks per trigger), silently
+        // voiding the incremental-replay guarantee this harness exists
+        // for — and a dupFeed re-delivery must arrive in a LATER batch
+        // than its original to exercise cross-batch dedup state at all
         input.addData(chunk.toIndexedSeq)
-        if (dupFeed) input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+        if (dupFeed) { input.addData(chunk.toIndexedSeq); q.processAllAvailable() }
       }
       // sentinel: 30 days past the last event — its own window/group can
       // never finalize (watermark stays 2h behind it), so it affects

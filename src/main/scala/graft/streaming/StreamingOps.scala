@@ -177,14 +177,21 @@ object StreamingOps {
     // Math.round(v*1e6) == floor(v*1e6 + 0.5) == DuckDB round() for the
     // strictly positive values in this table
     val meanRaw = "(CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*))"
+    // cum replays the monitor's STRICT LEFT FOLD (cum += mean − ref per
+    // day, the fingerprint list_reduce discipline) — a windowed SUM's
+    // association is engine-internal (segment trees), and a 1-ulp
+    // divergence at an r4 boundary or near |cum| = h would flip the
+    // pinned value / the alarm; the fold is bit-identical by IEEE
     s"""WITH d AS (
        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
        |    $meanRaw AS mean_raw
        |  FROM events GROUP BY 1, 2),
        |c AS (
        |  SELECT event_type, day, n, mean_raw,
-       |    SUM(mean_raw - $CusumRefMean) OVER (PARTITION BY event_type ORDER BY day
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(mean_raw) OVER (PARTITION BY event_type ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |      (acc, x) -> acc + (x - $CusumRefMean)) AS cum
        |  FROM d)
        |SELECT event_type, day, n, ${rSql("mean_raw", 6)} AS daily_mean,
        |  ${rSql("cum", 4)} AS cusum, abs(cum) > $CusumH AS alarm
@@ -209,17 +216,23 @@ object StreamingOps {
     // epoch_ms * 1000: the monitor's state keys sessions on
     // Timestamp.getTime (ms-floored), so the oracle must bucket on the
     // same ms grid, not raw µs
+    // every window orders on the SAME total (ms, event_id) key: with
+    // ms-tied rows, ordering the lag pass by raw ts but the prefix-sum
+    // by bare ms would let a session-opening brk row slot after a
+    // non-break row nondeterministically, splitting the session
+    // differently than the monitor (same-ms events always share its
+    // session, so the ms-grid order is semantically free)
     """WITH o AS (
-      |  SELECT user_id, epoch_ms(ts) AS ms,
-      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pms
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS pms
       |  FROM events),
       |m AS (
-      |  SELECT user_id, ms,
+      |  SELECT user_id, event_id, ms,
       |    CASE WHEN pms IS NULL OR ms - pms > 1800000 THEN 1 ELSE 0 END AS brk
       |  FROM o),
       |s AS (
       |  SELECT user_id, ms,
-      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM m)
       |SELECT user_id, MIN(ms) * 1000 AS session_start_us,

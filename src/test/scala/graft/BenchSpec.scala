@@ -11,7 +11,10 @@ class BenchSpec extends SparkSpec {
       (s, dir) => Tables.nation(s, dir).select(col("n_nationkey")), None)
     val bad = Op("bad_q",
       (s, _) => s.sql("SELECT * FROM table_that_does_not_exist"), None)
-    val (json, errs) = Bench.run(spark, sfDir, Seq(good, bad))
+    val (json, errs, queriesJson) = Bench.run(spark, sfDir, Seq(good, bad))
+    // the structurally-returned queries object is a fragment of the
+    // report — no textual re-extraction anywhere (brace-proof)
+    assert(json.contains("\"queries\":" + queriesJson), json)
     assert(errs === 1)
     assert(json.contains("\"bad_q\":\"err: "), json)
     assert(json.contains("\"errors\":1"), json)
