@@ -118,6 +118,54 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("polyHash: the two-byte Mersenne-fold fast path equals the naive Horner replay") {
+    import graft.functions.HashFunctions
+    // the definitional hash: h = ((h*mul + c) mod P) per char, seed
+    // pre-reduced — exactly what the DuckDB oracle text computes
+    def naive(s: String, seed: Long, mul: Long): Long = {
+      var h = if (seed >= HashFunctions.P) seed % HashFunctions.P else seed
+      s.foreach { ch => h = (h * mul + ch.toLong) % HashFunctions.P }
+      h
+    }
+    val gen = for {
+      s <- Gen.listOf(Gen.choose(0, 127).map(_.toChar)).map(_.mkString)
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+      mul <- Gen.chooseNum(1L, 2147483647L)
+    } yield (s, seed, mul)
+    check("polyHash", Prop.forAllNoShrink(gen) { case (s, seed, mul) =>
+      HashFunctions.polyHashWith(UTF8String.fromString(s), seed, mul) ==
+        naive(s, seed, mul)
+    })
+  }
+
+  test("polyHash: the non-ASCII fallback equals the char-based replay") {
+    import graft.functions.HashFunctions
+    def naive(s: String): Long = {
+      var h = HashFunctions.PolySeed
+      s.foreach { ch =>
+        h = (h * HashFunctions.PolyMul + ch.toLong) % HashFunctions.P
+      }
+      h
+    }
+    val gen = Gen.listOf(Gen.frequency(
+      4 -> Gen.choose(32, 126).map(_.toChar),
+      1 -> Gen.oneOf('é', 'ß', '中', 'λ', '→'))).map(_.mkString)
+    check("polyHashSlow", Prop.forAllNoShrink(gen) { s =>
+      HashFunctions.polyHash(UTF8String.fromString(s)) == naive(s)
+    })
+  }
+
+  test("polyHashShingle streams the three segments identically to hashing the concatenation") {
+    import graft.functions.HashFunctions
+    val tok = Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(33, 126).map(_.toChar),
+      1 -> Gen.oneOf('ü', '中'))).map(_.mkString)
+    check("polyHashShingle", Prop.forAllNoShrink(Gen.zip(tok, tok)) { case (a, b) =>
+      HashFunctions.polyHashShingle(UTF8String.fromString(a), UTF8String.fromString(b)) ==
+        HashFunctions.polyHash(UTF8String.fromString(s"$a $b"))
+    })
+  }
+
   test("quantile_sketch: merge order cannot move an estimate; estimates hold the 1% contract") {
     val gen = for {
       xs <- Gen.listOfN(80, Gen.chooseNum(0.01, 1e5))
