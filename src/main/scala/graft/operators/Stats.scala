@@ -32,27 +32,26 @@ object Stats {
   private val onOffSql =
     "CASE WHEN ((epoch_us(date_trunc('hour', ts)) // 3600000000) + (user_id % 10)) % 2 = 0 THEN 'On' ELSE 'Off' END"
 
-  /** Welch's unequal-variance t-test per event_type, On vs Off. */
+  /** Divisor guard (the tost/propTest discipline, hoisted): a zero
+    * divisor becomes NULL so a degenerate group yields NULL stats
+    * instead of an ANSI divide-by-zero error. DuckDB needs no twin —
+    * its x/0 is already NULL — so oracles stay textually unchanged
+    * and values agree wherever the divisor is nonzero. */
+  private def nzc(c: Column): Column = when(c =!= 0, c)
+
+  /** Welch's unequal-variance t-test per event_type, On vs Off.
+    * Degenerate-group divisors carry the tost nz() guard: a 0- or
+    * 1-row arm yields NULL stats in BOTH engines rather than an ANSI
+    * divide-by-zero error on the Spark side. */
   def ttestWelch(spark: SparkSession, dir: String): DataFrame = {
-    val d = DecimalType(28, 6)
-    val moments = Tables.events(spark, dir)
-      .withColumn("g", onOff)
-      .groupBy("event_type")
-      .agg(
-        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("g") === "On", col("value").cast(d))).cast(DoubleType).as("s1"),
-        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
-        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
-        sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
-        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
-      )
-    val m1 = col("s1") / col("n1"); val m2 = col("s2") / col("n2")
-    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
-    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val moments = onOffMoments(spark, dir)
+    val m1 = col("s1") / nzc(col("n1")); val m2 = col("s2") / nzc(col("n2"))
+    val v1 = (col("ss1") - col("s1") * col("s1") / nzc(col("n1"))) / nzc(col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / nzc(col("n2"))) / nzc(col("n2") - 1)
     val se2 = v1 / col("n1") + v2 / col("n2")
-    val t = (m1 - m2) / sqrt(se2)
-    val df = se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
-      (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+    val t = (m1 - m2) / nzc(sqrt(se2))
+    val df = se2 * se2 / nzc((v1 / col("n1")) * (v1 / col("n1")) / nzc(col("n1") - 1) +
+      (v2 / col("n2")) * (v2 / col("n2")) / nzc(col("n2") - 1))
     // raw t/df flow through NAMED columns so the Student-t CF (a big
     // generated expression) references them identically to the oracle
     moments.select(
@@ -74,15 +73,7 @@ object Stats {
     val se2 = s"($v1 / n1 + $v2 / n2)"
     val t = s"(($m1 - $m2) / sqrt($se2))"
     val df = s"($se2 * $se2 / (($v1/n1)*($v1/n1)/(n1-1) + ($v2/n2)*($v2/n2)/(n2-1)))"
-    s"""WITH moments AS (
-       |  SELECT event_type,
-       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
-       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
-       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS ss1,
-       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
-       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
-       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
-       |  FROM events GROUP BY 1),
+    s"""WITH moments AS ($onOffMomentsSql),
        |stats AS (
        |  SELECT event_type, n1, n2, $m1 AS m1_raw, $m2 AS m2_raw,
        |    $t AS t_raw, $df AS df_raw
@@ -115,27 +106,45 @@ object Stats {
       sum(col("avg_rank") * col("cnt_on")).as("r_on"), // exact: sum of halves
       sum("cnt_on").as("n1"),
       sum("cnt").as("n"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"),
+      // cnt³ in DECIMAL(38,0): a value-block with ≥2^21 duplicate rows
+      // would silently wrap a 64-bit cnt³ in Spark (and error in
+      // DuckDB) — the ksTest overflow discipline
+      sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt") * col("cnt") - col("cnt"))
+        .as("tie_t"),
     )
-    val n1 = col("n1"); val n2 = col("n") - col("n1"); val n = col("n")
-    val u1 = col("r_on") - n1 * (n1 + 1) / 2.0
-    val mu = n1 * n2 / 2.0
-    val sd = sqrt(n1 * n2 / 12.0 *
-      ((n + 1) - col("tie_t") / (n * (n - 1.0))))
-    val z = (u1 - mu - signum(u1 - mu) * 0.5) / sd
+    // counts promoted to double BEFORE multiplying (the PMI
+    // discipline): n1·n2 and n1·(n1+1) overflow Long past ~3e9 rows
+    // per arm; in double they stay exact to 2^53 and merely round
+    // beyond — in lockstep with the oracle's identical promotion
+    val n1 = col("n1"); val n = col("n")
+    val n1d = col("n1").cast(DoubleType)
+    val n2d = (col("n") - col("n1")).cast(DoubleType)
+    val nd = col("n").cast(DoubleType)
+    val u1 = col("r_on") - n1d * (n1d + 1) / 2.0
+    val mu = n1d * n2d / 2.0
+    val sd = sqrt(n1d * n2d / 12.0 *
+      ((nd + 1) - col("tie_t").cast(DoubleType) / (nd * (nd - 1.0))))
+    // nzc: an all-tied event_type has sd = 0 exactly (tie_t = n³−n) —
+    // NULL z/p in both engines, not an ANSI divide error
+    val z = (u1 - mu - signum(u1 - mu) * 0.5) / nzc(sd)
     agg.select(
-      col("event_type"), n1.as("n_on"), n2.cast("long").as("n_off"),
+      col("event_type"), n1.as("n_on"), (n - n1).as("n_off"),
       u1.as("u_stat"), r4(z).as("z"),
       r6(pTwoSidedNormal(z)).as("p_value"),
     ).orderBy("event_type")
   }
 
   private val mwuOracle = {
-    val n2 = "(n - n1)"
-    val u1 = "(r_on - n1 * (n1 + 1) / 2.0)"
-    val mu = s"(n1 * $n2 / 2.0)"
-    val sd = s"sqrt(n1 * $n2 / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0))))"
-    val z = s"(($u1 - $mu - sign($u1 - $mu) * 0.5) / $sd)"
+    // same promotions as the plan: counts to DOUBLE before any product
+    // (Long n1·n2 wraps past ~3e9/arm), cnt³ in DECIMAL(38,0) (BIGINT
+    // cnt³ errors in DuckDB at ≥2^21 duplicates), sd NULLIF-guarded
+    val n1d = "CAST(n1 AS DOUBLE)"
+    val n2d = "CAST(n - n1 AS DOUBLE)"
+    val nd = "CAST(n AS DOUBLE)"
+    val u1 = s"(r_on - $n1d * ($n1d + 1) / 2.0)"
+    val mu = s"($n1d * $n2d / 2.0)"
+    val sd = s"sqrt($n1d * $n2d / 12.0 * (($nd + 1) - CAST(tie_t AS DOUBLE) / ($nd * ($nd - 1.0))))"
+    val z = s"(($u1 - $mu - sign($u1 - $mu) * 0.5) / NULLIF($sd, 0))"
     s"""WITH counts AS (
        |  SELECT event_type, "value" AS v, COUNT(*) AS cnt,
        |    SUM(CASE WHEN $onOffSql = 'On' THEN 1 ELSE 0 END) AS cnt_on
@@ -150,9 +159,9 @@ object Stats {
        |    SUM(avg_rank * cnt_on) AS r_on,
        |    CAST(SUM(cnt_on) AS BIGINT) AS n1,
        |    CAST(SUM(cnt) AS BIGINT) AS n,
-       |    CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_t
+       |    SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tie_t
        |  FROM ranked GROUP BY 1)
-       |SELECT event_type, n1 AS n_on, $n2 AS n_off,
+       |SELECT event_type, n1 AS n_on, n - n1 AS n_off,
        |  $u1 AS u_stat, (sign($z) * floor(abs($z) * 1e4 + 0.5) / 1e4) AS z,
        |  (sign(${pTwoSidedNormalSql(z)}) * floor(abs(${pTwoSidedNormalSql(z)}) * 1e6 + 0.5) / 1e6) AS p_value
        |FROM agg ORDER BY event_type""".stripMargin
@@ -218,22 +227,11 @@ object Stats {
     * method_evaluation.ipynb): power = Φ(z_eff − z_crit) + Φ(−z_eff −
     * z_crit) with z_eff = |Δ|/se from the observed moments. */
   def powerZtest(spark: SparkSession, dir: String): DataFrame = {
-    val d = DecimalType(28, 6)
-    val m = Tables.events(spark, dir)
-      .withColumn("g", onOff)
-      .groupBy("event_type")
-      .agg(
-        sum(when(col("g") === "On", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("g") === "On", col("value").cast(d))).cast(DoubleType).as("s1"),
-        sum(when(col("g") === "On", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss1"),
-        sum(when(col("g") === "Off", 1L).otherwise(0L)).as("n2"),
-        sum(when(col("g") === "Off", col("value").cast(d))).cast(DoubleType).as("s2"),
-        sum(when(col("g") === "Off", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
-      )
-    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
-    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val m = onOffMoments(spark, dir)
+    val v1 = (col("ss1") - col("s1") * col("s1") / nzc(col("n1"))) / nzc(col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / nzc(col("n2"))) / nzc(col("n2") - 1)
     val se = sqrt(v1 / col("n1") + v2 / col("n2"))
-    val zEff = abs(col("s1") / col("n1") - col("s2") / col("n2")) / se
+    val zEff = abs(col("s1") / nzc(col("n1")) - col("s2") / nzc(col("n2"))) / nzc(se)
     val zCrit = lit(1.959963984540054)
     val power = normCdf(zEff - zCrit) + normCdf(-zEff - zCrit)
     m.select(col("event_type"), col("n1"), col("n2"),
@@ -247,15 +245,7 @@ object Stats {
     val se = s"sqrt($v1 / n1 + $v2 / n2)"
     val zEff = s"(abs(s1 / n1 - s2 / n2) / $se)"
     val power = s"(${normCdfSql(s"$zEff - 1.959963984540054")} + ${normCdfSql(s"-$zEff - 1.959963984540054")})"
-    s"""WITH moments AS (
-       |  SELECT event_type,
-       |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
-       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
-       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS ss1,
-       |    COUNT(*) FILTER (WHERE $onOffSql = 'Off') AS n2,
-       |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS s2,
-       |    CAST(SUM(CAST("value" * "value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'Off') AS DOUBLE) AS ss2
-       |  FROM events GROUP BY 1)
+    s"""WITH moments AS ($onOffMomentsSql)
        |SELECT event_type, n1, n2,
        |  ${rSql(zEff, 4)} AS z_effect, ${rSql(power, 6)} AS power
        |FROM moments ORDER BY event_type""".stripMargin
@@ -289,7 +279,9 @@ object Stats {
       )
   }
 
-  private val onOffMomentsSql =
+  // lazy: referenced by oracle vals declared ABOVE this point (object
+  // vals initialize in declaration order; a strict val would read null)
+  private lazy val onOffMomentsSql =
     s"""SELECT event_type,
        |    COUNT(*) FILTER (WHERE $onOffSql = 'On') AS n1,
        |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE $onOffSql = 'On') AS DOUBLE) AS s1,
@@ -393,12 +385,12 @@ object Stats {
         sum(when(col("g") === "A2", col("value").cast(d))).cast(DoubleType).as("s2"),
         sum(when(col("g") === "A2", (col("value") * col("value")).cast(d))).cast(DoubleType).as("ss2"),
       )
-    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
-    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val v1 = (col("ss1") - col("s1") * col("s1") / nzc(col("n1"))) / nzc(col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / nzc(col("n2"))) / nzc(col("n2") - 1)
     val se2 = v1 / col("n1") + v2 / col("n2")
-    val t = (col("s1") / col("n1") - col("s2") / col("n2")) / sqrt(se2)
-    val df = se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
-      (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+    val t = (col("s1") / nzc(col("n1")) - col("s2") / nzc(col("n2"))) / nzc(sqrt(se2))
+    val df = se2 * se2 / nzc((v1 / col("n1")) * (v1 / col("n1")) / nzc(col("n1") - 1) +
+      (v2 / col("n2")) * (v2 / col("n2")) / nzc(col("n2") - 1))
     m.select(col("event_type"), col("n1"), col("n2"),
       t.as("t_raw"), df.as("df_raw"))
       .select(col("event_type"), col("n1"), col("n2"),
@@ -476,12 +468,25 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Two-round portable LCG state on (event_id, replicate b) — the ONE
+    * kernel every replicate weight/flip in this file derives from
+    * (bootstrap weights, permutation flips, FPR flips); a single
+    * definition so the plan/oracle texts can never drift. The
+    * replicate offset folds into one literal at generation time:
+    * 12345 + b·1013904223 can exceed INT32, and a `b * c` subterm
+    * would be INT×INT → ANSI overflow in Spark. */
+  private def lcgStateSql(b: Int): String =
+    s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
+      s" * 1103515245 + 12345) % 2147483648)"
+
+  /** Fair coin from [[lcgStateSql]]: state below 2³⁰ (half the range). */
+  private def lcgFlipSql(b: Int): String = s"(${lcgStateSql(b)} < 1073741824)"
+
   /** Replicate-b Poisson weight as SQL text shared verbatim by both
     * engines: two LCG rounds on (event_id, b), then the integer
     * threshold ladder. */
   private def bootstrapWeightSql(b: Int): String = {
-    val st = s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
-      s" * 1103515245 + 12345) % 2147483648)"
+    val st = lcgStateSql(b)
     val whens = poissonThresholds.zipWithIndex
       .map { case (t, k) => s"WHEN $st < $t THEN $k" }.mkString(" ")
     s"(CASE $whens ELSE 6 END)"
@@ -529,12 +534,7 @@ object Stats {
     * and the test is exact-level under the randomization null. */
   def permutationTest(spark: SparkSession, dir: String, replicates: Int = 64): DataFrame = {
     val dec = DecimalType(28, 6)
-    def lcgOn(b: Int): String = // identical text both engines
-      // the replicate offset is folded into ONE literal at generation
-      // time: 12345 + b·1013904223 can exceed INT32, and a `b * c`
-      // subterm would be INT×INT → ANSI overflow in Spark
-      s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
-        s" * 1103515245 + 12345) % 2147483648 < 1073741824)"
+    def lcgOn(b: Int): String = lcgFlipSql(b) // identical text both engines
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_tot"),
         sum(col("value").cast(dec)).cast(DoubleType).as("s_tot"),
@@ -562,12 +562,7 @@ object Stats {
   }
 
   private def permutationOracle(replicates: Int = 64): String = {
-    def lcgOn(b: Int): String =
-      // the replicate offset is folded into ONE literal at generation
-      // time: 12345 + b·1013904223 can exceed INT32, and a `b * c`
-      // subterm would be INT×INT → ANSI overflow in Spark
-      s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
-        s" * 1103515245 + 12345) % 2147483648 < 1073741824)"
+    def lcgOn(b: Int): String = lcgFlipSql(b)
     val repAggs = (0 until replicates).map { b =>
       s"""    COUNT(*) FILTER (WHERE ${lcgOn(b)}) AS n1_$b,
          |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE ${lcgOn(b)}) AS DOUBLE) AS s1_$b""".stripMargin
@@ -599,17 +594,19 @@ object Stats {
     * [p01, p99] before averaging, report both means and how many rows
     * were clipped.
     *
-    * Determinism: clipped values cast to exact DECIMAL before summing
-    * (the clip bounds are interpolated doubles, identical in both
-    * engines — Spark `percentile` ≡ DuckDB `quantile_cont`). Scale:
-    * one quantile pass + one broadcast join + one aggregation; the
-    * fact table is never sorted globally. */
+    * Determinism: clipped values cast to exact DECIMAL before summing,
+    * and the clip bounds are r6-PINNED before any comparison (the
+    * propTest quantile-cutoff discipline: Spark `percentile` and
+    * DuckDB `quantile_cont` can differ by 1 ulp, and an unrounded
+    * hard cutoff would flip the integer clip counts across engines).
+    * Scale: one quantile pass + one broadcast join + one aggregation;
+    * the fact table is never sorted globally. */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(28, 6)
     val q = Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(expr("percentile(value, 0.01)").as("lo"),
-        expr("percentile(value, 0.99)").as("hi"))
+      .agg(r6(expr("percentile(value, 0.01)")).as("lo"),
+        r6(expr("percentile(value, 0.99)")).as("hi"))
     Tables.events(spark, dir).join(broadcast(q), Seq("event_type"))
       .withColumn("vw", least(greatest(col("value"), col("lo")), col("hi")))
       .groupBy("event_type")
@@ -624,7 +621,8 @@ object Stats {
 
   private val winsorizeOracle =
     s"""WITH q AS (
-       |  SELECT event_type, quantile_cont("value", 0.01) AS lo, quantile_cont("value", 0.99) AS hi
+       |  SELECT event_type, ${rSql("quantile_cont(\"value\", 0.01)", 6)} AS lo,
+       |    ${rSql("quantile_cont(\"value\", 0.99)", 6)} AS hi
        |  FROM events GROUP BY 1)
        |SELECT e.event_type, COUNT(*) AS n,
        |  CAST(SUM(CASE WHEN e."value" < q.lo OR e."value" > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
@@ -661,12 +659,12 @@ object Stats {
         sum((col("y") * col("y")).cast(d12)).cast(DoubleType).as("syy"),
         sum((col("x") * col("y")).cast(d12)).cast(DoubleType).as("sxy"))
     val n = col("n_users")
-    val r = col("sx") / col("sy")
+    val r = col("sx") / nzc(col("sy"))
     val my = col("sy") / n
-    val vx = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
-    val vy = (col("syy") - col("sy") * col("sy") / n) / (n - 1)
-    val cxy = (col("sxy") - col("sx") * col("sy") / n) / (n - 1)
-    val vr = (vx + r * r * vy - lit(2.0) * r * cxy) / (n * my * my)
+    val vx = (col("sxx") - col("sx") * col("sx") / n) / nzc(n - 1)
+    val vy = (col("syy") - col("sy") * col("sy") / n) / nzc(n - 1)
+    val cxy = (col("sxy") - col("sx") * col("sy") / n) / nzc(n - 1)
+    val vr = (vx + r * r * vy - lit(2.0) * r * cxy) / nzc(n * my * my)
     m.select(col("event_type"), col("grp"), col("n_users"),
       r.as("ratio_raw"), sqrt(vr).as("se_raw"))
       .select(col("event_type"), col("grp"), col("n_users"),
@@ -758,12 +756,12 @@ object Stats {
     val llDec = DecimalType(28, 6)
     val logLambda = (r6(llTerm1).cast(llDec) + r6(llTerm2).cast(llDec))
       .cast(DoubleType)
-    val wMin = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum.select(col("event_type"), col("day"), col("n1"), col("n2"),
       r6(delta).as("delta"), r4(logLambda).as("log_lambda"),
       r6(least(lit(1.0), exp(-logLambda))).as("p_seq"))
-      .withColumn("p_avp", min(col("p_seq")).over(wMin))
+      // p_avp runs over the SAME cumulative frame `w` as the moments —
+      // one WindowSpec, one sort
+      .withColumn("p_avp", min(col("p_seq")).over(w))
       .orderBy("event_type", "day")
   }
 
@@ -819,9 +817,7 @@ object Stats {
     * per-replicate squared sums. */
   def fprEval(spark: SparkSession, dir: String, replicates: Int = 48): DataFrame = {
     val dec = DecimalType(28, 6)
-    def lcgOn(b: Int): String = // identical text both engines
-      s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
-        s" * 1103515245 + 12345) % 2147483648 < 1073741824)"
+    def lcgOn(b: Int): String = lcgFlipSql(b) // identical text both engines
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_tot"),
         sum(col("value").cast(dec)).cast(DoubleType).as("s_tot"),
@@ -851,9 +847,7 @@ object Stats {
   }
 
   private def fprEvalOracle(replicates: Int = 48): String = {
-    def lcgOn(b: Int): String =
-      s"(((((event_id % 2147483648) * 1103515245 + ${12345L + b.toLong * 1013904223L}) % 2147483648)" +
-        s" * 1103515245 + 12345) % 2147483648 < 1073741824)"
+    def lcgOn(b: Int): String = lcgFlipSql(b)
     val repAggs = (0 until replicates).map { b =>
       s"""    COUNT(*) FILTER (WHERE ${lcgOn(b)}) AS n1_$b,
          |    CAST(SUM(CAST("value" AS DECIMAL(28,6))) FILTER (WHERE ${lcgOn(b)}) AS DOUBLE) AS s1_$b""".stripMargin
@@ -1050,7 +1044,11 @@ object Stats {
     * row per test (a handful), never raw events. */
   def fdrBh(spark: SparkSession, dir: String): DataFrame = {
     val p = mwu(spark, dir).select(col("event_type"), col("p_value"))
-    val wRank = Window.orderBy("p_value", "event_type")
+    // NULLS LAST explicitly: a degenerate (all-tied) test emits a NULL
+    // p-value, and Spark's ascending default is nulls FIRST while
+    // DuckDB's is nulls LAST — unpinned, one degenerate row would
+    // shift EVERY rank (and thus every p·m/rank) between engines
+    val wRank = Window.orderBy(col("p_value").asc_nulls_last, col("event_type"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // running min over the tail = min of padj_raw from this rank upward
     val wTail = Window.orderBy(col("rnk").desc)
@@ -1068,7 +1066,7 @@ object Stats {
        |  SELECT event_type, p_value FROM ($mwuOracle)),
        |ranked AS (
        |  SELECT event_type, p_value,
-       |    ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS rnk,
+       |    ROW_NUMBER() OVER (ORDER BY p_value ASC NULLS LAST, event_type) AS rnk,
        |    COUNT(*) OVER () AS m
        |  FROM pv),
        |adj AS (SELECT *, p_value * m / rnk AS padj_raw FROM ranked)
@@ -1111,8 +1109,10 @@ object Stats {
       count(lit(1)).as("n_users"),
       sum(col("x").cast(d6)).cast(DoubleType).as("gx"),
       sum(col("y").cast(d6)).cast(DoubleType).as("gy"))
+    // nzc: a constant pre-period covariate makes var(x) exactly 0 —
+    // NULL theta in both engines, not an ANSI divide error
     val theta = (col("sxy") - col("sx") * col("sy") / col("n")) /
-      (col("sxx") - col("sx") * col("sx") / col("n"))
+      nzc(col("sxx") - col("sx") * col("sx") / col("n"))
     val xbar = col("sx") / col("n")
     groups.crossJoin(broadcast(mom))
       .select(col("grp"), col("n_users"),

@@ -191,10 +191,15 @@ object TimeSeries {
   /** IQR outlier detection per group (notebooks use scipy.stats.iqr):
     * bounds = [q1 − 1.5·IQR, q3 + 1.5·IQR], count the excursions. */
   def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // q1/q3 r6-PINNED before the fence arithmetic (the propTest
+    // quantile-cutoff discipline): engine percentile interpolation can
+    // differ by 1 ulp, and an unrounded hard fence would flip the
+    // integer outlier counts across engines; lo/hi derived from pinned
+    // inputs are pure IEEE, identical everywhere
     val q = Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(expr("percentile(value, 0.25)").as("q1"),
-        expr("percentile(value, 0.75)").as("q3"))
+      .agg(r6(expr("percentile(value, 0.25)")).as("q1"),
+        r6(expr("percentile(value, 0.75)")).as("q3"))
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
     Tables.events(spark, dir).join(broadcast(q), Seq("event_type"))
@@ -208,7 +213,8 @@ object TimeSeries {
 
   private val iqrOutliersOracle =
     s"""WITH q AS (
-       |  SELECT event_type, quantile_cont("value", 0.25) AS q1, quantile_cont("value", 0.75) AS q3
+       |  SELECT event_type, ${rSql("quantile_cont(\"value\", 0.25)", 6)} AS q1,
+       |    ${rSql("quantile_cont(\"value\", 0.75)", 6)} AS q3
        |  FROM events GROUP BY 1),
        |b AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
        |SELECT e.event_type, COUNT(*) AS n,
