@@ -44,11 +44,7 @@ object Corpus {
     * makes the ordering engine-portable.
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val tfAggs = count(lit(1)).as("dl") +:
-      bm25Terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-    val perDoc = toks.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val perDoc = tfPerDoc(spark, dir)
     val statAggs = count(lit(1)).as("n_docs") +: sum("dl").as("sum_dl") +:
       bm25Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
@@ -125,19 +121,25 @@ object Corpus {
     * (q_ndcg, q_mrr) rank: per-doc tf for each query term, score =
     * r6(tf/dl), graded relevance rel = min(tf, 3) — one shared
     * construction so the two companions can never score differently. */
-  private def termScored(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val tfAggs = count(lit(1)).as("dl") +:
-      bm25Terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-    val perDoc = toks.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-    perDoc
+  private def termScored(spark: SparkSession, dir: String): DataFrame =
+    tfPerDoc(spark, dir)
       .select(col("doc_id"), col("dl"), explode(array(bm25Terms.map(t =>
         struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("s"))
       .select(col("doc_id"), col("dl"), col("s.term").as("term"), col("s.tf").as("tf"))
       .filter(col("tf") > 0)
       .withColumn("score", r6(col("tf") / col("dl")))
       .withColumn("rel", least(col("tf"), lit(3L)))
+
+  /** The per-doc (dl, tf_<term>…) frame shared by the BM25 scorer AND
+    * the retrieval-eval pair — ONE tokenization/tf construction, so
+    * the scorer and the frame that q_ndcg/q_mrr grade it with can
+    * never drift apart. */
+  private def tfPerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tfAggs = count(lit(1)).as("dl") +:
+      bm25Terms.map(t => sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    toks.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
   }
 
   /** Its DuckDB twin (toks/perdoc/scored CTE text), shared by the
@@ -227,32 +229,45 @@ object Corpus {
     * occurrence table; AQE broadcasts them when small. No driver
     * collection.
     */
-  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+  /** Bigram-LM scored-occurrence frame shared by q_ngram_lm and
+    * q_ppl_filter: the additively-smoothed LM trains on the FULL
+    * corpus (uni counts, vocabulary size, bigram counts), then the
+    * `scoreFilter` docs get one r6 lp per bigram occurrence with
+    * `carry` columns kept. ONE construction, so the sampled scorer
+    * and the full corpus filter can never score the same LM
+    * differently — the termScoredSql discipline. */
+  private def bigramLmScored(spark: SparkSession, dir: String,
+      carry: Seq[String], scoreFilter: Column): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val toks = docs.select(explode(split(col("text"), " ")).as("word"))
     val uni = toks.groupBy("word").agg(count(lit(1)).as("c1"))
       .withColumnRenamed("word", "w1")
     val vocab = toks.select(countDistinct(col("word")).as("v"))
-    def bigrams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    def bigrams(df: DataFrame): DataFrame = {
+      val keep = ("doc_id" +: carry).map(col)
+      df.select(keep :+ split(col("text"), " ").as("toks"): _*)
         .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
+        .select(keep :+ explode(expr(
           "transform(sequence(1, size(toks) - 1), i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"))
-          .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .as("bg"): _*)
+        .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    }
     val bi = bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val scored = bigrams(docs.filter(col("doc_id") % 5 === 0))
+    bigrams(docs.filter(scoreFilter))
       .join(bi, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", r6(expr("ln((c2 + 0.5) / (c1 + 0.5 * v))")))
-    scored.groupBy("doc_id")
+  }
+
+  def ngramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScored(spark, dir, Nil, col("doc_id") % 5 === 0)
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("lp").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_lp"))
       .select(col("doc_id"), col("n_bigrams"),
         r4(col("sum_lp") / col("n_bigrams")).as("avg_logprob"))
       .orderBy("doc_id")
-  }
 
   /** The full CCNet-style perplexity FILTER built on the bigram LM
     * above: score EVERY document (not a sample), convert to perplexity
@@ -276,23 +291,7 @@ object Corpus {
     * the comparison, so banding is bit-portable. */
   def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(28, 6)
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val uni = toks.groupBy("word").agg(count(lit(1)).as("c1"))
-      .withColumnRenamed("word", "w1")
-    val vocab = toks.select(countDistinct(col("word")).as("v"))
-    val bigr = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"))
-        .as("bg"))
-      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bi = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val perDoc = bigr
-      .join(bi, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("lp", r6(expr("ln((c2 + 0.5) / (c1 + 0.5 * v))")))
+    val perDoc = bigramLmScored(spark, dir, Seq("source"), lit(true))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("nb"),
         sum(col("lp").cast(d)).cast(DoubleType).as("slp"))
@@ -302,7 +301,12 @@ object Corpus {
         sum(col("alp").cast(d)).cast(DoubleType).as("s"),
         sum(r6(col("alp") * col("alp")).cast(d)).cast(DoubleType).as("ss"))
       .withColumn("mu", r6(col("s") / col("nd")))
-      .withColumn("sigma", r6(sqrt((col("ss") - col("s") * col("s") / col("nd")) / col("nd"))))
+      // greatest(0, ·): the r6-rounded alp² terms can push the variance
+      // a few 1e-7 below zero on a constant-alp corpus — Spark's
+      // sqrt(-x) is NaN but DuckDB's is a hard Out of Range ERROR, so
+      // both sides clamp
+      .withColumn("sigma", r6(sqrt(greatest(lit(0.0),
+        (col("ss") - col("s") * col("s") / col("nd")) / col("nd")))))
       .select(r6(col("mu") + col("sigma") / 2).as("hi"),
         r6(col("mu") - col("sigma") / 2).as("lo"))
     perDoc.crossJoin(broadcast(stats))
@@ -315,22 +319,7 @@ object Corpus {
   }
 
   private val perplexityFilterOracle =
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-       |uni AS (SELECT word AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
-       |vocab AS (SELECT COUNT(DISTINCT word) AS v FROM toks),
-       |bi_all AS (
-       |  SELECT doc_id, source,
-       |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-       |      i -> {'w1': string_split(text, ' ')[i], 'w2': string_split(text, ' ')[i+1]})) AS bg
-       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
-       |bi_occ AS (SELECT doc_id, source, bg.w1 AS w1, bg.w2 AS w2 FROM bi_all),
-       |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi_occ GROUP BY 1, 2),
-       |scored AS (
-       |  SELECT o.doc_id, o.source,
-       |    ${rSql("ln((c2 + 0.5) / (c1 + 0.5 * v))", 6)} AS lp
-       |  FROM bi_occ o
-       |  JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab),
+    s"""WITH ${bigramLmCtes(carrySource = true, "")},
        |perdoc0 AS (
        |  SELECT doc_id, source,
        |    ${rSql("(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 4)} AS alp
@@ -344,7 +333,7 @@ object Corpus {
        |  FROM pd),
        |th AS (
        |  SELECT ${rSql("(s / nd)", 6)} AS mu,
-       |    ${rSql("sqrt((ss - s * s / nd) / nd)", 6)} AS sigma
+       |    ${rSql("sqrt(greatest(0.0, (ss - s * s / nd) / nd))", 6)} AS sigma
        |  FROM stats),
        |th2 AS (
        |  SELECT ${rSql("(mu + sigma / 2)", 6)} AS hi,
@@ -359,24 +348,32 @@ object Corpus {
        |  ${rSql("(CAST(SUM(CAST(ppl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 6)} AS avg_ppl
        |FROM banded GROUP BY 1, 2 ORDER BY source, band""".stripMargin
 
-  private val ngramLmOracle =
-    s"""WITH toks AS (
+  /** Shared bigram-LM CTE chain (toks/uni/vocab/bi_all/bi_occ/bi/
+    * scored) — one oracle text for the q_ngram_lm / q_ppl_filter pair,
+    * mirroring [[bigramLmScored]]. */
+  private def bigramLmCtes(carrySource: Boolean, scoreWhere: String): String = {
+    val src = if (carrySource) ", source" else ""
+    val srcSel = if (carrySource) ", o.source" else ""
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
        |uni AS (SELECT word AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
        |vocab AS (SELECT COUNT(DISTINCT word) AS v FROM toks),
        |bi_all AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id$src,
        |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
        |      i -> {'w1': string_split(text, ' ')[i], 'w2': string_split(text, ' ')[i+1]})) AS bg
        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
-       |bi_occ AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi_all),
+       |bi_occ AS (SELECT doc_id$src, bg.w1 AS w1, bg.w2 AS w2 FROM bi_all),
        |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi_occ GROUP BY 1, 2),
        |scored AS (
-       |  SELECT o.doc_id,
+       |  SELECT o.doc_id$srcSel,
        |    ${rSql("ln((c2 + 0.5) / (c1 + 0.5 * v))", 6)} AS lp
        |  FROM bi_occ o
-       |  JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
-       |  WHERE o.doc_id % 5 = 0)
+       |  JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab$scoreWhere)""".stripMargin
+  }
+
+  private val ngramLmOracle =
+    s"""WITH ${bigramLmCtes(carrySource = false, "\n  WHERE o.doc_id % 5 = 0")}
        |SELECT doc_id, COUNT(*) AS n_bigrams,
        |  ${rSql("(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 4)} AS avg_logprob
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -1065,9 +1062,16 @@ object Corpus {
          |    FROM (SELECT string_split(trim(s, ' '), '  ') AS syms, cnt FROM v${k - 1}))
          |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
          |v$k AS MATERIALIZED (
-         |  SELECT ${w}replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s, cnt
-         |  FROM v${k - 1} CROSS JOIN p$k)""".stripMargin
+         |  SELECT ${w}COALESCE(replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' '), s) AS s, cnt
+         |  FROM v${k - 1} LEFT JOIN p$k ON TRUE)""".stripMargin
     }.mkString(",\n")
+    // LEFT JOIN ON TRUE + COALESCE, not CROSS JOIN: if training runs
+    // DRY before round k (every word one symbol — the Spark side's
+    // early stop), p$k is empty and a cross join would annihilate the
+    // vocabulary chain, collapsing the encode oracle to zero rows
+    // while Spark still emits the encoded vocab; the left join keeps
+    // v_k ≡ v_(k−1) instead. With the usual single-row winner the two
+    // shapes are identical.
     s"$base,\n$steps"
   }
 

@@ -55,10 +55,15 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    // distinct word-bigram shingles per doc
-    val shingles = docs.select(col("doc_id"), explode(
-      expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
-      .as("shingle")).distinct()
+    // distinct word-bigram shingles per doc; the size(toks) >= 2 guard
+    // is load-bearing under ANSI mode — sequence(0, -1) counts DOWN, so
+    // a 1-token doc would index toks[-1]/toks[1] and raise
+    // INVALID_ARRAY_INDEX (DuckDB's generate_series(1, 0) is just
+    // empty, so only the Spark side would die)
+    val shingles = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("shingle")).distinct()
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = shingles.as("a")
       .join(shingles.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -162,8 +167,13 @@ object Dedup {
         col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
       .persist())
     // materialize the (LSH-pruned, tiny) pair set ONCE — the verify
-    // phase below touches only `cand` and the candidate documents
+    // phase below touches only `cand` and the candidate documents, so
+    // the O(corpus) sketch cache (the doc-comment's promise above) is
+    // released here rather than held pinned until the runner's
+    // releaseAll (gigabytes of executor memory at 100 TB with zero
+    // remaining readers; the deferred CacheScope release then no-ops)
     cand.count()
+    sig.unpersist(blocking = false)
     // verify candidates with true Jaccard — shingle SETS built ONLY for
     // candidate docs (the semi-join runs BEFORE tokenization, so the
     // split/shingle kernels see candidate rows, not the corpus). The
