@@ -86,6 +86,24 @@ object VectorFunctions {
   def dotFd(a: Column, b: Column): Column =
     Bridge.column(DotFDExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Deterministic ±1 Rademacher hyperplane from the portable LCG's
+    * mid bits — sign(plane·64 + j) for j < dim, replicated DRIVER-side
+    * so the projection dot runs through the codegen'd [[DotFDExpr]]
+    * kernel instead of an interpreted per-element lambda that
+    * re-derives the LCG per row (the hot-path cost the class doc
+    * blames on higher-order-function boxing). Bit-identical to the
+    * lambda form: both are the same ascending float→double
+    * multiply-then-add fold, and the DuckDB oracles keep replaying
+    * the integer recipe. */
+  def rademacherSigns(plane: Int, dim: Int = 64): Seq[Double] =
+    (0 until dim).map { j =>
+      if (((1103515245L * (plane * 64 + j) + 12345L) / 1024L) % 2L == 0L) 1.0 else -1.0
+    }
+
+  /** `embedding · rademacherSigns(plane)` through the codegen'd kernel. */
+  def rademacherDot(emb: Column, plane: Int): Column =
+    dotFd(emb, org.apache.spark.sql.functions.typedLit(rademacherSigns(plane)))
+
   def norm(a: Column): Column =
     Bridge.column(NormExpr(Bridge.expression(a)))
 

@@ -355,14 +355,10 @@ object Dedup {
     // on base ∪ re-keyed copies of every 20th vector (cosine exactly 1)
     val emb = base.unionAll(base.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-    // hyperplane component j of plane k: ±1 from LCG((k·64 + j)) mid bits
+    // hyperplane component j of plane k: ±1 from LCG((k·64 + j)) mid
+    // bits, precomputed driver-side into the codegen'd dot kernel
     val bucketBits = (0 until 8).map { k =>
-      val dot = expr(
-        s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |  (v, j) -> CAST(v AS DOUBLE) *
-           |    (CASE WHEN ((1103515245L * CAST($k * 64 + j AS BIGINT) + 12345L) div 1024L) % 2L = 0
-           |     THEN 1.0 ELSE -1.0 END)),
-           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+      val dot = graft.functions.VectorFunctions.rademacherDot(col("embedding"), k)
       when(dot >= 0, expr(s"shiftleft(1L, $k)")).otherwise(0L)
     }
     val bucketed = emb.withColumn("bucket", bucketBits.reduce(_ + _))

@@ -67,12 +67,7 @@ object Similarity {
     // disjoint from q_random_projection/q_dedup_embed's 0..7) — pure
     // integer arithmetic, so bucketing is oracle-replayable
     val bucketBits = (0 until 6).map { k =>
-      val dot = expr(
-        s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |  (v, j) -> CAST(v AS DOUBLE) *
-           |    (CASE WHEN ((1103515245L * CAST(${k + 8} * 64 + j AS BIGINT) + 12345L) div 1024L) % 2L = 0
-           |     THEN 1.0 ELSE -1.0 END)),
-           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+      val dot = VectorFunctions.rademacherDot(col("embedding"), k + 8)
       when(dot >= 0, expr(s"shiftleft(1L, $k)")).otherwise(0L)
     }
     val bucketed = emb.withColumn("bucket", bucketBits.reduce(_ + _))
@@ -293,12 +288,8 @@ object Similarity {
     * matrix is program text, never materialized. */
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
     val kDims = 8
-    def proj(k: Int): Column = expr(
-      s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-         |  (v, j) -> CAST(v AS DOUBLE) *
-         |    (CASE WHEN ((1103515245L * CAST($k * 64 + j AS BIGINT) + 12345L) div 1024L) % 2L = 0
-         |     THEN 1.0 ELSE -1.0 END)),
-         |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / sqrt(${kDims}.0)""".stripMargin)
+    def proj(k: Int): Column =
+      VectorFunctions.rademacherDot(col("embedding"), k) / math.sqrt(kDims.toDouble)
     val x2 = expr(
       "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
     // materialize each 64-element fold ONCE (codegen does not CSE
