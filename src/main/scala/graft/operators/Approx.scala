@@ -65,13 +65,12 @@ object Approx {
     "error" -> 1073741824L)                           // rate 0.5
 
   /** The row-keep predicate as SQL text shared verbatim by both
-    * engines (same LCG recipe as q_permutation, salt 42). */
-  private val keepSql: String = {
-    val st = s"(((((event_id % 2147483648) * 1103515245 + ${12345L + 42L * 1013904223L}) % 2147483648)" +
-      " * 1103515245 + 12345) % 2147483648)"
+    * engines (same LCG recipe as q_permutation, salt 42) — built on
+    * the ONE [[lcgState]] kernel so a recipe fix can never skip it. */
+  private lazy val keepSql: String = {
     val whens = sampleThresholds
       .map { case (k, t) => s"WHEN event_type = '$k' THEN $t" }.mkString(" ")
-    s"($st < (CASE $whens ELSE 0 END))"
+    s"(${lcgState("event_id", 42L)} < (CASE $whens ELSE 0 END))"
   }
 
   private def stratifiedSampleFrame(spark: SparkSession, dir: String): DataFrame =

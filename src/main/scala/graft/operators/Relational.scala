@@ -237,7 +237,12 @@ object Relational {
     * it, aggregates. */
   def regexpExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+      // no-match regexp_extract returns '' and CAST('' AS INT) THROWS
+      // under ANSI (both engines error, in fact) — the empty-string
+      // guard buckets an unmatched row as NULL instead of killing the
+      // query on one malformed props row
+      .select(when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) =!= "",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1))
         .cast("int").as("k"), col("value"))
       .withColumn("k_bucket", floor(col("k") / 10) * 10)
       .groupBy("k_bucket")
@@ -245,7 +250,7 @@ object Relational {
       .orderBy("k_bucket")
 
   private val regexpExtractOracle =
-    """SELECT CAST(FLOOR(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) / 10) AS BIGINT) * 10 AS k_bucket,
+    """SELECT CAST(FLOOR(CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INT) / 10) AS BIGINT) * 10 AS k_bucket,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin

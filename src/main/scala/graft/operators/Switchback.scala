@@ -24,6 +24,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Switchback {
 
+  /** Divisor guard: NULL on a zero divisor in both engines, never an
+    * ANSI divide error (the tost/propTest discipline, object-hoisted). */
+  private def nzW(c: Column): Column = when(c =!= 0, c)
+
+  /** Clamp a rounding-residue-negative variance at 0 before sqrt:
+    * Spark's sqrt(−ε) is NaN but DuckDB's hard-errors. CASE rather
+    * than greatest — so a NULL variance stays NULL in both engines. */
+  private def pos(c: Column): Column = when(c < 0, lit(0.0)).otherwise(c)
+  private def posSql(e: String) = s"(CASE WHEN $e < 0 THEN 0.0 ELSE $e END)"
+
   /** Hour-index of the switchback window an event falls into. */
   private def hourIdx: Column =
     expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
@@ -59,8 +69,10 @@ object Switchback {
   def sbMetrics(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("on_off", onOff)
-      .withColumn("k",
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      // empty-string guard: see Relational.regexpExtract — an unmatched
+      // props row must be NULL, not an ANSI cast error
+      .withColumn("k_str", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      .withColumn("k", when(col("k_str") =!= "", col("k_str")).cast("int"))
       .groupBy("event_type", "on_off")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -83,9 +95,20 @@ object Switchback {
   /** Counterpart method (notebooks/switchback_analysis/counterpart_method
     * .ipynb): pair each On window with the next Off window of the same
     * stream and emit the per-window mean delta. */
-  def counterpart(spark: SparkSession, dir: String): DataFrame = {
-    // pair within (event_type, zone): a zone's consecutive hourly windows
-    // alternate On/Off, so the next window is always the counterpart.
+  def counterpart(spark: SparkSession, dir: String): DataFrame =
+    counterpartPairs(spark, dir)
+      .select(col("event_type"), col("zone_id"), col("window_start"),
+        r4(col("wmean")).as("on_mean"),
+        r4(col("next_wmean")).as("off_mean"),
+        r4(col("wmean") - col("next_wmean")).as("delta"))
+      .orderBy("event_type", "zone_id", "window_start")
+
+  /** The On→Off adjacent-window pairing shared by q_counterpart and
+    * q_counterpart_ttest — pair within (event_type, zone): a zone's
+    * consecutive hourly windows alternate On/Off, so the next window
+    * is always the counterpart. ONE construction, so the t-test can
+    * never run on different pairs than the deltas it claims to test. */
+  private def counterpartPairs(spark: SparkSession, dir: String): DataFrame = {
     val perWindow = Tables.events(spark, dir)
       .withColumn("on_off", onOff)
       .groupBy(col("event_type"), zoneId.as("zone_id"),
@@ -97,11 +120,6 @@ object Switchback {
       .withColumn("next_on_off", lead("on_off", 1).over(w))
       .withColumn("next_wmean", lead("wmean", 1).over(w))
       .filter(col("on_off") === "On" && col("next_on_off") === "Off")
-      .select(col("event_type"), col("zone_id"), col("window_start"),
-        r4(col("wmean")).as("on_mean"),
-        r4(col("next_wmean")).as("off_mean"),
-        r4(col("wmean") - col("next_wmean")).as("delta"))
-      .orderBy("event_type", "zone_id", "window_start")
   }
 
   private val counterpartOracle =
@@ -195,7 +213,9 @@ object Switchback {
     * block parity and measure the detected On−Off delta: smaller
     * windows wash out carryover but shrink per-window samples. */
   def windowSweep(spark: SparkSession, dir: String): DataFrame = {
-    val hourIdx = expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    // uses the object's canonical hourIdx — a shadowed local copy here
+    // previously risked silently diverging from every other operator's
+    // assignment if the shared definition ever changed
     Tables.events(spark, dir)
       .withColumn("window_hours", explode(array(lit(1), lit(2), lit(4), lit(8))))
       .withColumn("grp",
@@ -277,7 +297,11 @@ object Switchback {
         sum(when(col("um") >= col("lo") && col("um") <= col("hi"),
           (col("um") * col("um")).cast(d12))).cast(DoubleType).as("smm"))
       .select(col("window_hours"), col("grp"), col("n_units"), col("n_kept"),
-        ((col("smm") - col("sm") * col("sm") / col("n_kept")) / (col("n_kept") - 1)).as("v_raw"))
+        // nzW: a cell keeping exactly 1 unit after fencing must yield
+        // NULL (both engines), not an ANSI divide error; pos: the
+        // decimal-rounded second moment can sit ~1e-13 negative
+        pos((col("smm") - col("sm") * col("sm") / col("n_kept")) /
+          nzW(col("n_kept") - 1)).as("v_raw"))
       .select(col("window_hours"), col("grp"), col("n_units"), col("n_kept"),
         r6(sqrt(col("v_raw"))).as("unit_std"),
         // ÷ √(windows per day): the notebooks' x / np.sqrt(24 / value)
@@ -307,7 +331,7 @@ object Switchback {
        |  FROM units u JOIN fences f ON u.window_hours = f.window_hours
        |  GROUP BY 1, 2),
        |v AS (SELECT window_hours, grp, n_units, n_kept,
-       |    ((smm - sm * sm / n_kept) / (n_kept - 1)) AS v_raw FROM agg)
+       |    ${posSql("((smm - sm * sm / n_kept) / NULLIF(n_kept - 1, 0))")} AS v_raw FROM agg)
        |SELECT window_hours, grp, n_units, n_kept,
        |  ${rSql("sqrt(v_raw)", 6)} AS unit_std,
        |  ${rSql("sqrt(v_raw) / sqrt(24.0 / window_hours)", 6)} AS se_scaled
@@ -328,17 +352,7 @@ object Switchback {
   def counterpartTtest(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.StatFunctions.{pTwoSidedTSql, tInvCfSql}
     val d12 = DecimalType(30, 12)
-    val perWindow = Tables.events(spark, dir)
-      .withColumn("on_off", onOff)
-      .groupBy(col("event_type"), zoneId.as("zone_id"),
-        date_trunc("hour", col("ts")).as("window_start"), col("on_off"))
-      .agg((sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) /
-        count(lit(1))).as("wmean"))
-    val w = Window.partitionBy("event_type", "zone_id").orderBy("window_start")
-    val pairs = perWindow
-      .withColumn("next_on_off", lead("on_off", 1).over(w))
-      .withColumn("next_wmean", lead("wmean", 1).over(w))
-      .filter(col("on_off") === "On" && col("next_on_off") === "Off")
+    val pairs = counterpartPairs(spark, dir)
       .select(col("event_type"), (col("wmean") - col("next_wmean")).as("d"))
     val m = pairs.groupBy("event_type").agg(
       count(lit(1)).as("n_pairs"),
@@ -346,13 +360,13 @@ object Switchback {
       sum((col("d") * col("d")).cast(d12)).cast(DoubleType).as("sd2"))
       .filter(col("n_pairs") > 1)
     val mean = col("sd1") / col("n_pairs")
-    val sd = sqrt((col("sd2") - col("sd1") * col("sd1") / col("n_pairs")) /
-      (col("n_pairs") - 1))
+    val sd = sqrt(pos((col("sd2") - col("sd1") * col("sd1") / col("n_pairs")) /
+      (col("n_pairs") - 1)))
     val base = m.select(col("event_type"), col("n_pairs"),
       mean.as("mean_raw"),
       (sd / sqrt(col("n_pairs").cast(DoubleType))).as("se_raw"),
       (col("n_pairs") - lit(1.0)).as("dfc"))
-      .withColumn("t_raw", col("mean_raw") / col("se_raw"))
+      .withColumn("t_raw", col("mean_raw") / nzW(col("se_raw")))
       .withColumn("tcrit", expr(tInvCfSql("1.959963984540054", "dfc")))
     base.select(col("event_type"), col("n_pairs"),
       r6(col("mean_raw")).as("mean_delta"), r6(col("se_raw")).as("se"),
@@ -384,11 +398,11 @@ object Switchback {
        |  FROM deltas GROUP BY 1 HAVING COUNT(*) > 1),
        |base AS (
        |  SELECT event_type, n_pairs, (sd1 / n_pairs) AS mean_raw,
-       |    (sqrt((sd2 - sd1 * sd1 / n_pairs) / (n_pairs - 1)) / sqrt(CAST(n_pairs AS DOUBLE))) AS se_raw,
+       |    (sqrt(${posSql("((sd2 - sd1 * sd1 / n_pairs) / (n_pairs - 1))")}) / sqrt(CAST(n_pairs AS DOUBLE))) AS se_raw,
        |    (n_pairs - 1.0) AS dfc
        |  FROM m),
        |tstats AS (
-       |  SELECT *, mean_raw / se_raw AS t_raw,
+       |  SELECT *, mean_raw / NULLIF(se_raw, 0) AS t_raw,
        |    ${tInvCfSql("1.959963984540054", "dfc")} AS tcrit
        |  FROM base)
        |SELECT event_type, n_pairs,
@@ -451,7 +465,7 @@ object Switchback {
     val v2 = (col("ss2") - col("s2") * col("s2") / nz(col("n2"))) /
       nz(col("n2") - 1) / nz(col("n2"))
     val z = (col("s1") / nz(col("n1")) - col("s2") / nz(col("n2"))) /
-      nz(sqrt(v1 + v2))
+      nz(sqrt(pos(v1 + v2)))
     val boundary = lit(2.024) * sqrt(lit(4.0) / col("week"))
     cum.select(col("event_type"), col("week"),
         col("n1").as("n_cum_on"), col("n2").as("n_cum_off"),
@@ -464,7 +478,7 @@ object Switchback {
     def nzS(e: String) = s"NULLIF($e, 0)"
     val v1 = s"((ss1 - s1 * s1 / ${nzS("n1")}) / ${nzS("n1 - 1")} / ${nzS("n1")})"
     val v2 = s"((ss2 - s2 * s2 / ${nzS("n2")}) / ${nzS("n2 - 1")} / ${nzS("n2")})"
-    val z = s"((s1 / ${nzS("n1")} - s2 / ${nzS("n2")}) / NULLIF(sqrt($v1 + $v2), 0))"
+    val z = s"((s1 / ${nzS("n1")} - s2 / ${nzS("n2")}) / NULLIF(sqrt(${posSql(s"($v1 + $v2)")}), 0))"
     val bound = "(2.024 * sqrt(4.0 / week))"
     s"""WITH ev AS (
        |  SELECT event_type, "value", $onOffSql AS g,
@@ -586,7 +600,7 @@ object Switchback {
     val v1 = (col("ss1") - col("s1") * col("s1") / nzc(col("n1"))) / nzc(col("n1") - 1)
     val v2 = (col("ss2") - col("s2") * col("s2") / nzc(col("n2"))) / nzc(col("n2") - 1)
     val diff = col("s1") / nzc(col("n1")) - col("s2") / nzc(col("n2"))
-    val se = sqrt(v1 / col("n1") + v2 / col("n2"))
+    val se = sqrt(pos(v1 / col("n1") + v2 / col("n2")))
     val z = diff / nzc(se)
     val phi = exp(-col("z_raw") * col("z_raw") / 2.0) / math.sqrt(2.0 * math.Pi)
     moments.select(col("event_type"), col("n1").as("n_on"), col("n2").as("n_off"),
@@ -618,9 +632,9 @@ object Switchback {
        |stats AS (
        |  SELECT event_type, n1, n2,
        |    (s1 / NULLIF(n1, 0) - s2 / NULLIF(n2, 0)) AS d_raw,
-       |    sqrt($v1 / n1 + $v2 / n2) AS se_raw,
+       |    sqrt(${posSql(s"($v1 / n1 + $v2 / n2)")}) AS se_raw,
        |    ((s1 / NULLIF(n1, 0) - s2 / NULLIF(n2, 0))
-       |      / NULLIF(sqrt($v1 / n1 + $v2 / n2), 0)) AS z_raw
+       |      / NULLIF(sqrt(${posSql(s"($v1 / n1 + $v2 / n2)")}), 0)) AS z_raw
        |  FROM moments)
        |SELECT event_type, n1 AS n_on, n2 AS n_off,
        |  ${rSql("d_raw", 4)} AS diff,

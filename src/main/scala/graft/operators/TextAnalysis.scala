@@ -241,9 +241,10 @@ object TextAnalysis {
           "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
           .as("gram")).distinct()
     val train = grams(Tables.documents(spark, dir))
+    // only the eval GRAM SET matters (doc identity is dropped before
+    // the join), so no re-keying of eval ids is needed
     val eval8 = grams(Tables.documents(spark, dir)
-        .filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        .filter(col("doc_id") % 25 === 0))
       .select(col("gram")).distinct()
     train.join(eval8, Seq("gram"))
       .groupBy("doc_id")
