@@ -58,10 +58,17 @@ object MediaCodec {
     }
     val deflater = new Deflater(Deflater.BEST_SPEED)
     deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = deflater.deflate(buf)
+    // loop to completion: a single deflate() call into a fixed buffer
+    // silently truncates the IDAT once the stream outgrows it (poorly
+    // compressible data overshoots raw.length for large images)
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      zout.write(buf, 0, n)
+    }
     deflater.end()
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++ chunk("IEND", Array.empty)
   }
 
   /** Parsed PNG header facts, all recovered from bytes: dimensions and
@@ -96,10 +103,17 @@ object MediaCodec {
         bb.getInt // chunk CRC (IHDR's is the one we verify explicitly)
         name match {
           case "IDAT" =>
+            // corrupt deflate data must take the None path (the Option
+            // contract extractFeatures relies on), not kill the task;
+            // a preset-dictionary stream (FDICT) would otherwise spin
+            // this loop forever (inflate()=0, needsInput=false)
             inflater.setInput(payload)
             val out = new Array[Byte](8192)
-            while (!inflater.needsInput && !inflater.finished)
+            try while (!inflater.needsInput && !inflater.finished &&
+                !inflater.needsDictionary)
               pixelBytes += inflater.inflate(out)
+            catch { case _: java.util.zip.DataFormatException => return None }
+            if (inflater.needsDictionary) return None
           case "IEND" => sawEnd = true
           case _ => ()
         }
@@ -111,8 +125,12 @@ object MediaCodec {
   }
 
   /** Real nearest-neighbor PNG downscale: inflate the scanlines, sample
-    * every `scale`-th pixel, re-encode. `scale` ≥ 1 keeps ≥1×1. */
-  def pngResize(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    * every `scale`-th pixel, re-encode. `scale` ≥ 1 keeps ≥1×1.
+    * Returns (bytes, newWidth, newHeight) — the dims come from the
+    * DECODED header, the one source of truth, so a caller can never
+    * re-derive them from metadata and silently disagree with the
+    * payload. */
+  def pngResize(bytes: Array[Byte], maxDim: Int): Option[(Array[Byte], Int, Int)] =
     pngDecode(bytes).filter(i => i.crcOk && i.pixelsOk).map { info =>
       val scale = math.max(1, math.max(info.width, info.height) / math.max(1, maxDim))
       val nw = math.max(1, info.width / scale)
@@ -128,7 +146,7 @@ object MediaCodec {
         }
         y += 1
       }
-      pngEncode(nw, nh, out) // content laid row-major == exact pixels
+      (pngEncode(nw, nh, out), nw, nh) // content laid row-major == exact pixels
     }
 
   private def pngInflateRaw(bytes: Array[Byte], info: PngInfo): Array[Byte] = {
@@ -136,16 +154,28 @@ object MediaCodec {
     val out = new Array[Byte](info.height * (1 + info.width))
     val inflater = new Inflater
     var off = 0
+    var sawEnd = false
     try {
-      while (bb.remaining() >= 12) {
+      // same chunk-walk discipline as pngDecode: validate each length
+      // and stop at IEND — trailing garbage after the trailer would
+      // otherwise be read as a chunk header (negative/oversized len ->
+      // allocation or underflow crash)
+      while (bb.remaining() >= 12 && !sawEnd) {
         val len = bb.getInt
         val t = new Array[Byte](4); bb.get(t)
+        val name = new String(t, "US-ASCII")
+        if (len < 0 || len > bb.remaining() - 4) return out
         val payload = new Array[Byte](len); bb.get(payload)
         bb.getInt
-        if (new String(t, "US-ASCII") == "IDAT") {
-          inflater.setInput(payload)
-          while (!inflater.needsInput && !inflater.finished && off < out.length)
-            off += inflater.inflate(out, off, out.length - off)
+        name match {
+          case "IDAT" =>
+            inflater.setInput(payload)
+            try while (!inflater.needsInput && !inflater.finished &&
+                !inflater.needsDictionary && off < out.length)
+              off += inflater.inflate(out, off, out.length - off)
+            catch { case _: java.util.zip.DataFormatException => return out }
+          case "IEND" => sawEnd = true
+          case _ => ()
         }
       }
     } finally inflater.end()
@@ -190,26 +220,37 @@ object MediaCodec {
     val wave = new Array[Byte](4); bb.get(wave)
     if (new String(riff, "US-ASCII") != "RIFF" || new String(wave, "US-ASCII") != "WAVE") return None
     var channels = 0; var rate = 0; var bits = 0; var dataSize = -1L; var blockAlign = 1
-    while (bb.remaining() >= 8) {
+    var malformed = false
+    while (bb.remaining() >= 8 && !malformed) {
       val id = new Array[Byte](4); bb.get(id)
       val size = bb.getInt
-      new String(id, "US-ASCII") match {
-        case "fmt " =>
-          val fmtStart = bb.position()
-          bb.getShort // audio format
-          channels = bb.getShort & 0xffff
-          rate = bb.getInt
-          bb.getInt // byte rate
-          blockAlign = bb.getShort & 0xffff
-          bits = bb.getShort & 0xffff
-          bb.position(fmtStart + size)
-        case "data" =>
-          dataSize = size.toLong
-          bb.position(math.min(bb.position() + size, bb.limit()))
-        case _ =>
-          bb.position(math.min(bb.position() + size, bb.limit()))
+      // a negative size (corrupt header) must take the None path, not
+      // throw from ByteBuffer.position
+      if (size < 0) malformed = true
+      else {
+        new String(id, "US-ASCII") match {
+          case "fmt " if size >= 16 && bb.remaining() >= 16 =>
+            val fmtStart = bb.position()
+            bb.getShort // audio format
+            channels = bb.getShort & 0xffff
+            rate = bb.getInt
+            bb.getInt // byte rate
+            blockAlign = bb.getShort & 0xffff
+            bits = bb.getShort & 0xffff
+            bb.position(math.min(fmtStart.toLong + size, bb.limit().toLong).toInt)
+          case "data" =>
+            dataSize = size.toLong
+            bb.position(math.min(bb.position().toLong + size, bb.limit().toLong).toInt)
+          case _ =>
+            bb.position(math.min(bb.position().toLong + size, bb.limit().toLong).toInt)
+        }
+        // RIFF pads odd-sized chunks to even with one byte the size
+        // field does not count — skipping it keeps later chunk reads
+        // aligned on spec-conformant real-world files
+        if (size % 2 == 1 && bb.remaining() >= 1) bb.position(bb.position() + 1)
       }
     }
+    if (malformed) return None
     if (channels == 0 || dataSize < 0) None
     else Some(WavInfo(channels, rate, bits, dataSize / math.max(1, blockAlign)))
   }

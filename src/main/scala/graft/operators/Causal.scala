@@ -90,7 +90,7 @@ object Causal {
         r6(mean("Off", "post")).as("mean_off_post"),
         r6(didEst).as("did"),
         r6(se).as("se"),
-        r4(didEst / se).as("t_stat"))
+        r4(didEst / nz(se)).as("t_stat"))
       .orderBy("event_type")
   }
 
@@ -129,7 +129,7 @@ object Causal {
        |  ${rSql(mean("Off", "post"), 6)} AS mean_off_post,
        |  ${rSql(didEst, 6)} AS did,
        |  ${rSql(se, 6)} AS se,
-       |  ${rSql(s"($didEst / $se)", 4)} AS t_stat
+       |  ${rSql(s"($didEst / NULLIF($se, 0))", 4)} AS t_stat
        |FROM moments ORDER BY event_type""".stripMargin
   }
 
@@ -171,17 +171,22 @@ object Causal {
     val D0 = expr(olsDet("sy", "st", "sx", "sty", "stt", "stx", "sxy", "stx", "sxx"))
     val D1 = expr(olsDet("n", "sy", "sx", "st", "sty", "stx", "sx", "sxy", "sxx"))
     val D2 = expr(olsDet("n", "st", "sy", "st", "stt", "sty", "sx", "stx", "sxy"))
-    val b0 = D0 / D; val b1 = D1 / D; val b2 = D2 / D
+    // nz on every divisor (the did/hte discipline): a <=2-row group
+    // makes the design matrix exactly singular (D = 0) and a 3-row
+    // group zeroes the dof — NULL stats in both engines, never an
+    // ANSI divide error
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val b0 = D0 / nz(D); val b1 = D1 / nz(D); val b2 = D2 / nz(D)
     // SSE = Σy² − βᵀXᵀy (fixed order); R² = 1 − SSE/SST
     val sse = col("syy") - (b0 * col("sy") + b1 * col("sty") + b2 * col("sxy"))
     val sst = col("syy") - col("sy") * col("sy") / col("n")
-    val sigma2 = sse / (col("n") - 3)
+    val sigma2 = sse / nz(col("n") - 3)
     // var(β₁) = σ²·(A⁻¹)₁₁ = σ²·cof₁₁/D with cof₁₁ = n·sxx − sx²
-    val seT = sqrt(sigma2 * (col("n") * col("sxx") - col("sx") * col("sx")) / D)
+    val seT = sqrt(sigma2 * (col("n") * col("sxx") - col("sx") * col("sx")) / nz(D))
     moments.select(col("event_type"), col("n"),
         r6(b0).as("beta0"), r6(b1).as("beta_treat"), r6(b2).as("beta_x"),
-        r6(seT).as("se_treat"), r4(b1 / seT).as("t_treat"),
-        r4(lit(1.0) - sse / sst).as("r2"))
+        r6(seT).as("se_treat"), r4(b1 / nz(seT)).as("t_treat"),
+        r4(lit(1.0) - sse / nz(sst)).as("r2"))
       .orderBy("event_type")
   }
 
@@ -198,11 +203,12 @@ object Causal {
     val D0 = olsDet("sy", "st", "sx", "sty", "stt", "stx", "sxy", "stx", "sxx")
     val D1 = olsDet("n", "sy", "sx", "st", "sty", "stx", "sx", "sxy", "sxx")
     val D2 = olsDet("n", "st", "sy", "st", "stt", "sty", "sx", "stx", "sxy")
-    val b0 = s"($D0 / $D)"; val b1 = s"($D1 / $D)"; val b2 = s"($D2 / $D)"
+    val b0 = s"($D0 / NULLIF($D, 0))"; val b1 = s"($D1 / NULLIF($D, 0))"
+    val b2 = s"($D2 / NULLIF($D, 0))"
     val sse = s"(syy - ($b0 * sy + $b1 * sty + $b2 * sxy))"
     val sst = "(syy - sy * sy / n)"
-    val sigma2 = s"($sse / (n - 3))"
-    val seT = s"sqrt($sigma2 * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / $D)"
+    val sigma2 = s"($sse / NULLIF(n - 3, 0))"
+    val seT = s"sqrt($sigma2 * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / NULLIF($D, 0))"
     s"""WITH ev AS (
        |  SELECT event_type, "value",
        |    CASE WHEN $onOffSql = 'On' THEN 1 ELSE 0 END AS t,
@@ -222,8 +228,8 @@ object Causal {
        |SELECT event_type, n,
        |  ${rSql(b0, 6)} AS beta0, ${rSql(b1, 6)} AS beta_treat,
        |  ${rSql(b2, 6)} AS beta_x,
-       |  ${rSql(seT, 6)} AS se_treat, ${rSql(s"($b1 / $seT)", 4)} AS t_treat,
-       |  ${rSql(s"(1.0 - $sse / $sst)", 4)} AS r2
+       |  ${rSql(seT, 6)} AS se_treat, ${rSql(s"($b1 / NULLIF($seT, 0))", 4)} AS t_treat,
+       |  ${rSql(s"(1.0 - $sse / NULLIF($sst, 0))", 4)} AS r2
        |FROM moments ORDER BY event_type""".stripMargin
   }
 

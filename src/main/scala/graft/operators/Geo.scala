@@ -39,7 +39,8 @@ object Geo {
     }.toDF("zone", "xs", "ys")
     val pts = Tables.events(spark, dir)
       .select(col("event_id"), col("value").as("x"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("double").as("y"))
+        when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) =!= "",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)).cast("double").as("y"))
     pts.join(broadcast(zoneDf),
         PointInPolygon(col("x"), col("y"), col("xs"), col("ys")))
       .groupBy("zone")
@@ -58,7 +59,7 @@ object Geo {
     s"""WITH zones(zone, x0, x1, y0, y1) AS (VALUES $zoneRows),
        |pts AS (
        |  SELECT event_id, "value" AS x,
-       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE) AS y
+       |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS DOUBLE) AS y
        |  FROM events)
        |SELECT zone, COUNT(*) AS n_points,
        |  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sum_x
@@ -73,7 +74,8 @@ object Geo {
     import spark.implicits._
     Tables.events(spark, dir)
       .select(col("event_id"), col("value").as("x"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("double").as("y"),
+        when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) =!= "",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)).cast("double").as("y"),
         col("event_type"))
       .filter(PointInPolygon(col("x"), col("y"),
         typedLit(Seq(2.0, 8.0, 8.0, 2.0)), typedLit(Seq(20.0, 20.0, 70.0, 70.0))))
@@ -87,7 +89,7 @@ object Geo {
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_x
       |FROM (
       |  SELECT event_type, "value",
-      |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS y
+      |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS DOUBLE) AS y
       |  FROM events)
       |WHERE "value" >= 2.0 AND "value" < 8.0 AND y >= 20.0 AND y < 70.0
       |GROUP BY 1 ORDER BY event_type""".stripMargin
@@ -110,7 +112,8 @@ object Geo {
         graft.functions.Wkt.ys(col("wkt")).as("ys"))
     val pts = Tables.events(spark, dir)
       .select(col("event_id"), col("value").as("x"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("double").as("y"))
+        when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) =!= "",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)).cast("double").as("y"))
     pts.join(broadcast(zoneDf),
         PointInPolygon(col("x"), col("y"), col("xs"), col("ys")))
       .groupBy("zone")
@@ -136,7 +139,7 @@ object Geo {
        |  FROM parsed),
        |pts AS (
        |  SELECT event_id, "value" AS x,
-       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE) AS y
+       |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS DOUBLE) AS y
        |  FROM events)
        |SELECT zone, COUNT(*) AS n_points,
        |  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sum_x

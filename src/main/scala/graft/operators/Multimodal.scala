@@ -112,10 +112,9 @@ object Multimodal {
     media.mapPartitions(_.map { r =>
       if (r.modality != "image") r
       else MediaCodec.pngResize(r.payload, maxDim) match {
-        case Some(p) =>
-          val scale = math.max(1, math.max(r.width, r.height) / math.max(1, maxDim))
-          r.copy(payload = p,
-            width = math.max(1, r.width / scale), height = math.max(1, r.height / scale))
+        // dims come back from the codec's DECODED header — one source
+        // of truth, so the record can never disagree with its payload
+        case Some((p, nw, nh)) => r.copy(payload = p, width = nw, height = nh)
         case None => r // undecodable payload left untouched
       }
     })

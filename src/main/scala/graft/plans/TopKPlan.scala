@@ -99,8 +99,17 @@ final case class TopKExec(
         // reused row buffer
         val ov = InternalRow.copyValue(orderBound.eval(row))
         val tv = InternalRow.copyValue(tieBound.eval(row))
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty(weakestFirst))
+        // probe with the projection's reused row; copy the key ONLY on
+        // first sight of a group (getOrElseUpdate would eagerly
+        // allocate + byte-copy one UnsafeRow per INPUT row)
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty(weakestFirst)
+            heaps.update(probe.copy(), h)
+            h
+        }
         if (heap.size < kk) heap.enqueue((ov, tv, row.copy()))
         else {
           val (wo, wt, _) = heap.head
@@ -123,6 +132,8 @@ object TopK {
   /** Top-k rows per group by (orderCol desc, tieCol asc). */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tieCol: String, k: Int): DataFrame = {
+    // k = 0 would dereference an empty heap's head in the exec
+    require(k >= 1, s"topKPerGroup: k must be >= 1, got $k")
     val plan = TopKPerGroup(
       groupCols.map(c => Bridge.expression(df(c))),
       Bridge.expression(df(orderCol)), Bridge.expression(df(tieCol)),
