@@ -51,6 +51,10 @@ object Bloom {
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val pre = fact.filter(
       mightContain(dim, dimKey, col(factKey), expectedKeys, fpp))
-    pre.join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
+    // no distinct(): a left_semi join emits each surviving fact row
+    // once regardless of build-side key multiplicity, so deduping the
+    // dim side was a full shuffle+aggregate that could not change the
+    // result
+    pre.join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
 }

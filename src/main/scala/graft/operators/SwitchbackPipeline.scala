@@ -69,7 +69,10 @@ object SwitchbackPipeline {
         when(col("day_num_in_test") % 2 === 0, "even").otherwise("odd"))
       .withColumn("dow", date_format(col("ts"), "EEEE"))
       .withColumn("on_or_off", when((hourIdx + col("zone_id")) % 2 === 0, "On").otherwise("Off"))
-      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      // empty-string guard (the sbMetrics discipline): an unmatched
+      // props row must become NULL k, not an ANSI cast error
+      .withColumn("k_str", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      .withColumn("k", when(col("k_str") =!= "", col("k_str")).cast("int"))
       // the reference drops orders whose scheme doesn't match the test
       // setup (keep_drop_flag, automated_script.sql:295)
       .withColumn("keep_drop_flag", when(col("k") < 90, "Keep").otherwise("Drop"))
@@ -119,12 +122,20 @@ object SwitchbackPipeline {
     val agg = ranked.groupBy("test_name").agg(
       sum(col("avg_rank") * col("cnt_on")).as("r_on"),
       sum("cnt_on").as("mn1"), sum("cnt").as("mn"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
-    val n1 = col("mn1"); val n2 = col("mn") - col("mn1"); val n = col("mn")
-    val u1 = col("r_on") - n1 * (n1 + 1) / 2.0
-    val mu = n1 * n2 / 2.0
-    val sd = sqrt(n1 * n2 / 12.0 * ((n + 1) - col("tie_t") / (n * (n - 1.0))))
-    val z = (u1 - mu - signum(u1 - mu) * 0.5) / sd
+      // DECIMAL(38,0) cnt^3 + double-promoted count products + guarded
+      // sd: the Stats.mwu overflow/degenerate discipline
+      sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt") * col("cnt") - col("cnt"))
+        .as("tie_t"))
+    val n1 = col("mn1")
+    val n1d = col("mn1").cast(DoubleType)
+    val n2d = (col("mn") - col("mn1")).cast(DoubleType)
+    val nd = col("mn").cast(DoubleType)
+    val n2 = col("mn") - col("mn1"); val n = col("mn")
+    val u1 = col("r_on") - n1d * (n1d + 1) / 2.0
+    val mu = n1d * n2d / 2.0
+    val sd = sqrt(n1d * n2d / 12.0 *
+      ((nd + 1) - col("tie_t").cast(DoubleType) / (nd * (nd - 1.0))))
+    val z = (u1 - mu - signum(u1 - mu) * 0.5) / when(sd =!= 0, sd)
     val pvals = agg.select(col("test_name"), u1.as("u_stat"), r4(z).as("z"),
       r6(StatFunctions.pTwoSidedNormal(z)).as("p_value"))
 
@@ -200,7 +211,7 @@ object SwitchbackPipeline {
        |  SELECT e.*, user_id % 10 AS zone_id, cfg.test_name, cfg.keep_thresh, cfg.rev_rate, cfg.unit_fee,
        |    CASE WHEN ((epoch_us(date_trunc('hour', ts)) // 3600000000) + (user_id % 10)) % 2 = 0
        |         THEN 'On' ELSE 'Off' END AS on_or_off,
-       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+       |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS INT) AS k
        |  FROM events e
        |  JOIN $cfgSql
        |    ON user_id % 10 BETWEEN cfg.zone_lo AND cfg.zone_hi
@@ -232,13 +243,14 @@ object SwitchbackPipeline {
        |    SUM(avg_rank * cnt_on) AS r_on,
        |    CAST(SUM(cnt_on) AS BIGINT) AS n1,
        |    CAST(SUM(cnt) AS BIGINT) AS n,
-       |    CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_t
+       |    SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tie_t
        |  FROM ranked GROUP BY 1),
        |stats AS (
        |  SELECT test_name,
-       |    (r_on - n1 * (n1 + 1) / 2.0) AS u1,
-       |    (n1 * (n - n1) / 2.0) AS mu,
-       |    sqrt(n1 * (n - n1) / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0)))) AS sd
+       |    (r_on - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0) AS u1,
+       |    (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0) AS mu,
+       |    NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0 *
+       |      ((CAST(n AS DOUBLE) + 1) - CAST(tie_t AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 0) AS sd
        |  FROM agg)
        |SELECT m.test_name, m.n_on, m.n_off,
        |  m.value_per_order_on, m.value_per_order_off,
@@ -255,7 +267,7 @@ object SwitchbackPipeline {
        |  SELECT e.*, user_id % 10 AS zone_id, cfg.test_name,
        |    CASE WHEN ((epoch_us(date_trunc('hour', ts)) // 3600000000) + (user_id % 10)) % 2 = 0
        |         THEN 'On' ELSE 'Off' END AS on_or_off,
-       |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+       |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS INT) AS k
        |  FROM events e
        |  JOIN $configsSql
        |    ON user_id % 10 BETWEEN cfg.zone_lo AND cfg.zone_hi
@@ -287,13 +299,14 @@ object SwitchbackPipeline {
        |    SUM(avg_rank * cnt_on) AS r_on,
        |    CAST(SUM(cnt_on) AS BIGINT) AS n1,
        |    CAST(SUM(cnt) AS BIGINT) AS n,
-       |    CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_t
+       |    SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tie_t
        |  FROM ranked GROUP BY 1),
        |stats AS (
        |  SELECT test_name,
-       |    (r_on - n1 * (n1 + 1) / 2.0) AS u1,
-       |    (n1 * (n - n1) / 2.0) AS mu,
-       |    sqrt(n1 * (n - n1) / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0)))) AS sd
+       |    (r_on - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0) AS u1,
+       |    (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0) AS mu,
+       |    NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0 *
+       |      ((CAST(n AS DOUBLE) + 1) - CAST(tie_t AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 0) AS sd
        |  FROM agg)
        |SELECT m.test_name, m.n_on, m.n_off,
        |  m.value_per_order_on, m.value_per_order_off,

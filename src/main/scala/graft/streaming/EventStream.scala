@@ -193,8 +193,13 @@ object EventStream {
     * default exists for reproducible tests; an actual release supplies
     * a seed kept secret from consumers (ideally a cryptographic RNG). */
   def dpReleaseStream(events: DataFrame, seed: Long = 0L): DataFrame = {
-    val gk = "(length(event_type) * 256 + ascii(substring(event_type, 1, 1)))" +
-      " * 64 + (unix_micros(window.start) div 86400000000) % 64"
+    // FULL day index, fully parenthesized: a % 64 day fold re-drew the
+    // IDENTICAL noise every 64 days, so the difference of two releases
+    // 64 days apart cancelled the noise exactly - a real privacy leak
+    // beyond the documented seed-secrecy caveat. 2^21 day multiplier
+    // keeps (type, day) keys collision-free for ~5.7k years.
+    val gk = "((CAST(length(event_type) AS BIGINT) * 256 + ascii(substring(event_type, 1, 1)))" +
+      " * 2097152 + (unix_micros(window.start) div 86400000000))"
     def lap(salt: Long, scale: String): String = {
       // fold the seed into [0, 2^31) first — unreduced seeds can push
       // the LCG state negative (ln of a negative -> NULL releases) or
@@ -457,7 +462,11 @@ object EventStream {
               val logLambda = 0.5 * math.log(se2 / (se2 + sig2)) +
                 sig2 * delta * delta / (2.0 * se2 * (se2 + sig2))
               val pSeq = math.min(1.0, math.exp(-logLambda))
-              st = st.copy(minP = math.min(st.minP, pSeq))
+              // a degenerate day (pooled variance exactly 0 -> NaN
+              // logLambda) must not poison the running minimum: NaN
+              // stored once would surface as p_avp forever after
+              if (!pSeq.isNaN)
+                st = st.copy(minP = math.min(st.minP, pSeq))
               Some(MsprtReadout(eventType, new java.sql.Timestamp(d.dayUs / 1000L),
                 st.cumN1, st.cumN2, delta, logLambda, pSeq, st.minP))
             } else None
@@ -633,7 +642,14 @@ object EventStream {
               val us = toUs(e.ts)
               cur match {
                 case Some(s) if us - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = us, n = s.n + 1, sum = s.sum + e.value))
+                  // min/max, not assignment: a LATE in-gap event from a
+                  // later micro-batch must never move the session end
+                  // BACKWARDS (or the start forwards) - a regressed
+                  // lastUs would let a later event fake a >gap silence
+                  // and split a session that never had one
+                  cur = Some(s.copy(startUs = math.min(s.startUs, us),
+                    lastUs = math.max(s.lastUs, us),
+                    n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed += close(s)
                   cur = Some(SessionState(us, us, 1, e.value))

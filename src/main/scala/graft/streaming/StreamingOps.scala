@@ -329,8 +329,9 @@ object StreamingOps {
       .orderBy("day", "event_type")
 
   private val streamDpOracle = {
-    val gk = "((length(event_type) * 256 + ascii(substring(event_type, 1, 1)))" +
-      " * 64 + (epoch_us(day) // 86400000000) % 64)"
+    // the same fully-parenthesized full-day-index key as the monitor
+    val gk = "((CAST(length(event_type) AS BIGINT) * 256 + ascii(substring(event_type, 1, 1)))" +
+      " * 2097152 + (epoch_us(day) // 86400000000))"
     def lap(salt: Long, scale: String): String = {
       val sFold = java.lang.Math.floorMod(DpSeed, 2147483648L)
       val add = java.lang.Math.floorMod(
