@@ -88,10 +88,19 @@ object CacheScope {
         // plan TWICE (the count job, then ReliableRDDCheckpointData's
         // file write re-executes it — Spark's documented caveat), which
         // at the advertised hours-long-100TB scale doubles every round
-        // and double-fires any observe() metric riding the plan
-        df.persist()
-        try df.checkpoint()
-        finally df.unpersist(blocking = false)
+        // and double-fires any observe() metric riding the plan.
+        // An ALREADY-persisted input keeps its caller-owned cache:
+        // persistence is not refcounted, so unpersisting here would
+        // silently evict the caller's blocks (and the double-execution
+        // hazard the pair guards against doesn't exist — the existing
+        // cache already backs both reads).
+        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          df.checkpoint()
+        else {
+          df.persist()
+          try df.checkpoint()
+          finally df.unpersist(blocking = false)
+        }
       case _ => df.localCheckpoint()
     }
   }

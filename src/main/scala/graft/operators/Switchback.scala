@@ -70,9 +70,12 @@ object Switchback {
     Tables.events(spark, dir)
       .withColumn("on_off", onOff)
       // empty-string guard: see Relational.regexpExtract — an unmatched
-      // props row must be NULL, not an ANSI cast error
-      .withColumn("k_str", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
-      .withColumn("k", when(col("k_str") =!= "", col("k_str")).cast("int"))
+      // props row must be NULL, not an ANSI cast error. Inline (no helper
+      // column): a leftover k_str would leak through a future star-select
+      // or union-by-position; codegen's subexpression elimination shares
+      // the two regexp_extract calls.
+      .withColumn("k", when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) =!= "",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1)).cast("int"))
       .groupBy("event_type", "on_off")
       .agg(
         count(lit(1)).as("n_orders"),

@@ -70,9 +70,10 @@ object SwitchbackPipeline {
       .withColumn("dow", date_format(col("ts"), "EEEE"))
       .withColumn("on_or_off", when((hourIdx + col("zone_id")) % 2 === 0, "On").otherwise("Off"))
       // empty-string guard (the sbMetrics discipline): an unmatched
-      // props row must become NULL k, not an ANSI cast error
-      .withColumn("k_str", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
-      .withColumn("k", when(col("k_str") =!= "", col("k_str")).cast("int"))
+      // props row must become NULL k, not an ANSI cast error. Inline so
+      // no helper column can leak through a star-select downstream.
+      .withColumn("k", when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) =!= "",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1)).cast("int"))
       // the reference drops orders whose scheme doesn't match the test
       // setup (keep_drop_flag, automated_script.sql:295)
       .withColumn("keep_drop_flag", when(col("k") < 90, "Keep").otherwise("Drop"))

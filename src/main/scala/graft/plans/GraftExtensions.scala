@@ -39,10 +39,31 @@ object GraftExtensions {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn: expected an integer literal, got non-literal ${e.sql}")
     e.eval(null) match {
+      // fractional literals are rejected, not truncated: topk_items(w, 2.5)
+      // silently becoming k=2 would hand back a different result set than
+      // the user asked for with no diagnostic
+      case d: java.lang.Double if d.doubleValue() != math.floor(d.doubleValue()) =>
+        throw new IllegalArgumentException(
+          s"$fn: expected an integer literal, got non-integral $d")
+      case d: Decimal if !d.toBigDecimal.isWhole =>
+        throw new IllegalArgumentException(
+          s"$fn: expected an integer literal, got non-integral $d")
+      case f: java.lang.Float if f.floatValue() != math.floor(f.floatValue()) =>
+        throw new IllegalArgumentException(
+          s"$fn: expected an integer literal, got non-integral $f")
       case n: java.lang.Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$fn: expected an integer literal, got $other")
     }
+  }
+
+  /** Size parameters must be usable: a k < 1 (or a capacity below k)
+    * reaches the aggregate's buffer allocation as a nonsense size —
+    * reject at registration with the SQL-surface function name. */
+  private def litPos(e: Expression, fn: String, what: String): Int = {
+    val v = litInt(e, fn)
+    if (v < 1) throw new IllegalArgumentException(s"$fn: $what must be >= 1, got $v")
+    v
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -93,16 +114,20 @@ object GraftExtensions {
         "topk_items(item, k[, capacity]) - SpaceSaving heavy hitters: top-k (item, cnt) " +
           "structs, exact while distinct items <= capacity (default 1024), " +
           "eps-approximate at bounded memory beyond"),
-      (args: Seq[Expression]) => TopKItemsAgg(args(0),
-        litInt(args(1), "topk_items"),
-        if (args.length > 2) litInt(args(2), "topk_items") else 1024)),
+      (args: Seq[Expression]) => {
+        val k = litPos(args(1), "topk_items", "k")
+        val cap = if (args.length > 2) litPos(args(2), "topk_items", "capacity") else 1024
+        if (cap < k) throw new IllegalArgumentException(
+          s"topk_items: capacity ($cap) must be >= k ($k)")
+        TopKItemsAgg(args(0), k, cap)
+      }),
     (FunctionIdentifier("bottom_k"),
       info("bottom_k",
         "bottom_k(key, id, k) - the k smallest (key, id) pairs under (key asc, id asc); " +
           "mergeable k-bounded state (map-side combine, no sort)"),
       (args: Seq[Expression]) => BottomKPairsAgg(Cast(args(0), DoubleType),
         Cast(args(1), org.apache.spark.sql.types.LongType),
-        litInt(args(2), "bottom_k"))),
+        litPos(args(2), "bottom_k", "k"))),
     (FunctionIdentifier("cms_sketch"),
       info("cms_sketch",
         "cms_sketch(item) - Count-Min counter grid (depth x width flat array); " +

@@ -27,19 +27,25 @@ private final case class MsprtState(open: List[DayMoments],
     cumN2: Long, cumS2Micro: Long, cumSs2: Double,
     minP: Double, lastFinalUs: Long)
 
-/** Daily anytime-valid readout emitted when a day finalizes. */
+/** Daily anytime-valid readout emitted when a day finalizes.
+  * s1_micro/s2_micro are the cumulative micro-scaled value sums — exact
+  * longs, so they (and delta, pure IEEE arithmetic on them) are
+  * oracle-checkable even though the float-state columns are not. */
 final case class MsprtReadout(event_type: String, day: java.sql.Timestamp,
-    n1: Long, n2: Long, delta: Double, log_lambda: Double,
-    p_seq: Double, p_avp: Double)
+    n1: Long, n2: Long, s1_micro: Long, s2_micro: Long,
+    delta: Double, log_lambda: Double, p_seq: Double, p_avp: Double)
 
 private final case class GstState(open: List[DayMoments],
     cumN1: Long, cumS1Micro: Long, cumSs1: Double,
     cumN2: Long, cumS2Micro: Long, cumSs2: Double,
     firstWeekUs: Long, lastFinalUs: Long)
 
-/** Weekly group-sequential readout emitted when a week finalizes. */
+/** Weekly group-sequential readout emitted when a week finalizes.
+  * s1_micro/s2_micro: exact cumulative micro-scaled sums (the
+  * MsprtReadout discipline) — the oracle-checkable slice of the state. */
 final case class GstReadout(event_type: String, week_start: java.sql.Timestamp,
-    k: Long, n1: Long, n2: Long, z: Double, obf_bound: Double, reject: Boolean)
+    k: Long, n1: Long, n2: Long, s1_micro: Long, s2_micro: Long,
+    z: Double, obf_bound: Double, reject: Boolean)
 
 /** One day's single-arm count + exact micro-scaled sum — the minimal
   * state a mean-based monitor needs (CUSUM has no On/Off split). */
@@ -80,14 +86,27 @@ object EventStream {
     * At scale this is the standard idempotent-landing pattern; the
     * checkpoint directory carries source offsets, so a restarted
     * query resumes, re-runs at most one batch, and lands it on top of
-    * itself. */
+    * itself.
+    *
+    * DETERMINISM PRECONDITION: exactly-once rests on a replayed batch
+    * recomputing the SAME rows (true for the append-mode watermark-
+    * finalized aggregations here — a batch's content is a pure function
+    * of its source offsets — but not for transforms reading wall-clock
+    * time or unseeded randomness).
+    *
+    * Empty micro-batches are skipped: a directory holding no parquet
+    * footers would otherwise break schema inference on the readers'
+    * `spark.read.parquet(path)` when EVERY batch is empty. */
   def exactlyOnceParquetSink(finalized: DataFrame, path: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     finalized.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+        // persist: isEmpty + write would otherwise run the batch plan twice
+        batch.persist()
+        try if (!batch.isEmpty) batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+        finally batch.unpersist(blocking = false): Unit
       }
       .start()
 
@@ -468,7 +487,8 @@ object EventStream {
               if (!pSeq.isNaN)
                 st = st.copy(minP = math.min(st.minP, pSeq))
               Some(MsprtReadout(eventType, new java.sql.Timestamp(d.dayUs / 1000L),
-                st.cumN1, st.cumN2, delta, logLambda, pSeq, st.minP))
+                st.cumN1, st.cumN2, st.cumS1Micro, st.cumS2Micro,
+                delta, logLambda, pSeq, st.minP))
             } else None
           }
           st = st.copy(open = open)
@@ -544,7 +564,8 @@ object EventStream {
               val z = (s1 / n1 - s2 / n2) / math.sqrt(v1 + v2)
               val bound = 2.024 * math.sqrt(4.0 / k)
               Some(GstReadout(eventType, new java.sql.Timestamp(wkm.dayUs / 1000L),
-                k, st.cumN1, st.cumN2, z, bound, math.abs(z) > bound))
+                k, st.cumN1, st.cumN2, st.cumS1Micro, st.cumS2Micro,
+                z, bound, math.abs(z) > bound))
             } else None
           }
           st = st.copy(open = open)

@@ -41,8 +41,16 @@ object Replay {
     * (sorted last by name, processed last) finalizes every real window.
     *
     * The chunk layout runs through the engine itself (one sort + write),
-    * so nothing round-trips the driver at any size. */
-  def replayViaFiles(spark: SparkSession, dir: String, chunks: Int = 10)
+    * so nothing round-trips the driver at any size.
+    *
+    * @param dupFeed lay every chunk file down TWICE (a byte-identical
+    *                copy stamped to arrive in the very next micro-batch)
+    *                — the at-least-once re-delivery simulation of
+    *                [[replay]]'s dupFeed, expressed as duplicate source
+    *                files; FileStreamSource tracks seen files by PATH,
+    *                so the copy genuinely re-delivers every row. */
+  def replayViaFiles(spark: SparkSession, dir: String, chunks: Int = 10,
+      dupFeed: Boolean = false)
       (xform: Dataset[Event] => DataFrame): DataFrame = {
     import spark.implicits._
     val id = counter.incrementAndGet()
@@ -74,11 +82,20 @@ object Replay {
     // the 30-days-ahead watermark drop EVERY real event as late —
     // an empty result instead of an error, so the stamps are checked
     val dataFiles = parquetFiles().sortBy(_.getName)
-    val base = System.currentTimeMillis() - (dataFiles.length + 2) * 1000L
+    val base = System.currentTimeMillis() - (2 * dataFiles.length + 3) * 1000L
     dataFiles.zipWithIndex.foreach { case (f, i) =>
       require(f.setLastModified(base + i * 1000L), s"cannot stamp mtime on $f")
+      if (dupFeed) {
+        // the copy lands between this chunk and the next (mtime + 500 ms),
+        // so under maxFilesPerTrigger=1 the re-delivery arrives in a LATER
+        // micro-batch than its original — the same cross-batch dedup-state
+        // exercise replay's dupFeed performs
+        val dup = new java.io.File(stage, f.getName.stripSuffix(".parquet") + "-dup.parquet")
+        java.nio.file.Files.copy(f.toPath, dup.toPath)
+        require(dup.setLastModified(base + i * 1000L + 500L), s"cannot stamp mtime on $dup")
+      }
     }
-    val preSentinel = dataFiles.map(_.getName).toSet
+    val preSentinel = parquetFiles().map(_.getName).toSet
     sentinel.coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
     parquetFiles().filterNot(f => preSentinel(f.getName)).foreach(f =>
       require(f.setLastModified(base + (dataFiles.length + 1) * 1000L),

@@ -6,13 +6,17 @@ import graft.Op
 import graft.functions.Compat.{r4, r6, rSql}
 
 /** Driver-visible batch replays of the Structured Streaming monitors
-  * (SURVEY.md §2 block D) — each entry feeds the recorded events table
-  * through [[Replay]] in micro-batches and exposes the finalized
-  * append-mode output as an ordinary query, so the correctness gate
-  * hash-checks the streaming path against a DuckDB oracle computing the
-  * same finalized windows in batch. This is the reference's daily
-  * monitoring loop (switchback_analysis.ipynb re-read per day) run
-  * end-to-end through real watermark/state machinery.
+  * (SURVEY.md §2 block D) — each entry replays the recorded events table
+  * through [[Replay.replayViaFiles]] (a real FileStreamSource: engine-
+  * side ts-ordered chunk layout, file listing, offset tracking,
+  * exactly-once file accounting — NO driver-side collect of the input at
+  * any size) and exposes the finalized append-mode output as an ordinary
+  * query, so the correctness gate hash-checks the streaming path against
+  * a DuckDB oracle computing the same finalized windows in batch. This
+  * is the reference's daily monitoring loop (switchback_analysis.ipynb
+  * re-read per day) run end-to-end through real watermark/state
+  * machinery. The driver-fed MemoryStream twin ([[Replay.replay]]) stays
+  * as the spec-side harness; StreamingSpec pins the two paths equal.
   *
   * Frozen monitor references (the psiMonitor contract: a batch run over
   * a reference period defines "normal"; the stream patrols it) are
@@ -37,7 +41,7 @@ object StreamingOps {
   // ------------------------------------------------------------ tumbling
 
   private def streamTumbling(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds => EventStream.tumblingCounts(ds.toDF()))
+    Replay.replayViaFiles(spark, dir)(ds => EventStream.tumblingCounts(ds.toDF()))
       .orderBy("window_start", "event_type")
 
   private val streamTumblingOracle =
@@ -49,7 +53,7 @@ object StreamingOps {
   // ------------------------------------------------------------ sb rollup
 
   private def streamSbRollup(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds => EventStream.sbMetricsStream(ds.toDF()))
+    Replay.replayViaFiles(spark, dir)(ds => EventStream.sbMetricsStream(ds.toDF()))
       .orderBy("window_start", "event_type", "on_off")
 
   private val streamSbRollupOracle = {
@@ -63,7 +67,7 @@ object StreamingOps {
   // ------------------------------------------------------------ SRM guard
 
   private def streamSrm(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds => EventStream.srmGuard(ds.toDF()))
+    Replay.replayViaFiles(spark, dir)(ds => EventStream.srmGuard(ds.toDF()))
       .orderBy("window_start", "event_type")
 
   private val streamSrmOracle =
@@ -80,7 +84,7 @@ object StreamingOps {
   // ------------------------------------------------------------ PSI drift
 
   private def streamPsi(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds =>
+    Replay.replayViaFiles(spark, dir)(ds =>
       EventStream.psiMonitor(ds.toDF(), PsiCuts, PsiRef))
       .orderBy("window_start", "event_type")
 
@@ -113,7 +117,7 @@ object StreamingOps {
   // ------------------------------------------------------------ MAD guard
 
   private def streamMad(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds =>
+    Replay.replayViaFiles(spark, dir)(ds =>
       EventStream.madMonitor(ds.toDF(), MadRefMed, MadRefMad))
       .orderBy("day", "event_type")
 
@@ -132,7 +136,7 @@ object StreamingOps {
   // ------------------------------------------------ conversion-rate guard
 
   private def streamConv(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds =>
+    Replay.replayViaFiles(spark, dir)(ds =>
       EventStream.convGuard(ds.toDF(), ConvThreshold))
       .orderBy("window_start", "event_type")
 
@@ -165,7 +169,7 @@ object StreamingOps {
   // ------------------------------------------------------------ CUSUM
 
   private def streamCusum(spark: SparkSession, dir: String): DataFrame = {
-    Replay.replay(spark, dir)(ds =>
+    Replay.replayViaFiles(spark, dir)(ds =>
       EventStream.cusumMonitor(ds, CusumRefMean, CusumH).toDF()
         .select(col("event_type"), col("day"), col("n"),
           r6(col("daily_mean")).as("daily_mean"),
@@ -201,7 +205,7 @@ object StreamingOps {
   // ------------------------------------------------------------ sessions
 
   private def streamSessionize(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds =>
+    Replay.replayViaFiles(spark, dir)(ds =>
       EventStream.sessionize(ds).toDF()
         // epoch-µs longs: exact cross-engine compare; sum_value is a raw
         // sequential float fold (unordered SQL SUM can differ 1 ulp), so
@@ -245,7 +249,7 @@ object StreamingOps {
   private def streamDedup(spark: SparkSession, dir: String): DataFrame =
     // dupFeed: every micro-batch is delivered twice (at-least-once
     // simulation); the watermark-bounded state drops the re-deliveries
-    Replay.replay(spark, dir, dupFeed = true)(ds =>
+    Replay.replayViaFiles(spark, dir, dupFeed = true)(ds =>
       EventStream.dedupStream(ds.toDF())
         .filter(col("event_id") >= 0)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
@@ -259,7 +263,7 @@ object StreamingOps {
   // ------------------------------------------------------------ attribution
 
   private def streamAttribution(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds =>
+    Replay.replayViaFiles(spark, dir)(ds =>
       EventStream.clickAttribution(ds.toDF())
         .select(col("purchase_id"), col("click_id"), col("user_id"),
           unix_micros(col("purchase_ts")).as("purchase_ts_us"),
@@ -279,7 +283,7 @@ object StreamingOps {
   // ------------------------------------------------------ heavy hitters
 
   private def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds => EventStream.windowedHeavyHitters(ds.toDF()))
+    Replay.replayViaFiles(spark, dir)(ds => EventStream.windowedHeavyHitters(ds.toDF()))
       .orderBy("window_start", "rank")
 
   // exact at this cardinality (5 event types << the sketch's 1024
@@ -297,7 +301,7 @@ object StreamingOps {
   // ------------------------------------------------------------ reservoir
 
   private def streamReservoir(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds => EventStream.sampleReservoir(ds.toDF()))
+    Replay.replayViaFiles(spark, dir)(ds => EventStream.sampleReservoir(ds.toDF()))
       .orderBy("window_start", "event_type", "rk")
 
   private val streamReservoirOracle = {
@@ -324,7 +328,7 @@ object StreamingOps {
   // ------------------------------------------------------------ DP release
 
   private def streamDp(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds =>
+    Replay.replayViaFiles(spark, dir)(ds =>
       EventStream.dpReleaseStream(ds.toDF(), DpSeed))
       .orderBy("day", "event_type")
 
@@ -351,28 +355,93 @@ object StreamingOps {
        |FROM d ORDER BY day, event_type""".stripMargin
   }
 
-  // ------------------------------------- rows-only, self-certifying trio
+  // -------------------------------------------------- mSPRT / GST peeks
 
-  /** mSPRT replay — rows-only by design: the squared-sum state term is a
-    * float accumulation (documented ~1e-9 spec tolerance), so the
-    * anytime-p can shift a ulp vs any batch SQL. Self-certification:
-    * p_seq ∈ (0,1], the running-min law p_avp ≤ p_seq, and exact
-    * cumulative counts must be nondecreasing per type (append order). */
+  /** mSPRT replay — the cumulative (n, Σvalue-micro) moments the monitor
+    * accumulates are exact longs, and delta is pure IEEE arithmetic on
+    * them, so THOSE columns are oracle-checked against a batch cumulative
+    * window. The float-state readout columns (log_lambda/p_seq/p_avp —
+    * squared-sum accumulation, ~1e-9 spec tolerance) stay self-certified:
+    * cert_ok folds p_seq ∈ (0,1] and the running-min law p_avp ≤ p_seq
+    * into a boolean the oracle pins to TRUE, then the float columns are
+    * projected away. */
   private def streamMsprt(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds => EventStream.msprtMonitor(ds).toDF())
+    Replay.replayViaFiles(spark, dir)(ds => EventStream.msprtMonitor(ds).toDF())
       .withColumn("cert_ok",
         col("p_seq") > 0.0 && col("p_seq") <= 1.0 && col("p_avp") <= col("p_seq"))
+      .select("event_type", "day", "n1", "n2", "s1_micro", "s2_micro",
+        "delta", "cert_ok")
       .orderBy("event_type", "day")
 
-  /** GST replay — rows-only for the same float-state reason; the
-    * O'Brien–Fleming boundary and the reject decision are re-derived in
-    * the certification column. */
+  private val streamMsprtOracle = {
+    // Math.round(v*1e6) == DuckDB round() for the strictly positive
+    // values in this table (the streamCusumOracle note)
+    val vMicro = "CAST(round(\"value\" * 1e6) AS BIGINT)"
+    // delta replays the monitor bit-for-bit: micro-long / 1e6, then / n —
+    // IEEE basic ops only, identical in both engines
+    val delta = "((CAST(cs1 AS DOUBLE) / 1e6) / CAST(cn1 AS DOUBLE)" +
+      " - (CAST(cs2 AS DOUBLE) / 1e6) / CAST(cn2 AS DOUBLE))"
+    s"""WITH d AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN $vMicro ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN 0 ELSE $vMicro END) AS BIGINT) AS s2
+       |  FROM events GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, day,
+       |    CAST(SUM(n1) OVER w AS BIGINT) AS cn1, CAST(SUM(s1) OVER w AS BIGINT) AS cs1,
+       |    CAST(SUM(n2) OVER w AS BIGINT) AS cn2, CAST(SUM(s2) OVER w AS BIGINT) AS cs2
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day, cn1 AS n1, cn2 AS n2, cs1 AS s1_micro,
+       |  cs2 AS s2_micro, $delta AS delta, TRUE AS cert_ok
+       |FROM c WHERE cn1 > 1 AND cn2 > 1
+       |ORDER BY event_type, day""".stripMargin
+  }
+
+  /** GST replay — cumulative weekly moments oracle-checked exactly (the
+    * streamMsprt discipline: micro-long sums + counts + interim index k
+    * are integer-exact; weeks are epoch-aligned 7-day buckets, k counts
+    * from the first nonempty week per type). The float z stays
+    * self-certified: cert_ok re-derives the O'Brien–Fleming boundary and
+    * the reject decision, then z/bound/reject are projected away. */
   private def streamGst(spark: SparkSession, dir: String): DataFrame =
-    Replay.replay(spark, dir)(ds => EventStream.gstMonitor(ds).toDF())
+    Replay.replayViaFiles(spark, dir)(ds => EventStream.gstMonitor(ds).toDF())
       .withColumn("cert_ok",
         abs(col("obf_bound") - lit(2.024) * sqrt(lit(4.0) / col("k"))) < 1e-12 &&
           (col("reject") === (abs(col("z")) > col("obf_bound"))))
+      .select("event_type", "week_start", "k", "n1", "n2",
+        "s1_micro", "s2_micro", "cert_ok")
       .orderBy("event_type", "week_start")
+
+  private val streamGstOracle = {
+    val vMicro = "CAST(round(\"value\" * 1e6) AS BIGINT)"
+    val weekUs = 7L * 86400000000L
+    s"""WITH wkd AS (
+       |  SELECT event_type,
+       |    make_timestamp((epoch_us(ts) // $weekUs) * $weekUs) AS week_start,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN $vMicro ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN $onOffSql THEN 0 ELSE $vMicro END) AS BIGINT) AS s2
+       |  FROM events GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, week_start,
+       |    CAST((epoch_us(week_start) - epoch_us(MIN(week_start) OVER p)) // $weekUs AS BIGINT)
+       |      + 1 AS k,
+       |    CAST(SUM(n1) OVER w AS BIGINT) AS cn1, CAST(SUM(s1) OVER w AS BIGINT) AS cs1,
+       |    CAST(SUM(n2) OVER w AS BIGINT) AS cn2, CAST(SUM(s2) OVER w AS BIGINT) AS cs2
+       |  FROM wkd
+       |  WINDOW p AS (PARTITION BY event_type),
+       |    w AS (PARTITION BY event_type ORDER BY week_start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, week_start, k, cn1 AS n1, cn2 AS n2,
+       |  cs1 AS s1_micro, cs2 AS s2_micro, TRUE AS cert_ok
+       |FROM c WHERE k <= 4 AND cn1 > 1 AND cn2 > 1
+       |ORDER BY event_type, week_start""".stripMargin
+  }
 
   /** Windowed quantile-sketch replay — rows-only (DDSketch interior
     * state is not SQL); certified against the batch per-window true
@@ -380,7 +449,7 @@ object StreamingOps {
     * guarantee (bucket midpoints may overshoot the extremes by up to
     * ~2α relative), plus the p50 ≤ p95 order law. */
   private def streamQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val streamed = Replay.replay(spark, dir)(ds =>
+    val streamed = Replay.replayViaFiles(spark, dir)(ds =>
       EventStream.windowedQuantiles(ds.toDF()))
     val bounds = graft.Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour")).agg(
@@ -407,8 +476,8 @@ object StreamingOps {
     Op("q_stream_dedup", streamDedup, Some(streamDedupOracle)),
     Op("q_stream_attribution", streamAttribution, Some(streamAttributionOracle)),
     Op("q_stream_dp", streamDp, Some(streamDpOracle)),
-    Op("q_stream_msprt", streamMsprt, None),
-    Op("q_stream_gst", streamGst, None),
+    Op("q_stream_msprt", streamMsprt, Some(streamMsprtOracle)),
+    Op("q_stream_gst", streamGst, Some(streamGstOracle)),
     Op("q_stream_quantiles", streamQuantiles, None),
   )
 }
