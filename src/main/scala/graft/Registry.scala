@@ -7,6 +7,7 @@ object Registry {
       operators.Geo.ops ++
       operators.Switchback.ops ++
       operators.SwitchbackPipeline.ops ++
+      operators.DailyPipeline.ops ++
       operators.Stats.ops ++
       operators.TimeSeries.ops ++
       operators.Dedup.ops ++

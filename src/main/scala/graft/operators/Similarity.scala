@@ -490,13 +490,95 @@ object Similarity {
     ivfPqSearch(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
       col("vec_id") < 10)
 
+  /** Train → persist artifacts → reload → serve: the full index
+    * lifecycle as one driver-visible query (the bpeEncodeWith pattern
+    * applied to ANN). The serve half runs zero Lloyd jobs — it reads
+    * k + M·K artifact rows and searches — so its result must equal the
+    * composed q_ann_ivfpq ranking bit-for-bit (same oracle). */
+  def annServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val trained = IvfPqIndex(
+      trainIvf(emb, k = 8, iters = 2), trainPq(emb, M = 8, dsub = 8, K = 4))
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ann_index_${java.util.UUID.randomUUID().toString.take(8)}")
+    writeIvfPqIndex(spark, stage.getAbsolutePath, trained)
+    val served = ivfPqSearchWith(
+      readIvfPqIndex(spark, stage.getAbsolutePath), emb, col("vec_id") < 10)
+    graft.CacheScope.defer(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(stage)
+    })
+    served
+  }
+
   /** The composed search, parameterized by the query predicate so the
-    * recall spec can search planted twins over a seeded corpus. */
-  private[graft] def ivfPqSearch(emb: DataFrame, isQuery: Column): DataFrame = {
+    * recall spec can search planted twins over a seeded corpus. Trains
+    * both quantizers inline (the correctness-gate shape); the
+    * train-once/serve-many path is [[ivfPqSearchWith]]. */
+  private[graft] def ivfPqSearch(emb: DataFrame, isQuery: Column): DataFrame =
+    ivfPqSearchWith(
+      IvfPqIndex(trainIvf(emb, k = 8, iters = 2), trainPq(emb, M = 8, dsub = 8, K = 4)),
+      emb, isQuery)
+
+  /** Trained IVF-PQ serving artifacts: `centroids(cluster)` is the
+    * coarse quantizer (cosine IVF), `codebook(s)(cl)` the fine product
+    * quantizer (squared-L2, M subspaces × K centers). Persist with
+    * [[writeIvfPqIndex]]; total size is k·d + M·K·dsub doubles —
+    * dimension-bounded, broadcast as plan literals at serve time. */
+  final case class IvfPqIndex(centroids: Array[Seq[Double]],
+      codebook: Array[Array[Array[Double]]])
+
+  /** Persist a trained index as two parquet tables (`ivf_centroids`,
+    * `pq_codebook`) under `path` — the artifact layout a 100 TB
+    * deployment trains once (on a sample) and every ingest/serve job
+    * reads back. Doubles round-trip parquet bit-exactly, so a reloaded
+    * index serves the identical ranking (Round8Spec pins this). */
+  def writeIvfPqIndex(spark: SparkSession, path: String, index: IvfPqIndex): Unit = {
+    import spark.implicits._
+    graft.sources.Sources.writeTruncate(
+      index.centroids.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c) }.toDF("cluster", "centroid"),
+      s"$path/ivf_centroids")
+    graft.sources.Sources.writeTruncate(
+      (for {
+        s <- index.codebook.indices
+        cl <- index.codebook(s).indices
+      } yield (s, cl, index.codebook(s)(cl).toSeq)).toDF("s", "cl", "center"),
+      s"$path/pq_codebook")
+  }
+
+  /** Load [[writeIvfPqIndex]] artifacts back into driver arrays —
+    * k + M·K rows total, dimension-bounded by construction. */
+  def readIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/ivf_centroids")
+      .orderBy("cluster").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")))
+    val cbRows = spark.read.parquet(s"$path/pq_codebook")
+      .orderBy("s", "cl").collect()
+      .map(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("cl")),
+        r.getSeq[Double](r.fieldIndex("center")).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val k = cbRows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](m, k)
+    cbRows.foreach { case (s, cl, c) => cb(s)(cl) = c }
+    IvfPqIndex(cents, cb)
+  }
+
+  /** SERVE path: search with pre-trained artifacts — zero training jobs
+    * (Round8Spec audits that building this plan launches no Spark job;
+    * every artifact lands as broadcast literals in scan-local
+    * expressions). At 100 TB the assignment+encode projection runs once
+    * at ingest and persists; here it's part of the query so the gate
+    * exercises the full path. */
+  def ivfPqSearchWith(index: IvfPqIndex, emb: DataFrame, isQuery: Column): DataFrame = {
     import graft.functions.Compat.r6
-    val M = 8; val dsub = 8; val K = 4
-    val centroids = trainIvf(emb, k = 8, iters = 2)
-    val cb = trainPq(emb, M, dsub, K)
+    val M = index.codebook.length
+    val K = index.codebook.head.length
+    val dsub = index.codebook.head.head.length
+    val centroids = index.centroids
+    val cb = index.codebook
     val cCols = centroids.map(c =>
       VectorFunctions.dotFd(col("embedding"), typedLit(c)) /
         (VectorFunctions.norm(col("embedding")) * typedLit(l2(c))))
@@ -751,6 +833,7 @@ object Similarity {
     Op("q_ann_ivf", annIvf, Some(annIvfOracle), headline = true),
     Op("q_ann_pq", annPq, Some(annPqOracle)),
     Op("q_ann_ivfpq", annIvfPq, Some(annIvfPqOracle), headline = true),
+    Op("q_ann_serve", annServe, Some(annIvfPqOracle)),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
     Op("q_semdedup", semDedup, Some(semDedupOracle)),
   )

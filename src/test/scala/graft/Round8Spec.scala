@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{DailyPipeline, Similarity}
+
+/** Round-8 guarantees: streaming state recovery across a restart (the
+  * first thing a production stream does after a deploy), the ANN
+  * train-once/serve-many artifact path, daily-pipeline idempotence, and
+  * the SQL-surface size-literal validation. */
+class Round8Spec extends SparkSpec {
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+  }
+
+  test("stateful sessionize resumes from its checkpoint identically after a restart (RocksDB)") {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // users 1-3: one event every 10 min from minute 0 to 200 — a single
+    // session each, OPEN across the stop point (minute ~100), provable
+    // only if the state store recovers; user 4: two sessions split by a
+    // 145-min gap that also straddles the restart
+    val all = (for {
+      u <- 1 to 3; m <- 0 to 200 by 10
+    } yield streaming.Event(u * 1000L + m, ts(m.toLong), u.toLong, "click", m * 0.5)) ++
+      Seq(0L, 5L, 150L, 155L).map(m =>
+        streaming.Event(4000L + m, ts(m), 4L, "view", 1.0))
+    val ordered = all.sortBy(e => (e.ts.getTime, e.event_id))
+    val (pre, post) = ordered.partition(_.ts.getTime <= ts(100).getTime)
+    val sentinel = streaming.Event(-1L, ts(100000L), -1L, "sentinel", 0.0)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_").toFile
+    val (out, cp) = (new java.io.File(root, "out"), new java.io.File(root, "cp"))
+    try {
+      val input = MemoryStream[streaming.Event]
+      def start() = streaming.EventStream.exactlyOnceParquetSink(
+        streaming.EventStream.sessionize(input.toDS()).toDF(),
+        out.getAbsolutePath, cp.getAbsolutePath)
+      val q1 = start()
+      val (pre1, pre2) = pre.splitAt(pre.size / 2)
+      input.addData(pre1); q1.processAllAvailable()
+      input.addData(pre2); q1.processAllAvailable()
+      q1.stop() // deploy: kill the query, keep checkpoint + state store
+      val q2 = start() // resumes offsets AND flatMapGroupsWithState state
+      input.addData(post); q2.processAllAvailable()
+      input.addData(Seq(sentinel)); q2.processAllAvailable()
+      q2.stop()
+      val landed = spark.read.parquet(out.getAbsolutePath)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+
+      // the uninterrupted twin: same chunks, one query lifetime
+      val input2 = MemoryStream[streaming.Event]
+      val q3 = streaming.EventStream.sessionize(input2.toDS()).toDF()
+        .writeStream.format("memory").queryName("r8_sess_ref")
+        .outputMode("append").start()
+      Seq(pre1, pre2, post, Seq(sentinel)).foreach { c =>
+        input2.addData(c); q3.processAllAvailable()
+      }
+      q3.stop()
+      val ref = spark.table("r8_sess_ref")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+
+      assert(landed === ref, "restarted run must equal the uninterrupted run")
+      // the load-bearing recovery evidence: sessions OPEN at the stop
+      // point were continued, not restarted — one 21-event session per
+      // user 1-3 spanning minute 100
+      (1 to 3).foreach { u =>
+        val s = landed.filter(_._1 == u.toLong)
+        assert(s.size === 1, s"user $u must have ONE session, got ${s.size}")
+        assert(s.head._2 == ts(0).getTime && s.head._3 == ts(200).getTime &&
+          s.head._4 == 21L, s"user $u session must span the restart: ${s.head}")
+      }
+      assert(landed.count(_._1 == 4L) === 2, "user 4's gap still splits sessions")
+    } finally {
+      prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+      rm(root)
+    }
+  }
+
+  test("ANN serve path: artifacts round-trip parquet and the serve plan builds with zero jobs") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val trained = Similarity.IvfPqIndex(
+      Similarity.trainIvf(emb, k = 8, iters = 2),
+      Similarity.trainPq(emb, M = 8, dsub = 8, K = 4))
+    val stage = java.nio.file.Files.createTempDirectory("graft_ann_idx_").toFile
+    try {
+      Similarity.writeIvfPqIndex(spark, stage.getAbsolutePath, trained)
+      val loaded = Similarity.readIvfPqIndex(spark, stage.getAbsolutePath)
+      // doubles round-trip parquet bit-exactly
+      assert(loaded.centroids.map(_.toSeq).toSeq === trained.centroids.map(_.toSeq).toSeq)
+      assert(loaded.codebook.map(_.map(_.toSeq).toSeq).toSeq ===
+        trained.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+
+      // the serve audit: with artifacts in hand, BUILDING the search
+      // plan must launch zero Spark jobs (no Lloyd rounds, no collect —
+      // everything is broadcast literals over a lazy scan)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val served =
+        try {
+          val df = Similarity.ivfPqSearchWith(loaded, emb, col("vec_id") < 10)
+          Thread.sleep(1500) // listener bus drain
+          assert(jobs.get() === 0,
+            s"serve-plan build launched ${jobs.get()} jobs — it must train nothing")
+          df
+        } finally spark.sparkContext.removeSparkListener(listener)
+
+      // serving from reloaded artifacts ≡ the composed train+search query
+      val composed = Similarity.ivfPqSearch(emb, col("vec_id") < 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      val viaArtifacts = served
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(viaArtifacts === composed)
+      assert(viaArtifacts.nonEmpty)
+    } finally rm(stage)
+  }
+
+  test("daily pipeline: re-running a day leaves the results table unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_daily_spec_").toFile
+    try {
+      val days = Seq("2024-01-10", "2024-01-11", "2024-01-12")
+        .map(java.time.LocalDate.parse)
+      days.foreach(d => DailyPipeline.landDay(spark, sfDir, base.getAbsolutePath, d))
+      def snapshot() = DailyPipeline.resultsTable(spark, base.getAbsolutePath)
+        .collect().map(_.toSeq).toSet
+      val before = snapshot()
+      assert(before.nonEmpty)
+      DailyPipeline.landDay(spark, sfDir, base.getAbsolutePath,
+        java.time.LocalDate.parse("2024-01-11"))
+      assert(snapshot() === before, "day re-run must be a byte-identical replace")
+    } finally rm(base)
+  }
+
+  test("SQL aggregate size literals are validated at registration") {
+    import spark.implicits._
+    Seq(("a", 1.0), ("b", 2.0)).toDF("item", "w").createOrReplaceTempView("r8_v")
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains(needle)),
+        s"expected '$needle' in ${messages(e)}")
+    }
+    fails("SELECT topk_items(item, 0) FROM r8_v", ">= 1")
+    fails("SELECT topk_items(item, -3) FROM r8_v", ">= 1")
+    fails("SELECT topk_items(item, 5, 3) FROM r8_v", "capacity")
+    fails("SELECT topk_items(item, 2.5) FROM r8_v", "non-integral")
+    fails("SELECT bottom_k(w, 1, 0) FROM r8_v", ">= 1")
+  }
+}
