@@ -30,11 +30,11 @@ object Bench {
     */
   def run(spark: SparkSession, sfDir: String, ops: Seq[Op],
       timedRuns: Int = 2): (String, Int, String) = {
-    val results: Seq[(String, Either[String, Double], Seq[Double])] = ops.map { op =>
+    val results: Seq[(String, Either[String, Double], Seq[Double], Boolean)] = ops.map { op =>
       try op.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failure re-surfaces in the timed runs
       finally CacheScope.releaseAll()
-      val runs = (1 to timedRuns).map { _ =>
+      def timeOnce(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try {
           op.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -44,26 +44,43 @@ object Bench {
             Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         } finally CacheScope.releaseAll() // free scoped caches between runs
       }
+      val first = (1 to timedRuns).map(_ => timeOnce())
+      val ok0 = first.collect { case Right(t) => t }
+      // self-healing against box contention: two runs >1.5× apart means
+      // at least one was contended — take two more so a one-off outlier
+      // can never be the recorded best-of (BENCH_r07's contaminated
+      // headline would have re-timed itself)
+      val retimed = ok0.size >= 2 && ok0.max / ok0.min > 1.5
+      val runs = if (retimed) first ++ (1 to 2).map(_ => timeOnce()) else first
       val ok = runs.collect { case Right(t) => t }
       (op.name,
         if (ok.nonEmpty) Right(ok.min)
         else runs.collectFirst { case Left(m) => Left(m) }.get,
-        ok)
+        ok, retimed)
     }
     val qs = results.map {
-      case (k, Right(t), _) => Json.str(k) + ":" + t
-      case (k, Left(m), _)  => Json.str(k) + ":" + Json.str("err: " + m)
+      case (k, Right(t), _, _) => Json.str(k) + ":" + t
+      case (k, Left(m), _, _)  => Json.str(k) + ":" + Json.str("err: " + m)
     }.mkString("{", ",", "}")
     // every timed run, not just the best-of: a one-off outlier (GC,
     // box contention) must be diagnosable from the artifact alone
-    val perRun = results.map { case (k, _, ok) =>
+    val perRun = results.map { case (k, _, ok, _) =>
       Json.str(k) + ":" + ok.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(t), _) => t }.sum
+    val retimedArr = results.collect { case (k, _, _, true) => Json.str(k) }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, Right(t), _, _) => t }.sum
     val errs = results.count(_._2.isLeft)
-    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"sf":${Json.str(sfDir)}}""",
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$perRun,"retimed":$retimedArr,"errors":$errs,"sf":${Json.str(sfDir)}}""",
       errs, qs)
   }
+
+  /** 1-minute load average — recorded in the artifact so a contended
+    * box is self-diagnosing (Linux-only; absent elsewhere). */
+  private def loadAvg(): Option[Double] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
+    catch { case _: Throwable => None }
 
   /** Per-query times as a bare JSON object (one untimed warmup + one
     * timed run each) — the cheap probe behind the three-point scale
@@ -106,7 +123,9 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     val heads = Registry.ops.filter(_.headline)
+    val loadBefore = loadAvg()
     val (json, errs, primaryQueries) = run(spark, sfDir, heads)
+    val loadAfter = loadAvg()
 
     // three-point scale evidence: per-query times at the sibling scale
     // factors (single timed run each — the scaling EXPONENT is the
@@ -121,9 +140,19 @@ object Bench {
     val scaling = (siblings.map(d => Json.str(d) + ":" + timesAt(spark, d, heads)) :+
       (Json.str(sfDir) + ":" + primaryQueries))
       .mkString("{", ",", "}")
-    val withScaling = json.dropRight(1) + s""","scaling":$scaling}"""
+    val loads = (loadBefore.map(l => s""""load_before":$l""") ++
+      loadAfter.map(l => s""""load_after":$l""")).mkString(",")
+    val withScaling = json.dropRight(1) + s""","scaling":$scaling""" +
+      (if (loads.nonEmpty) s",$loads}" else "}")
 
     println(withScaling)
+    // the artifact is ALSO written to a dedicated file: the driver's
+    // stdout parse has come back null two rounds running (interleaved
+    // log lines), and numbers recoverable only from a log tail defeat
+    // the point of a machine-readable bench line
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), withScaling + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
     spark.stop()
     if (errs > 0) sys.exit(1)
   }

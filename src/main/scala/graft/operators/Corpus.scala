@@ -949,7 +949,7 @@ object Corpus {
     var k = 1
     var dry = false
     while (k <= bpeIters && !dry) {
-      val top = vocab
+      val top1 = vocab
         .select(col("cnt"), split(expr("substring(s, 2, length(s) - 2)"), "  ").as("syms"))
         // single-symbol words carry no pairs — and Spark's
         // sequence(1, 0) counts DOWN, which under ANSI mode turns the
@@ -961,20 +961,39 @@ object Corpus {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect().headOption
-      top match {
+        .limit(1)
+      // ONE job per round (r8, the CC observe() discipline): the
+      // winning pair joins back as a broadcast 1-row side and the fuse
+      // runs in the SAME action that materializes the next generation;
+      // the driver reads the pair off the materialization via observe()
+      // instead of a separate collect round-trip. A dry vocabulary
+      // (top1 empty) leaves l NULL on every row — the LEFT join +
+      // otherwise(s) keep the generation intact (the oracle's LEFT JOIN
+      // ON TRUE + COALESCE guard) and the null observed pair stops the
+      // loop.
+      val obs = org.apache.spark.sql.Observation(s"bpe_round_${k}_${System.nanoTime()}")
+      val next = vocab
+        .join(broadcast(top1), lit(true), "left")
+        .select(
+          when(col("l").isNotNull, call_function("replace", col("s"),
+            concat(lit(" "), col("l"), lit("  "), col("r"), lit(" ")),
+            concat(lit(" "), col("l"), col("r"), lit(" "))))
+            .otherwise(col("s")).as("s"),
+          col("cnt"), col("l"), col("r"), col("c"))
+        .observe(obs, max(col("l")).as("l"), max(col("r")).as("r"), max(col("c")).as("c"))
+        .select("s", "cnt")
+        .graftCheckpoint()
+      val won = Option(obs.get("l")).map(l =>
+        (l.asInstanceOf[String], obs.get("r").asInstanceOf[String],
+          obs.get("c").asInstanceOf[Long]))
+      won match {
         case None =>
           // every word is down to one symbol: the (shorter) merge
-          // table found so far IS the trained artifact — stop, don't
-          // crash on head() of an empty pair frame
+          // table found so far IS the trained artifact
+          graft.CacheScope.freeCheckpoint(next)
           dry = true
-        case Some(row) =>
-          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        case Some((l, r, c)) =>
           merges += ((k, l, r, l + r, c))
-          val next = vocab
-            .withColumn("s", call_function("replace",
-              col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
-            .graftCheckpoint()
           graft.CacheScope.freeCheckpoint(vocab)
           vocab = next
           k += 1

@@ -113,24 +113,18 @@ object Dedup {
     val docs = corpus(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     // whole 16-perm signature + distinct-shingle count per row at scan
-    // time (native MinHashSketchExpr) — zero shuffles to build sketches.
-    // Persisted (~140 B/doc, MEMORY_AND_DISK) for the band self-join,
-    // then explicitly UNPERSISTED as soon as the candidate pairs are
-    // materialized below — without this the downstream DAG re-derives
-    // the band join in four branches and the sketch kernel runs ~8×
-    // over the corpus.
-    val sig = graft.CacheScope.track(docs.select(col("doc_id"),
-      HashFunctions.minhashSketch(col("toks")).as("sk")).persist())
-    // Eagerly materialize: the band self-join reads sig on BOTH sides,
-    // and exchange reuse does not fire across AQE query stages here —
-    // without this the corpus-wide sketch kernel runs twice (verified
-    // with ProfileMinhash). One job over ~140 B/doc is the cheap side
-    // of that trade at any scale.
-    sig.count()
+    // time (native MinHashSketchExpr) — zero shuffles to build sketches,
+    // and (r8 reshape) the sketch stream is consumed by exactly ONE
+    // downstream exchange, so it is never persisted at all: the former
+    // band SELF-JOIN read the sketch table twice (forcing a persist +
+    // an eager materialization job to stop the two sides racing the
+    // cache fill); the bucket-grouped rewrite below needs neither.
+    val sig = docs.select(col("doc_id"),
+      HashFunctions.minhashSketch(col("toks")).as("sk"))
     // 4 bands of 4 rows via one explode. The (band, 4 minhash values)
     // tuple is folded into ONE 64-bit bucket key by plain base-31
     // integer arithmetic (values < 2^31 keep the fold < 2^47 — exact):
-    // an 8-byte join/shuffle key instead of a ~40-byte "v1:v2:v3:v4"
+    // an 8-byte shuffle key instead of a ~40-byte "v1:v2:v3:v4"
     // string — less shuffle volume and cheaper hash/compare on the
     // 4n-row band table, which at 100 TB is the largest thing this
     // operator shuffles — and, unlike xxhash64, a fold DuckDB replays
@@ -150,30 +144,36 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
       explode(array(bandStructs: _*)).as("bucket"))
       .filter(col("sz") > 0)
-    // Band self-join is a SHUFFLE join on bucket: bands is O(corpus)
-    // (4 rows/doc), so broadcasting it would hit the memory wall at
-    // scale. Buckets are minhash-derived — uniformly spread — so the
-    // shuffle partitions evenly. Candidate-derived sides below are
-    // small but data-dependent (a dup-heavy corpus inflates them):
-    // no forced broadcast() — AQE sizes them at runtime.
+    // Candidate pairs by ONE hash aggregation on bucket (r8, replacing
+    // the band self-join): collect each bucket's (doc_id, sz) members,
+    // drop singleton buckets BEFORE any pair expansion (the vast
+    // majority — the join shuffled them twice and matched nothing),
+    // then expand a.id < b.id pairs with two explodes. One exchange of
+    // the 4n-row band table instead of two join sides — at 100 TB this
+    // halves the operator's dominant shuffle. Per-bucket state is the
+    // member list: bounded by bucket size, the same quantity that
+    // already bounds the pair expansion quadratically, and minhash
+    // buckets are uniform once the degenerate empty-sketch class is
+    // filtered (the sz > 0 guard above). Candidate-derived sides below
+    // are small but data-dependent — no forced broadcast(); AQE sizes
+    // them at runtime.
     // Tracked in CacheScope: the cache must outlive this method (three
     // downstream branches read it) but not the operator RUN — the
     // runner (Verify/Bench/spec) frees it after forcing the result.
-    val cand = graft.CacheScope.track(bands.as("a")
-      .join(bands.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val cand = graft.CacheScope.track(bands
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
         col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
       .persist())
     // materialize the (LSH-pruned, tiny) pair set ONCE — the verify
-    // phase below touches only `cand` and the candidate documents, so
-    // the O(corpus) sketch cache (the doc-comment's promise above) is
-    // released here rather than held pinned until the runner's
-    // releaseAll (gigabytes of executor memory at 100 TB with zero
-    // remaining readers; the deferred CacheScope release then no-ops)
+    // phase below reads it from three branches, and at 100 TB nothing
+    // upstream of it (the full band shuffle) may ever re-run
     cand.count()
-    sig.unpersist(blocking = false)
     // verify candidates with true Jaccard — shingle SETS built ONLY for
     // candidate docs (the semi-join runs BEFORE tokenization, so the
     // split/shingle kernels see candidate rows, not the corpus). The

@@ -120,14 +120,20 @@ object Similarity {
     * elementwise mean via posexplode — one shuffle per round keyed on
     * (cluster, dim). Centroids come back to the driver (k·64 floats —
     * dimension-table sized) for the next round's broadcast. */
-  def trainIvf(emb: DataFrame, k: Int, iters: Int): Array[Seq[Double]] = {
+  /** Collect the first `n` vectors (by vec_id) widened to double —
+    * the shared deterministic-init read of both quantizer trainers, so
+    * a composed train (IVF-PQ) pays ONE init job, not two. */
+  private[graft] def firstVectors(emb: DataFrame, n: Int): Array[Seq[Double]] =
+    emb.filter(col("vec_id") < n).orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+
+  def trainIvf(emb: DataFrame, k: Int, iters: Int,
+      init0: Option[Array[Seq[Double]]] = None): Array[Seq[Double]] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val dec = DecimalType(28, 6)
     // init: the first k vectors, float components widened to double
     // (exact) — the oracle's c0 CTE does the identical CAST
-    var centroids: Array[Seq[Double]] = emb.filter(col("vec_id") < k)
-      .orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    var centroids: Array[Seq[Double]] = init0.getOrElse(firstVectors(emb, k))
     (1 to iters).foreach { _ =>
       val cCols = centroids.map(c =>
         VectorFunctions.dotFd(col("embedding"), typedLit(c)) /
@@ -413,12 +419,12 @@ object Similarity {
     * order invariant), divided once in double, re-rounded — so the
     * codebook lives on the 1e-6 grid and the DuckDB oracle replays
     * training as a CTE chain. Driver state is M·K·8 = 256 doubles. */
-  def trainPq(emb: DataFrame, M: Int, dsub: Int, K: Int): Array[Array[Array[Double]]] = {
+  def trainPq(emb: DataFrame, M: Int, dsub: Int, K: Int,
+      init0: Option[Array[Seq[Double]]] = None): Array[Array[Array[Double]]] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import graft.functions.Compat.r6
     val dec = DecimalType(28, 6)
-    val first = emb.filter(col("vec_id") < K).orderBy("vec_id")
-      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    val first = init0.getOrElse(firstVectors(emb, K))
     val init: Array[Array[Array[Double]]] =
       Array.tabulate(M, K)((s, j) => first(j).slice(s * dsub, (s + 1) * dsub).toArray)
     // assignment round 0: argmin squared-L2 per (vector, subspace);
@@ -497,8 +503,10 @@ object Similarity {
     * composed q_ann_ivfpq ranking bit-for-bit (same oracle). */
   def annServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val first8 = firstVectors(emb, 8)
     val trained = IvfPqIndex(
-      trainIvf(emb, k = 8, iters = 2), trainPq(emb, M = 8, dsub = 8, K = 4))
+      trainIvf(emb, k = 8, iters = 2, Some(first8)),
+      trainPq(emb, M = 8, dsub = 8, K = 4, Some(first8.take(4))))
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ann_index_${java.util.UUID.randomUUID().toString.take(8)}")
     writeIvfPqIndex(spark, stage.getAbsolutePath, trained)
@@ -517,10 +525,15 @@ object Similarity {
     * recall spec can search planted twins over a seeded corpus. Trains
     * both quantizers inline (the correctness-gate shape); the
     * train-once/serve-many path is [[ivfPqSearchWith]]. */
-  private[graft] def ivfPqSearch(emb: DataFrame, isQuery: Column): DataFrame =
+  private[graft] def ivfPqSearch(emb: DataFrame, isQuery: Column): DataFrame = {
+    // one init job covers both trainers (IVF wants the first 8 vectors,
+    // PQ the first 4 — a prefix)
+    val first8 = firstVectors(emb, 8)
     ivfPqSearchWith(
-      IvfPqIndex(trainIvf(emb, k = 8, iters = 2), trainPq(emb, M = 8, dsub = 8, K = 4)),
+      IvfPqIndex(trainIvf(emb, k = 8, iters = 2, Some(first8)),
+        trainPq(emb, M = 8, dsub = 8, K = 4, Some(first8.take(4)))),
       emb, isQuery)
+  }
 
   /** Trained IVF-PQ serving artifacts: `centroids(cluster)` is the
     * coarse quantizer (cosine IVF), `codebook(s)(cl)` the fine product
