@@ -46,10 +46,14 @@ object ProfileMinhash {
       .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
         col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
     time("band self-join count")(println("cand=" + cand.count()))
-    // NOTE: this un-persisted rebuild of the band join plans TWO
-    // Exchanges and no ReusedExchange under AQE — i.e. the corpus
-    // sketch kernel would run once per join side. That measurement is
-    // why dedupMinhash persists + eagerly materializes `sig`.
+    // NOTE (historical): this un-persisted band SELF-JOIN plans TWO
+    // Exchanges and no ReusedExchange under AQE — the corpus sketch
+    // kernel runs once per join side. That measurement first forced
+    // dedupMinhash to persist + eagerly materialize `sig`; the r8
+    // reshape (the "variant" below, now the shipped operator) removed
+    // the self-join entirely — groupBy(bucket)+collect_list reads the
+    // sketch stream exactly once, so neither persist nor eager count
+    // survives.
     // full operator, 3 runs
     (1 to 3).foreach { i =>
       time(s"full dedupMinhash #$i") {

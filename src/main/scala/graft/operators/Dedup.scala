@@ -411,10 +411,16 @@ object Dedup {
     * are neighborhood- and chain-stable, i.e. the component minimum.
     *
     * Round shape: the three message sets (neighbor, self, jump) union
-    * into ONE min-aggregation — no per-round left join. Convergence is
-    * detected from Σ labels (DECIMAL(38,0), overflow-safe): labels
-    * are monotone non-increasing, so the sum is strictly decreasing
-    * until the fixpoint — no extra chg column or second pass.
+    * into ONE min-aggregation — no per-round left join. Convergence
+    * (r8): each node's OLD label rides the aggregation (the self
+    * message is tagged, max-over-tag recovers it), and the observed
+    * metric is the count of nodes whose label DECREASED this round —
+    * zero means THIS round already was the fixpoint, so the loop exits
+    * at the first stable round instead of paying one more
+    * checkpoint+barrier to see an unchanged Σ labels (the previous
+    * scheme). One global barrier saved per CC run — per DAY at the
+    * reference's daily cadence — and proportionally more at tiny
+    * scale, where the fixed per-round cost dominates.
     *
     * Plan/cache discipline: the symmetrized edge list is persisted
     * ONCE (it is read every round, and transitively re-running the
@@ -434,7 +440,6 @@ object Dedup {
     * executor loss. Same results, same retirement discipline
     * (spec-pinned in Round7Spec). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val sym = graft.CacheScope.track(
       edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -447,28 +452,33 @@ object Dedup {
       .agg(min(col("dst")).as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("component"))
       .graftCheckpoint()
-    var prevSum: Option[Any] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val nbr = sym.join(labels, sym("dst") === labels("node"))
-        .select(sym("src").as("node"), col("component"))
+        .select(sym("src").as("node"), col("component"), lit(0L).as("self"))
       val par = labels.select(col("node").as("pn"), col("component").as("pc"))
       val jump = labels.join(par, labels("component") === par("pn"))
-        .select(labels("node"), col("pc").as("component"))
-      // the Σ-labels convergence probe rides the checkpoint
-      // materialization via observe() — one job per round, not two
-      // (the probe used to be its own driver action per round)
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
-      val updated = nbr.unionAll(labels).unionAll(jump)
-        .groupBy("node").agg(min("component").as("component"))
-        .observe(obs, sum(col("component").cast(DecimalType(38, 0))).as("s"))
+        .select(labels("node"), col("pc").as("component"), lit(0L).as("self"))
+      // the convergence probe rides the checkpoint materialization via
+      // observe() — one job per round, not two; the tagged self message
+      // carries each node's OLD label through the min-aggregation so
+      // "how many labels decreased" is observable in the SAME pass
+      val obs = org.apache.spark.sql.Observation(s"cc_round_${i}_${System.nanoTime()}")
+      val updated = nbr
+        .unionAll(labels.withColumn("self", lit(1L)))
+        .unionAll(jump)
+        .groupBy("node").agg(
+          min("component").as("component"),
+          max(when(col("self") === 1L, col("component"))).as("old"))
+        .observe(obs, sum((col("component") < col("old")).cast("long")).as("chg"))
+        .select("node", "component")
         .graftCheckpoint()
-      val s = Option(obs.get("s"))
+      // null chg = zero-row labels (empty edge list): trivially converged
+      val chg = Option(obs.get("chg")).map(_.asInstanceOf[Long]).getOrElse(0L)
       graft.CacheScope.freeCheckpoint(labels)
       labels = updated
-      converged = s == prevSum
-      prevSum = s
+      converged = chg == 0L
       i += 1
     }
     graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(labels))
