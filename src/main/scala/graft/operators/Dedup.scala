@@ -160,16 +160,7 @@ object Dedup {
     // Tracked in CacheScope: the cache must outlive this method (three
     // downstream branches read it) but not the operator RUN — the
     // runner (Verify/Bench/spec) frees it after forcing the result.
-    val cand = graft.CacheScope.track(bands
-      .groupBy("bucket")
-      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
-        col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
-      .persist())
+    val cand = graft.CacheScope.track(bandCandidates(bands).persist())
     // materialize the (LSH-pruned, tiny) pair set ONCE — the verify
     // phase below reads it from three branches, and at 100 TB nothing
     // upstream of it (the full band shuffle) may ever re-run
@@ -204,6 +195,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
+
+  /** Distinct candidate pairs from a (doc_id, sz, bucket) band table —
+    * the bucket-grouped kernel behind [[dedupMinhash]]: one hash
+    * aggregation on bucket, singleton buckets pruned before the
+    * two-explode pair expansion, a.id < b.id, distinct across buckets.
+    * Equal BY CONSTRUCTION to the band self-join formulation
+    * (Round8Spec pins the equivalence on random band tables). */
+  private[graft] def bandCandidates(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
+        col("b.doc_id").as("id_b"), col("b.sz").as("sz_b")).distinct()
 
   /** CTE text replaying sketch+banding for one doc set: docsh_N
     * (distinct shingle hashes), sig_N (sz + 16 minhashes), bands_N
