@@ -150,7 +150,8 @@ object Bench {
     // stdout parse has come back null two rounds running (interleaved
     // log lines), and numbers recoverable only from a log tail defeat
     // the point of a machine-readable bench line
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // absolute default: the driver's working directory is not ours
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), withScaling + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
     spark.stop()
