@@ -587,6 +587,10 @@ object Similarity {
     * exercises the full path. */
   def ivfPqSearchWith(index: IvfPqIndex, emb: DataFrame, isQuery: Column): DataFrame = {
     import graft.functions.Compat.r6
+    require(index.centroids.nonEmpty, "ivfPqSearchWith: empty IVF centroid table")
+    require(index.codebook.nonEmpty && index.codebook.forall(s =>
+      s.nonEmpty && s.forall(c => c.length == index.codebook.head.head.length)),
+      "ivfPqSearchWith: ragged or empty PQ codebook")
     val M = index.codebook.length
     val K = index.codebook.head.length
     val dsub = index.codebook.head.head.length
