@@ -47,6 +47,35 @@ object ProfileCC {
     timed("full dedupNgram count")(
       println("  rows=" + operators.Dedup.dedupNgram(spark, sfDir).count()))
 
+    // A/B: self-join vs grouped pair generation, interleaved in ONE JVM
+    // (cross-run box contention otherwise swamps the delta)
+    def pairsSelfJoin() = {
+      val sh = docs.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("shingle")).distinct()
+      sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+    }
+    def pairsGrouped() = {
+      val sh = docs.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("shingle")).distinct()
+      sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(col("ds")).as("id_a"), col("ds"))
+        .select(col("id_a"), explode(col("ds")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    }
+    (1 to 3).foreach { i =>
+      timed(s"AB self-join pairs #$i")(pairsSelfJoin().count())
+      timed(s"AB grouped pairs   #$i")(pairsGrouped().count())
+    }
+
     val pairs = operators.Dedup.dedupNgram(spark, sfDir)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
 

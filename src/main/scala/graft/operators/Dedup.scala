@@ -65,10 +65,21 @@ object Dedup {
         expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
         .as("shingle")).distinct()
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = shingles.as("a")
-      .join(shingles.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // pair generation by ONE hash aggregation on shingle (r8, the
+    // dedupMinhash bandCandidates reshape): collect each shingle's doc
+    // list, drop single-doc shingles BEFORE pair expansion (most of the
+    // inverted index — the self-join shuffled them twice and matched
+    // nothing), expand a < b pairs with two explodes, count per pair.
+    // One exchange of the (doc, shingle) table instead of two join
+    // sides; per-shingle state is the posting list — the same quantity
+    // that already bounds the pair expansion quadratically.
+    val pairs = shingles
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("id_a"), col("ds"))
+      .select(col("id_a"), explode(col("ds")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
