@@ -76,6 +76,40 @@ object ProfileCC {
       timed(s"AB grouped pairs   #$i")(pairsGrouped().count())
     }
 
+    // does the FULL query (pairs + the two size joins) recompute the
+    // shingle subplan, or does AQE stage-reuse absorb it? A/B the
+    // shipped shape against a persisted-shingles variant.
+    def fullShipped() = operators.Dedup.dedupNgram(spark, sfDir)
+    def fullPersisted() = {
+      val sh = docs.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("shingle")).distinct().persist()
+      sh.count()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(col("ds")).as("id_a"), col("ds"))
+        .select(col("id_a"), explode(col("ds")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val out = pairs
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", graft.functions.Compat.r4(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))))
+        .filter(col("jaccard") >= 0.06)
+        .select("id_a", "id_b", "inter", "jaccard")
+        .orderBy("id_a", "id_b")
+      val n = out.count()
+      sh.unpersist(blocking = false)
+      n
+    }
+    (1 to 3).foreach { i =>
+      timed(s"AB full shipped   #$i")(fullShipped().count())
+      timed(s"AB full persisted #$i")(fullPersisted())
+    }
+
     val pairs = operators.Dedup.dedupNgram(spark, sfDir)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
 

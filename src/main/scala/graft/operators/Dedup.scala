@@ -73,6 +73,11 @@ object Dedup {
     // One exchange of the (doc, shingle) table instead of two join
     // sides; per-shingle state is the posting list — the same quantity
     // that already bounds the pair expansion quadratically.
+    // Deliberately NOT persisted: the shingle subplan appears three
+    // times statically (pairs + both size joins) but AQE stage reuse
+    // absorbs the copies at runtime — ProfileCC's interleaved A/B
+    // measured the persist+count variant ~2× SLOWER (cache write, an
+    // extra job, broken stage pipelining) than this lazy shape.
     val pairs = shingles
       .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)

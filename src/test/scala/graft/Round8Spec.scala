@@ -88,6 +88,65 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("cumulative msprt monitor resumes from its checkpoint after a restart") {
+    // the worse failure mode than sessionize: a silently RESET
+    // cumulative state would still produce plausible-looking readouts —
+    // only the cross-boundary cumulative counts expose it
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dayMs = 86400000L
+    def ts(day: Int, hour: Int) =
+      new java.sql.Timestamp(1704067200000L + day * dayMs + hour * 3600000L) // 2024-01-01 +
+    val all = (for {
+      day <- 0 until 5; hour <- 0 until 24 by 2; u <- 1 to 4
+      tpe <- Seq("click", "view")
+    } yield streaming.Event((day * 100000 + hour * 100 + u).toLong +
+        (if (tpe == "click") 0L else 50L),
+      ts(day, hour), u.toLong, tpe, (day * 7 + hour + u) % 13 + 1.0))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (pre, post) = all.partition(_.ts.getTime < ts(2, 12).getTime)
+    val sentinel = streaming.Event(-1L, ts(60, 0), -1L, "sentinel", 0.0)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_msprt_restart_").toFile
+    val (out, cp) = (new java.io.File(root, "out"), new java.io.File(root, "cp"))
+    try {
+      val input = MemoryStream[streaming.Event]
+      def start() = streaming.EventStream.exactlyOnceParquetSink(
+        streaming.EventStream.msprtMonitor(input.toDS()).toDF(),
+        out.getAbsolutePath, cp.getAbsolutePath)
+      val q1 = start()
+      input.addData(pre); q1.processAllAvailable()
+      q1.stop() // watermark has finalized day 0..1; cum state covers them
+      val q2 = start()
+      input.addData(post); q2.processAllAvailable()
+      input.addData(Seq(sentinel)); q2.processAllAvailable()
+      q2.stop()
+      val landed = spark.read.parquet(out.getAbsolutePath)
+        .select("event_type", "day", "n1", "n2", "s1_micro", "s2_micro")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+      val input2 = MemoryStream[streaming.Event]
+      val q3 = streaming.EventStream.msprtMonitor(input2.toDS()).toDF()
+        .writeStream.format("memory").queryName("r8_msprt_ref")
+        .outputMode("append").start()
+      Seq(pre, post, Seq(sentinel)).foreach { c => input2.addData(c); q3.processAllAvailable() }
+      q3.stop()
+      val ref = spark.table("r8_msprt_ref")
+        .select("event_type", "day", "n1", "n2", "s1_micro", "s2_micro")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(landed === ref, "restarted cumulative readouts must equal the uninterrupted run")
+      // cross-boundary evidence: a post-restart day's cumulative count
+      // includes the pre-restart days (state recovered, not reset)
+      val day3 = landed.filter(t => t._1 == "click" && t._2 == ts(3, 0).getTime)
+      assert(day3.size === 1)
+      // 12 two-hour ticks x 4 users per type per day, 4 days cumulative
+      assert(day3.head._3 + day3.head._4 === 4L * 12 * 4,
+        s"day-3 cumulative n must cover days 0..3: ${day3.head}")
+    } finally rm(root)
+  }
+
   test("ANN serve path: artifacts round-trip parquet and the serve plan builds with zero jobs") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val trained = Similarity.IvfPqIndex(
