@@ -89,9 +89,15 @@ object DailyPipeline {
       }
       rm(new java.io.File(base))
     })
-    // the landing dirs are consumed before release: snapshot to local rows
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    // the landing dirs are consumed before release: snapshot the result
+    // into executor blocks (localCheckpoint — distributed, no driver
+    // round-trip) so the returned frame outlives the deferred cleanup
+    val snap = {
+      import graft.CacheScope.CheckpointOps
+      out.graftCheckpoint()
+    }
+    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
+    snap
   }
 
   private val pipelineDailyOracle =

@@ -126,40 +126,7 @@ object Dedup {
     * LSH pruning included, not just the verified survivors. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFunctions
-    val docs = corpus(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    // whole 16-perm signature + distinct-shingle count per row at scan
-    // time (native MinHashSketchExpr) — zero shuffles to build sketches,
-    // and (r8 reshape) the sketch stream is consumed by exactly ONE
-    // downstream exchange, so it is never persisted at all: the former
-    // band SELF-JOIN read the sketch table twice (forcing a persist +
-    // an eager materialization job to stop the two sides racing the
-    // cache fill); the bucket-grouped rewrite below needs neither.
-    val sig = docs.select(col("doc_id"),
-      HashFunctions.minhashSketch(col("toks")).as("sk"))
-    // 4 bands of 4 rows via one explode. The (band, 4 minhash values)
-    // tuple is folded into ONE 64-bit bucket key by plain base-31
-    // integer arithmetic (values < 2^31 keep the fold < 2^47 — exact):
-    // an 8-byte shuffle key instead of a ~40-byte "v1:v2:v3:v4"
-    // string — less shuffle volume and cheaper hash/compare on the
-    // 4n-row band table, which at 100 TB is the largest thing this
-    // operator shuffles — and, unlike xxhash64, a fold DuckDB replays
-    // with the same arithmetic. The fold is injective enough here
-    // (collisions only ADD candidates, which the true-Jaccard verify
-    // filters), and bucket keys stay minhash-uniform for the shuffle.
-    val bandStructs = (0 until 4).map { bnd =>
-      (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
-        (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
-    }
-    // sz > 0 guard: a doc with <2 tokens has no shingles — its sketch
-    // is all-(-1), so every such doc would share every band bucket AND
-    // its Jaccard would be 0/0 (NULL in Spark, NaN in DuckDB — the
-    // engines disagree on the comparison). Excluding empty sketches
-    // from banding (both engines, see minhashCtes) is also the right
-    // semantics: an empty shingle set is similar to nothing.
-    val bands = sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
-      explode(array(bandStructs: _*)).as("bucket"))
-      .filter(col("sz") > 0)
+    val bands = bandBuckets(corpus(spark, dir))
     // Candidate pairs by ONE hash aggregation on bucket (r8, replacing
     // the band self-join): collect each bucket's (doc_id, sz) members,
     // drop singleton buckets BEFORE any pair expansion (the vast
@@ -210,6 +177,158 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** (doc_id, sz, bucket) LSH band table for a (doc_id, text) document
+    * set — the shared front half of [[dedupMinhash]] and the persisted
+    * index path ([[writeMinhashIndex]] / [[dedupAgainstIndex]]).
+    *
+    * Whole 16-perm signature + distinct-shingle count per row at scan
+    * time (native MinHashSketchExpr) — zero shuffles to build sketches;
+    * the sketch stream is consumed by exactly ONE downstream exchange,
+    * so it is never persisted. 4 bands of 4 rows via one explode. The
+    * (band, 4 minhash values) tuple is folded into ONE 64-bit bucket
+    * key by plain base-31 integer arithmetic (values < 2^31 keep the
+    * fold < 2^47 — exact): an 8-byte shuffle key instead of a ~40-byte
+    * "v1:v2:v3:v4" string — less shuffle volume and cheaper
+    * hash/compare on the 4n-row band table, which at 100 TB is the
+    * largest thing the minhash family shuffles — and, unlike xxhash64,
+    * a fold DuckDB replays with the same arithmetic. The fold is
+    * injective enough here (collisions only ADD candidates, which the
+    * true-Jaccard verify filters), and bucket keys stay minhash-uniform
+    * for the shuffle.
+    *
+    * sz > 0 guard: a doc with <2 tokens has no shingles — its sketch
+    * is all-(-1), so every such doc would share every band bucket AND
+    * its Jaccard would be 0/0 (NULL in Spark, NaN in DuckDB — the
+    * engines disagree on the comparison). Excluding empty sketches
+    * from banding (both engines, see minhashCtes) is also the right
+    * semantics: an empty shingle set is similar to nothing. */
+  private[graft] def bandBuckets(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions
+    val sig = docs.select(col("doc_id"),
+      HashFunctions.minhashSketch(split(col("text"), " ")).as("sk"))
+    val bandStructs = (0 until 4).map { bnd =>
+      (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
+        (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
+    }
+    sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
+      explode(array(bandStructs: _*)).as("bucket"))
+      .filter(col("sz") > 0)
+  }
+
+  /** Persist the minhash dedup index for a document set: `bands`
+    * (doc_id, sz, bucket — the LSH candidate side) and `shingles`
+    * (doc_id, distinct shingle-hash array — the exact-verify side) as
+    * two parquet tables under `path`. This is the accumulated-corpus
+    * artifact a daily pipeline builds ONCE and appends each day's slice
+    * to; [[dedupAgainstIndex]] then dedups any new shard against it
+    * with ZERO recompute of historical text — the historical documents
+    * are not even an input to the serve call. At 100 TB, land `bands`
+    * bucketed on `bucket` through the catalog
+    * ([[graft.sources.Sources.writeBucketed]]) and the daily candidate
+    * join runs shuffle-free on the index side. */
+  def writeMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    import graft.functions.HashFunctions
+    graft.sources.Sources.writeTruncate(bandBuckets(docs), s"$path/bands")
+    graft.sources.Sources.writeTruncate(
+      docs.select(col("doc_id"),
+        HashFunctions.shingleHashes(split(col("text"), " ")).as("shs")),
+      s"$path/shingles")
+  }
+
+  /** Dedup a NEW document shard against a persisted [[writeMinhashIndex]]
+    * index — the incremental (daily) form of [[dedupMinhash]]: work is
+    * O(new shard + matched candidates), never O(corpus). The signature
+    * takes only (indexPath, newDocs): historical text is structurally
+    * unavailable, so nothing can re-derive it (Round8Spec serves from an
+    * index whose source frame was never registered anywhere).
+    *
+    * Join shape: new-side bands join index bands on the 8-byte bucket
+    * key. The new side is one day — AQE broadcasts it at gate scale; at
+    * 100 TB the index side is catalog-bucketed on `bucket` (see
+    * [[writeMinhashIndex]]) so history is scanned, never shuffled.
+    * Verify loads shingle arrays ONLY for matched candidates on both
+    * sides (semi-joins before any array materializes), then one
+    * codegen'd array_intersect per pair. Output: per new doc, how many
+    * historical near-dups it has and the strongest one. */
+  def dedupAgainstIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val cand = graft.CacheScope.track(bandBuckets(newDocs).as("n")
+      .join(idxBands.as("h"), col("n.bucket") === col("h.bucket"))
+      .select(col("n.doc_id").as("new_id"), col("n.sz").as("sz_n"),
+        col("h.doc_id").as("hist_id"), col("h.sz").as("sz_h"))
+      .distinct().persist())
+    // materialize the (LSH-pruned, tiny) candidate set once — three
+    // branches below read it, and the band join must never re-run
+    cand.count()
+    val newSh = newDocs
+      .join(cand.select(col("new_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
+    val histSh = spark.read.parquet(s"$indexPath/shingles")
+      .join(cand.select(col("hist_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    cand
+      .join(newSh.as("sn"), col("new_id") === col("sn.doc_id"))
+      .join(histSh.as("sh"), col("hist_id") === col("sh.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sn.shs"), col("sh.shs"))).cast("long"))
+      .withColumn("jaccard", r4(col("inter").cast("double") /
+        (col("sz_n") + col("sz_h") - col("inter"))))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_hist_matches"), max("jaccard").as("max_jaccard"))
+      .orderBy("new_id")
+  }
+
+  /** Driver-visible incremental-dedup query: history = documents with
+    * doc_id % 4 ≠ 1; today's shard = the held-out % 4 = 1 docs (clean)
+    * ∪ re-keyed copies of every 8th doc (planted dups of history). The
+    * full index lifecycle runs inside the query — build + persist the
+    * history index, then serve the shard against the reloaded artifacts
+    * (the q_ann_serve / bpeEncodeWith pattern applied to dedup). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val hist = d.filter(col("doc_id") % 4 =!= 1).select(col("doc_id"), col("text"))
+    val fresh = d.filter(col("doc_id") % 4 === 1).select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mh_index_${java.util.UUID.randomUUID().toString.take(8)}")
+    writeMinhashIndex(spark, stage.getAbsolutePath, hist)
+    graft.CacheScope.defer(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(stage)
+    })
+    dedupAgainstIndex(spark, stage.getAbsolutePath, fresh)
+  }
+
+  private val dedupIncrementalOracle = {
+    val jac = "(CAST(inter AS DOUBLE) / (sz_n + sz_h - inter))"
+    s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1),
+       |newdocs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 8 = 0),
+       |${minhashCtes("h", "hist")},
+       |${minhashCtes("n", "newdocs")},
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, n.sz AS sz_n,
+       |    h.doc_id AS hist_id, h.sz AS sz_h
+       |  FROM bands_n n JOIN bands_h h ON n.bucket = h.bucket),
+       |inter AS (
+       |  SELECT new_id, hist_id, sz_n, sz_h,
+       |    len(list_intersect(dn.dh, dhh.dh)) AS inter
+       |  FROM cand
+       |  JOIN docsh_n dn ON cand.new_id = dn.doc_id
+       |  JOIN docsh_h dhh ON cand.hist_id = dhh.doc_id)
+       |SELECT new_id, COUNT(*) AS n_hist_matches, MAX(${rSql(jac, 4)}) AS max_jaccard
+       |FROM inter WHERE ${rSql(jac, 4)} >= 0.5
+       |GROUP BY new_id ORDER BY new_id""".stripMargin
   }
 
   /** Distinct candidate pairs from a (doc_id, sz, bucket) band table —
@@ -726,6 +845,7 @@ object Dedup {
     Op("q_split_safe", splitSafe, Some(splitSafeOracle)),
     Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     Op("q_dedup_minhash", dedupMinhash, Some(dedupMinhashOracle), headline = true),
+    Op("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Op("q_dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
     Op("q_dedup_embed", dedupEmbed, Some(dedupEmbedOracle)),
   )

@@ -226,6 +226,27 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("minhash index serves incremental dedup without the historical text") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_mh_idx_").toFile
+    try {
+      // history exists only as this in-memory frame: dedupAgainstIndex
+      // takes (indexPath, newDocs) alone, so the serve path structurally
+      // CANNOT recompute historical sketches — everything it knows about
+      // history is the persisted bands/shingles artifacts
+      val hist = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "one two three four five six")).toDF("doc_id", "text")
+      operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath, hist)
+      val fresh = Seq(
+        (100L, "alpha beta gamma delta epsilon"), // exact dup of doc 1
+        (101L, "zig zag zip zap zoom")).toDF("doc_id", "text")
+      val out = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath, fresh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSeq === Seq((100L, 1L, 1.0)))
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
+
   test("file replay dupFeed: every chunk delivered twice, dedup output unchanged") {
     val once = streaming.Replay.replayViaFiles(spark, sfDir)(ds =>
       streaming.EventStream.dedupStream(ds.toDF()).select("event_id"))
