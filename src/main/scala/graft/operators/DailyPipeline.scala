@@ -83,12 +83,8 @@ object DailyPipeline {
       .select(col("test_name"), col("day"), col("on_or_off"),
         col("n"), col("sum_value"), col("sum_revenue"))
       .orderBy("test_name", "day", "on_or_off")
-    graft.CacheScope.defer(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(base))
-    })
+    graft.CacheScope.defer(() =>
+      graft.sources.Sources.deleteRecursively(new java.io.File(base)))
     // the landing dirs are consumed before release: snapshot the result
     // into executor blocks (localCheckpoint — distributed, no driver
     // round-trip) so the returned frame outlives the deferred cleanup

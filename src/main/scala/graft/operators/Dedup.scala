@@ -73,6 +73,16 @@ object Dedup {
     // One exchange of the (doc, shingle) table instead of two join
     // sides; per-shingle state is the posting list — the same quantity
     // that already bounds the pair expansion quadratically.
+    // SKEW CAVEAT (why this buffer is safe HERE but not in general):
+    // natural-language shingles are Zipfian — a stop-word bigram ("of
+    // the") can appear in most of a corpus, and unlike minhash band
+    // buckets there is no uniformity argument. This operator's contract
+    // bounds it: all-pairs ngram Jaccard runs on the keyed SAMPLE only
+    // (the doc filter above), so the hottest posting list is sample-
+    // sized. At full-corpus scale the production path is dedupMinhash
+    // (uniform 8-byte buckets); a full-corpus ngram variant would need
+    // a document-frequency cut on hot shingles, which changes `inter`
+    // and is therefore a different operator, not a flag here.
     // Deliberately NOT persisted: the shingle subplan appears three
     // times statically (pairs + both size joins) but AQE stage reuse
     // absorbs the copies at runtime — ProfileCC's interleaved A/B
@@ -298,12 +308,7 @@ object Dedup {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_mh_index_${java.util.UUID.randomUUID().toString.take(8)}")
     writeMinhashIndex(spark, stage.getAbsolutePath, hist)
-    graft.CacheScope.defer(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(stage)
-    })
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
     dedupAgainstIndex(spark, stage.getAbsolutePath, fresh)
   }
 

@@ -120,12 +120,16 @@ object Similarity {
     * elementwise mean via posexplode — one shuffle per round keyed on
     * (cluster, dim). Centroids come back to the driver (k·64 floats —
     * dimension-table sized) for the next round's broadcast. */
-  /** Collect the first `n` vectors (by vec_id) widened to double —
-    * the shared deterministic-init read of both quantizer trainers, so
-    * a composed train (IVF-PQ) pays ONE init job, not two. */
-  private[graft] def firstVectors(emb: DataFrame, n: Int): Array[Seq[Double]] =
-    emb.filter(col("vec_id") < n).orderBy("vec_id").select("embedding")
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+  /** Collect the vectors with vec_id < n (id kept, components widened
+    * to double) — the shared deterministic-init read of both quantizer
+    * trainers, so a composed train (IVF-PQ) pays ONE init job, not two.
+    * Ids are returned so a caller slicing a smaller init out of a
+    * larger one filters BY ID (`_._1 < k`), not by array prefix — a
+    * prefix is only equivalent when vec_ids are dense from 0, and the
+    * oracle's c0 CTE is defined as `vec_id < k`. */
+  private[graft] def firstVectors(emb: DataFrame, n: Int): Array[(Long, Seq[Double])] =
+    emb.filter(col("vec_id") < n).orderBy("vec_id").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
 
   def trainIvf(emb: DataFrame, k: Int, iters: Int,
       init0: Option[Array[Seq[Double]]] = None): Array[Seq[Double]] = {
@@ -133,7 +137,8 @@ object Similarity {
     val dec = DecimalType(28, 6)
     // init: the first k vectors, float components widened to double
     // (exact) — the oracle's c0 CTE does the identical CAST
-    var centroids: Array[Seq[Double]] = init0.getOrElse(firstVectors(emb, k))
+    var centroids: Array[Seq[Double]] =
+      init0.getOrElse(firstVectors(emb, k).map(_._2))
     (1 to iters).foreach { _ =>
       val cCols = centroids.map(c =>
         VectorFunctions.dotFd(col("embedding"), typedLit(c)) /
@@ -424,7 +429,7 @@ object Similarity {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import graft.functions.Compat.r6
     val dec = DecimalType(28, 6)
-    val first = init0.getOrElse(firstVectors(emb, K))
+    val first = init0.getOrElse(firstVectors(emb, K).map(_._2))
     val init: Array[Array[Array[Double]]] =
       Array.tabulate(M, K)((s, j) => first(j).slice(s * dsub, (s + 1) * dsub).toArray)
     // assignment round 0: argmin squared-L2 per (vector, subspace);
@@ -505,19 +510,15 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val first8 = firstVectors(emb, 8)
     val trained = IvfPqIndex(
-      trainIvf(emb, k = 8, iters = 2, Some(first8)),
-      trainPq(emb, M = 8, dsub = 8, K = 4, Some(first8.take(4))))
+      trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2))),
+      trainPq(emb, M = 8, dsub = 8, K = 4,
+        Some(first8.filter(_._1 < 4).map(_._2))))
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ann_index_${java.util.UUID.randomUUID().toString.take(8)}")
     writeIvfPqIndex(spark, stage.getAbsolutePath, trained)
     val served = ivfPqSearchWith(
       readIvfPqIndex(spark, stage.getAbsolutePath), emb, col("vec_id") < 10)
-    graft.CacheScope.defer(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(stage)
-    })
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
     served
   }
 
@@ -526,12 +527,14 @@ object Similarity {
     * both quantizers inline (the correctness-gate shape); the
     * train-once/serve-many path is [[ivfPqSearchWith]]. */
   private[graft] def ivfPqSearch(emb: DataFrame, isQuery: Column): DataFrame = {
-    // one init job covers both trainers (IVF wants the first 8 vectors,
-    // PQ the first 4 — a prefix)
+    // one init job covers both trainers: IVF inits on vec_id < 8, PQ on
+    // vec_id < 4 — sliced BY ID, so sparse/offset id spaces still match
+    // the oracle's `vec_id < k` init CTEs exactly
     val first8 = firstVectors(emb, 8)
     ivfPqSearchWith(
-      IvfPqIndex(trainIvf(emb, k = 8, iters = 2, Some(first8)),
-        trainPq(emb, M = 8, dsub = 8, K = 4, Some(first8.take(4)))),
+      IvfPqIndex(trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2))),
+        trainPq(emb, M = 8, dsub = 8, K = 4,
+          Some(first8.filter(_._1 < 4).map(_._2)))),
       emb, isQuery)
   }
 

@@ -51,6 +51,13 @@ object GraftExtensions {
       case f: java.lang.Float if f.floatValue() != math.floor(f.floatValue()) =>
         throw new IllegalArgumentException(
           s"$fn: expected an integer literal, got non-integral $f")
+      // range-check through longValue BEFORE narrowing: intValue() wraps
+      // (topk_items(w, 2^32+1) would silently become k=1 — the same
+      // silent-truncation class as the fractional cases above)
+      case n: java.lang.Number
+          if n.longValue() > Int.MaxValue || n.longValue() < Int.MinValue =>
+        throw new IllegalArgumentException(
+          s"$fn: integer literal out of Int range: $n")
       case n: java.lang.Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$fn: expected an integer literal, got $other")

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  /** Recursive local-filesystem delete for staging/artifact temp dirs
+    * (the operators' deferred-cleanup hook). Local only — cluster
+    * deployments stage artifacts on the shared store and clean up with
+    * its own lifecycle tooling. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -116,10 +116,8 @@ object Replay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.sources.Sources.deleteRecursively(f)
 
   /** Replay `dir`'s events through `xform`; returns the finalized
     * rows as a stable local DataFrame.

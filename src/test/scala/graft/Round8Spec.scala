@@ -11,9 +11,7 @@ import graft.operators.{DailyPipeline, Similarity}
   * the SQL-surface size-literal validation. */
 class Round8Spec extends SparkSpec {
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-  }
+  private def rm(f: java.io.File): Unit = sources.Sources.deleteRecursively(f)
 
   test("stateful sessionize resumes from its checkpoint identically after a restart (RocksDB)") {
     val confKey = "spark.sql.streaming.stateStore.providerClass"
