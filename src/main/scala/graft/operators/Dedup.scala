@@ -247,6 +247,20 @@ object Dedup {
       s"$path/shingles")
   }
 
+  /** Append a document set's bands + shingles to an existing
+    * [[writeMinhashIndex]] index — the close of the daily loop: dedup
+    * today's shard with [[dedupAgainstIndex]], then append the kept
+    * docs so tomorrow's run sees them as history. Parquet append on
+    * both tables: O(new docs), the accumulated index is never
+    * rewritten. */
+  def appendToMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    import graft.functions.HashFunctions
+    bandBuckets(docs).write.mode("append").parquet(s"$path/bands")
+    docs.select(col("doc_id"),
+      HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
   /** Dedup a NEW document shard against a persisted [[writeMinhashIndex]]
     * index — the incremental (daily) form of [[dedupMinhash]]: work is
     * O(new shard + matched candidates), never O(corpus). The signature

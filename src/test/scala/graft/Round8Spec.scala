@@ -242,6 +242,14 @@ class Round8Spec extends SparkSpec {
       val out = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath, fresh)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(out.toSeq === Seq((100L, 1L, 1.0)))
+      // close the daily loop: append the clean survivor to the index —
+      // tomorrow's shard must now see it as history
+      operators.Dedup.appendToMinhashIndex(spark, stage.getAbsolutePath,
+        fresh.filter($"doc_id" === 101L))
+      val out2 = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath,
+        Seq((200L, "zig zag zip zap zoom")).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out2.toSeq === Seq((200L, 1L, 1.0)))
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
