@@ -252,7 +252,10 @@ object Dedup {
     * today's shard with [[dedupAgainstIndex]], then append the kept
     * docs so tomorrow's run sees them as history. Parquet append on
     * both tables: O(new docs), the accumulated index is never
-    * rewritten. */
+    * rewritten. CONTRACT: each doc_id is appended at most once (the
+    * daily loop appends only new survivors, whose ids are new by
+    * construction) — a re-appended id would double its shingle rows
+    * and inflate that doc's match counts in later serves. */
   def appendToMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
     import graft.functions.HashFunctions
     bandBuckets(docs).write.mode("append").parquet(s"$path/bands")
