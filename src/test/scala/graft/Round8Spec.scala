@@ -239,7 +239,26 @@ class Round8Spec extends SparkSpec {
       val fresh = Seq(
         (100L, "alpha beta gamma delta epsilon"), // exact dup of doc 1
         (101L, "zig zag zip zap zoom")).toDF("doc_id", "text")
-      val out = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath, fresh)
+      val served = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath, fresh)
+      // plan audit: every file scan in the serve plan reads the index
+      // artifacts — history enters the plan ONLY through them (the new
+      // docs are a LocalTableScan here, so any other file scan would be
+      // a recompute leak)
+      // (logical plan, not executedPlan: AQE wraps the physical tree in
+      // an AdaptiveSparkPlanExec leaf that TreeNode.collect cannot
+      // descend into)
+      val scans = served.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq(r.relation.toString)
+          }
+      }.flatten
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.contains(stage.getName)),
+        s"serve plan scans files outside the index: $scans")
+      val out = served
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(out.toSeq === Seq((100L, 1L, 1.0)))
       // close the daily loop: append the clean survivor to the index —
