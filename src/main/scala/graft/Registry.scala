@@ -8,6 +8,7 @@ object Registry {
       operators.Switchback.ops ++
       operators.SwitchbackPipeline.ops ++
       operators.DailyPipeline.ops ++
+      operators.Maintenance.ops ++
       operators.Stats.ops ++
       operators.TimeSeries.ops ++
       operators.Dedup.ops ++

@@ -272,6 +272,42 @@ class Round8Spec extends SparkSpec {
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
+  test("compaction bin-packs fragments losslessly with disjoint key ranges per file") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_compact_spec_").toFile
+    try {
+      val frag = new java.io.File(stage, "frag").getAbsolutePath
+      val packed = new java.io.File(stage, "packed").getAbsolutePath
+      val data = (0L until 4000L).map(i => (i, s"row_$i", i % 7))
+      data.toDF("k", "payload", "grp").repartition(50)
+        .write.mode("overwrite").parquet(frag)
+      def files(p: String) = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files(frag).length == 50)
+      // target sized to land a handful of output files
+      val totalBytes = files(frag).map(_.length).sum
+      val nFiles = operators.Maintenance.compactParquet(
+        spark, frag, packed, targetBytes = totalBytes / 4 + 1, clusterBy = Some("k"))
+      assert(nFiles == files(packed).length.toLong)
+      assert(nFiles >= 2 && nFiles <= 8, s"got $nFiles files")
+      // lossless: exact multiset of rows survives
+      val back = spark.read.parquet(packed)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(back.toSeq === data.sorted)
+      // clustered: each file covers a disjoint k range (what parquet
+      // min/max footers prune on)
+      val ranges = files(packed).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("k"), max("k")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $ranges")
+        case _ => ()
+      }
+    } finally rm(stage)
+  }
+
   test("file replay dupFeed: every chunk delivered twice, dedup output unchanged") {
     val once = streaming.Replay.replayViaFiles(spark, sfDir)(ds =>
       streaming.EventStream.dedupStream(ds.toDF()).select("event_id"))
