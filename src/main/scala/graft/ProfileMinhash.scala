@@ -152,6 +152,35 @@ object ProfileMinhash {
       cand3.unpersist(blocking = false)
       candSh3.unpersist(blocking = false)
     }
+    // A/B: is the candShingles persist+count worth it, or does exchange
+    // reuse absorb the two join-side reads (both shuffle candShingles on
+    // doc_id — identical exchange) the way AQE stage reuse absorbed the
+    // ngram shingle copies?
+    def verifyHalf(persistSh: Boolean): Unit = {
+      val bands4 = operators.Dedup.bandBuckets(operators.Dedup.corpus(spark, dir))
+      val cand4 = operators.Dedup.bandCandidates(bands4).persist()
+      cand4.count()
+      val candIds4 = cand4.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      val sh0 = operators.Dedup.corpus(spark, dir)
+        .join(candIds4, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
+      val sh = if (persistSh) { val p = sh0.persist(); p.count(); p } else sh0
+      force(cand4
+        .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
+        .withColumn("inter", size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long"))
+        .withColumn("jaccard", graft.functions.Compat.r4(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b"))
+      cand4.unpersist(blocking = false)
+      if (persistSh) sh.unpersist(blocking = false)
+    }
+    (1 to 3).foreach { i =>
+      time(s"AB sh persisted   #$i")(verifyHalf(persistSh = true))
+      time(s"AB sh lazy        #$i")(verifyHalf(persistSh = false))
+    }
     spark.stop()
   }
 }
