@@ -260,13 +260,34 @@ object Dedup {
     * rewritten. CONTRACT: each doc_id is appended at most once (the
     * daily loop appends only new survivors, whose ids are new by
     * construction) — a re-appended id would double its shingle rows
-    * and inflate that doc's match counts in later serves. */
+    * and inflate that doc's match counts in later serves.
+    *
+    * Failure semantics: the two appends are not one transaction, so the
+    * write ORDER is chosen to fail safe — shingles land first. A crash
+    * between the writes leaves shingle rows with no band rows, and a
+    * band-less doc is simply invisible to candidate generation: the
+    * index serves exactly as if the append never ran. (The opposite
+    * order would leave band rows whose candidates silently vanish at
+    * the verify join — missed duplicates with no error.) Recovery from
+    * a partial append is an anti-join repair (append the bands of
+    * shingle-docs missing from bands), NOT a blind re-run, which would
+    * violate the append-once contract. The input is persisted across
+    * the two actions so a nondeterministic source cannot append
+    * mismatched bands vs shingles. */
   def appendToMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
     import graft.functions.HashFunctions
-    bandBuckets(docs).write.mode("append").parquet(s"$path/bands")
-    docs.select(col("doc_id"),
-      HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
-      .write.mode("append").parquet(s"$path/shingles")
+    // respect a caller-owned cache (the CacheScope.checkpoint guard):
+    // persistence is not refcounted, so unpersisting an input that was
+    // already persisted would evict the caller's blocks
+    val callerCached =
+      docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val snap = if (callerCached) docs else docs.persist()
+    try {
+      snap.select(col("doc_id"),
+        HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
+        .write.mode("append").parquet(s"$path/shingles")
+      bandBuckets(snap).write.mode("append").parquet(s"$path/bands")
+    } finally if (!callerCached) snap.unpersist(blocking = false): Unit
   }
 
   /** Dedup a NEW document shard against a persisted [[writeMinhashIndex]]

@@ -16,21 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** Sum of `.parquet` bytes under `path` (recursive), via the Hadoop
-    * FileSystem API so the same code paths work on HDFS/object stores,
-    * not just local disk. */
-  private def parquetBytes(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(p, true)
-    var total = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
-    }
-    total
-  }
-
   /** Compact a parquet directory into ~`targetBytes`-sized files at
     * `outPath`. With `clusterBy` set, rows are range-partitioned and
     * sorted on that key, so each output file covers a disjoint key
@@ -40,15 +25,31 @@ object Maintenance {
     *
     * Sizing uses the INPUT byte sum as the estimate — compaction of
     * same-codec parquet is roughly size-preserving, and an estimate is
-    * all the file-count decision needs. One shuffle of the data being
-    * compacted; at scale runs table-section by table-section (e.g. per
-    * day partition), never whole-table. Returns the output file count. */
+    * all the file-count decision needs. The sum is read off the file
+    * index the `spark.read` itself builds (relation sizeInBytes), so a
+    * 100k-fragment object-store directory — the state this operator
+    * exists to fix — is listed exactly once, not once per concern. One
+    * shuffle of the data being compacted; at scale runs table-section
+    * by table-section (e.g. per day partition), never whole-table.
+    * Returns the output file count. */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long, clusterBy: Option[String] = None): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val nOut = math.max(1L,
-      (parquetBytes(spark, inPath) + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inPath)
+    val totalBytes: BigInt = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.sizeInBytes
+    }.sum
+    require(totalBytes > 0,
+      s"compactParquet: could not size $inPath from its file index")
+    // validate in BigInt BEFORE narrowing — the litInt lesson: a silent
+    // wrap would either crash opaquely (negative partition count) or
+    // quietly write far-oversized files
+    val nOutB = ((totalBytes + targetBytes - 1) / targetBytes).max(1)
+    require(nOutB <= Int.MaxValue,
+      s"compactParquet: $totalBytes bytes / $targetBytes-byte target = " +
+        s"$nOutB output files — beyond Int range; compact in sections")
+    val nOut = nOutB.toInt
     val shaped = clusterBy match {
       case Some(k) => df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
       case None => df.repartition(nOut)
@@ -69,13 +70,17 @@ object Maintenance {
   def compactFiles(spark: SparkSession, dir: String): DataFrame = {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    // register cleanup BEFORE any write: a mid-compaction throw (out of
+    // disk is likeliest exactly here — the fragment stage just copied a
+    // table) must not leak the staging dirs; deleting a missing or
+    // partial dir is a no-op
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
     val frag = new java.io.File(stage, "fragmented").getAbsolutePath
     val packed = new java.io.File(stage, "compacted").getAbsolutePath
     Tables.documents(spark, dir).repartition(64)
       .write.mode("overwrite").parquet(frag)
     compactParquet(spark, frag, packed, targetBytes = 4L << 20,
       clusterBy = Some("doc_id"))
-    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
     // snapshot through a checkpoint (the DailyPipeline pattern): the
     // staging dirs are deleted at release, the result must outlive them
     val out = {

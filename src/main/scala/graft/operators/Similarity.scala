@@ -139,6 +139,9 @@ object Similarity {
     // (exact) — the oracle's c0 CTE does the identical CAST
     var centroids: Array[Seq[Double]] =
       init0.getOrElse(firstVectors(emb, k).map(_._2))
+    require(centroids.length == k,
+      s"trainIvf: init needs the $k vectors with vec_id < $k (dense ids " +
+        s"from 0); got ${centroids.length}")
     (1 to iters).foreach { _ =>
       val cCols = centroids.map(c =>
         VectorFunctions.dotFd(col("embedding"), typedLit(c)) /
@@ -430,6 +433,9 @@ object Similarity {
     import graft.functions.Compat.r6
     val dec = DecimalType(28, 6)
     val first = init0.getOrElse(firstVectors(emb, K).map(_._2))
+    require(first.length >= K,
+      s"trainPq: init needs the $K vectors with vec_id < $K (dense ids " +
+        s"from 0); got ${first.length}")
     val init: Array[Array[Array[Double]]] =
       Array.tabulate(M, K)((s, j) => first(j).slice(s * dsub, (s + 1) * dsub).toArray)
     // assignment round 0: argmin squared-L2 per (vector, subspace);

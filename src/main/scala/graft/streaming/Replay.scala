@@ -112,12 +112,9 @@ object Replay {
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name)
     val rows = out.collect()
-    deleteRecursively(stage)
+    graft.sources.Sources.deleteRecursively(stage)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
-
-  private def deleteRecursively(f: java.io.File): Unit =
-    graft.sources.Sources.deleteRecursively(f)
 
   /** Replay `dir`'s events through `xform`; returns the finalized
     * rows as a stable local DataFrame.
