@@ -210,6 +210,38 @@ object HashFunctions {
   def shingleHashes(toks: Column): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(toks)))
 
+  /** [[sketch]] over PRECOMPUTED distinct shingle hashes (the
+    * [[shingleHashes]] output) — identical permutation arithmetic, so
+    * a sketch rebuilt from a persisted minhash-index `shingles` table
+    * equals the one built from text (Dedup.repairMinhashIndex). The
+    * input carries distinct hashes by contract; no dedup table here. */
+  def sketchFromHashes(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val key = hs.getLong(i)
+      var j = 0
+      while (j < NumPerms) {
+        val v = mod31(key * permA(j) + permB(j)) // key,a < 2^31: no overflow
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](NumPerms + 1)
+    var j = 0
+    while (j < NumPerms) {
+      out(j) = if (mins(j) == Long.MaxValue) -1L else mins(j)
+      j += 1
+    }
+    out(NumPerms) = n.toLong
+    new GenericArrayData(out)
+  }
+
+  def minhashSketchFromHashes(shs: Column): Column =
+    Bridge.column(MinHashFromHashesExpr(Bridge.expression(shs)))
+
   def shingleHashArray(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     var cap = Integer.highestOneBit(math.max(4, n) * 4 - 1) << 1
@@ -253,6 +285,16 @@ case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
     HashFunctions.shingleHashArray(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.HashFunctions.shingleHashArray($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class MinHashFromHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    HashFunctions.sketchFromHashes(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashFunctions.sketchFromHashes($a)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -290,6 +290,39 @@ object Dedup {
     } finally if (!callerCached) snap.unpersist(blocking = false): Unit
   }
 
+  /** Repair a partially-appended index: [[appendToMinhashIndex]] lands
+    * shingles before bands, so the only inconsistent state a crash can
+    * leave is shingle rows whose doc has no band rows (invisible docs).
+    * This derives and appends the missing bands FROM THE INDEX'S OWN
+    * shingle hashes — historical text is not needed, because minhash
+    * permutations and the band fold operate on shingle hashes, which is
+    * exactly what `shingles` stores. Cost is O(missing docs): one
+    * anti-join on the band table's distinct doc ids. Returns how many
+    * docs were repaired. Idempotent — a clean index repairs zero. */
+  def repairMinhashIndex(spark: SparkSession, path: String): Long = {
+    import graft.functions.HashFunctions
+    val bandIds = spark.read.parquet(s"$path/bands")
+      .select("doc_id").distinct()
+    val orphans = spark.read.parquet(s"$path/shingles")
+      .join(bandIds, Seq("doc_id"), "left_anti")
+      .persist()
+    val n = orphans.count()
+    if (n > 0) {
+      val sig = orphans.select(col("doc_id"),
+        HashFunctions.minhashSketchFromHashes(col("shs")).as("sk"))
+      val bandStructs = (0 until 4).map { bnd =>
+        (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
+          (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
+      }
+      sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
+        explode(array(bandStructs: _*)).as("bucket"))
+        .filter(col("sz") > 0)
+        .write.mode("append").parquet(s"$path/bands")
+    }
+    orphans.unpersist(blocking = false)
+    n
+  }
+
   /** Dedup a NEW document shard against a persisted [[writeMinhashIndex]]
     * index — the incremental (daily) form of [[dedupMinhash]]: work is
     * O(new shard + matched candidates), never O(corpus). The signature

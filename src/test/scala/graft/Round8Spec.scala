@@ -272,6 +272,52 @@ class Round8Spec extends SparkSpec {
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
+  test("index repair rebuilds missing bands from persisted shingle hashes") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_mh_repair_").toFile
+    try {
+      val hist = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath, hist)
+      // simulate appendToMinhashIndex crashing between its two writes:
+      // shingles landed, bands did not (the only reachable partial state
+      // given the shingles-first write order)
+      val orphan = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
+      orphan.select($"doc_id",
+        graft.functions.HashFunctions.shingleHashes(split($"text", " ")).as("shs"))
+        .write.mode("append").parquet(s"${stage.getAbsolutePath}/shingles")
+      // the orphan is invisible: its dup is not found
+      val dup = Seq((200L, "one two three four five six")).toDF("doc_id", "text")
+      val before = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath, dup)
+        .collect()
+      CacheScope.releaseAll()
+      assert(before.isEmpty)
+      // repair derives the bands from the index's own shingle hashes
+      assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath) === 1L)
+      val after = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath, dup)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(after.toSeq === Seq((200L, 1L, 1.0)))
+      // idempotent: a consistent index repairs nothing
+      CacheScope.releaseAll()
+      assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath) === 0L)
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
+
+  test("sketch rebuilt from persisted shingle hashes equals the from-text sketch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val words = Vector("a", "b", "c", "dd", "ee", "ff", "ggg", "hh", "ii", "jj")
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.fill(rnd.nextInt(30))(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text") // includes empty and 1-token docs
+    def toks = split($"text", " ")
+    val mismatches = docs.select(
+      graft.functions.HashFunctions.minhashSketch(toks).as("a"),
+      graft.functions.HashFunctions.minhashSketchFromHashes(
+        graft.functions.HashFunctions.shingleHashes(toks)).as("b"))
+      .filter(not($"a" === $"b")).count()
+    assert(mismatches === 0L)
+  }
+
   test("compaction bin-packs fragments losslessly with disjoint key ranges per file") {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft_compact_spec_").toFile
