@@ -354,6 +354,32 @@ class Round8Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("compaction is lossless across the target-size envelope") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_compact_env_").toFile
+    try {
+      val frag = new java.io.File(stage, "frag").getAbsolutePath
+      val data = (0L until 1000L).map(i => (i, s"v$i"))
+      data.toDF("k", "v").repartition(20).write.mode("overwrite").parquet(frag)
+      val totalBytes = new java.io.File(frag).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      // targets spanning: far above total (→ exactly 1 file), near
+      // total, a fraction, and pathologically tiny (→ many files, but
+      // never more than the row count can fill and never an error)
+      Seq(totalBytes * 10, totalBytes + 1, totalBytes / 7 + 1, 64L)
+        .zipWithIndex.foreach { case (target, i) =>
+          val out = new java.io.File(stage, s"out$i").getAbsolutePath
+          val n = operators.Maintenance.compactParquet(
+            spark, frag, out, targetBytes = target, clusterBy = Some("k"))
+          if (target > totalBytes) assert(n === 1L, s"target=$target")
+          else assert(n >= 1L, s"target=$target")
+          val back = spark.read.parquet(out)
+            .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+          assert(back.toSeq === data, s"target=$target lost rows")
+        }
+    } finally rm(stage)
+  }
+
   test("file replay dupFeed: every chunk delivered twice, dedup output unchanged") {
     val once = streaming.Replay.replayViaFiles(spark, sfDir)(ds =>
       streaming.EventStream.dedupStream(ds.toDF()).select("event_id"))
