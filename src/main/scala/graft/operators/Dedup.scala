@@ -221,8 +221,16 @@ object Dedup {
     * semantics: an empty shingle set is similar to nothing. */
   private[graft] def bandBuckets(docs: DataFrame): DataFrame = {
     import graft.functions.HashFunctions
-    val sig = docs.select(col("doc_id"),
-      HashFunctions.minhashSketch(split(col("text"), " ")).as("sk"))
+    bandsFromSig(docs.select(col("doc_id"),
+      HashFunctions.minhashSketch(split(col("text"), " ")).as("sk")))
+  }
+
+  /** Banding half of [[bandBuckets]], from a (doc_id, sk) sketch table.
+    * THE single definition of the on-disk band format (fold base, band
+    * count, sz guard) — the repair path rebuilds bands through this
+    * same function, so repaired rows can never drift from the format
+    * the index was written with. */
+  private def bandsFromSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { bnd =>
       (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
         (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
@@ -291,36 +299,45 @@ object Dedup {
   }
 
   /** Repair a partially-appended index: [[appendToMinhashIndex]] lands
-    * shingles before bands, so the only inconsistent state a crash can
-    * leave is shingle rows whose doc has no band rows (invisible docs).
-    * This derives and appends the missing bands FROM THE INDEX'S OWN
-    * shingle hashes — historical text is not needed, because minhash
+    * shingles before bands, so a crash BETWEEN the two writes leaves
+    * shingle rows whose doc has no band rows (invisible docs). This
+    * derives and appends the missing bands FROM THE INDEX'S OWN shingle
+    * hashes — historical text is not needed, because minhash
     * permutations and the band fold operate on shingle hashes, which is
-    * exactly what `shingles` stores. Cost is O(missing docs): one
-    * anti-join on the band table's distinct doc ids. Returns how many
-    * docs were repaired. Idempotent — a clean index repairs zero. */
-  def repairMinhashIndex(spark: SparkSession, path: String): Long = {
+    * exactly what `shingles` stores — and through the SAME
+    * [[bandsFromSig]] definition the writer uses, so repaired rows
+    * cannot drift from the on-disk format. Returns how many docs were
+    * repaired. Idempotent — a clean index repairs zero (zero-shingle
+    * docs legitimately have no bands and are not orphans).
+    *
+    * Cost: finding orphans is one scan of the index (an anti-join on
+    * the band table's distinct doc ids); only the REBUILD side is
+    * O(missing docs). After a crashed daily append, pass the day's id
+    * range as `idFilter` — it pushes into both parquet scans and bounds
+    * the probe to the suspect slice. Atomicity precondition: each
+    * parquet append commits all-or-nothing at job commit
+    * (FileOutputCommitter v1, the default); under a v2 committer a
+    * crash MID-write can leave a partial shard that repair would make
+    * visible as-is — recovery there is re-landing the day from source,
+    * not repair. */
+  def repairMinhashIndex(spark: SparkSession, path: String,
+      idFilter: org.apache.spark.sql.Column = lit(true)): Long = {
     import graft.functions.HashFunctions
     val bandIds = spark.read.parquet(s"$path/bands")
-      .select("doc_id").distinct()
+      .filter(idFilter).select("doc_id").distinct()
     val orphans = spark.read.parquet(s"$path/shingles")
+      .filter(idFilter)
+      .filter(size(col("shs")) > 0) // banding skips empty sketches by design
       .join(bandIds, Seq("doc_id"), "left_anti")
       .persist()
-    val n = orphans.count()
-    if (n > 0) {
-      val sig = orphans.select(col("doc_id"),
-        HashFunctions.minhashSketchFromHashes(col("shs")).as("sk"))
-      val bandStructs = (0 until 4).map { bnd =>
-        (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
-          (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
-      }
-      sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
-        explode(array(bandStructs: _*)).as("bucket"))
-        .filter(col("sz") > 0)
-        .write.mode("append").parquet(s"$path/bands")
-    }
-    orphans.unpersist(blocking = false)
-    n
+    try {
+      val n = orphans.count()
+      if (n > 0)
+        bandsFromSig(orphans.select(col("doc_id"),
+          HashFunctions.minhashSketchFromHashes(col("shs")).as("sk")))
+          .write.mode("append").parquet(s"$path/bands")
+      n
+    } finally orphans.unpersist(blocking = false): Unit
   }
 
   /** Dedup a NEW document shard against a persisted [[writeMinhashIndex]]
@@ -819,22 +836,8 @@ object Dedup {
     import graft.functions.HashFunctions
     val evalDocs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
-    def bands(df: DataFrame): DataFrame = {
-      val sig = df.select(col("doc_id"),
-        HashFunctions.minhashSketch(split(col("text"), " ")).as("sk"))
-      // (band, 4 values) folded into one 64-bit bucket key — see
-      // dedupMinhash; collisions only add candidates, Jaccard filters.
-      val bandStructs = (0 until 4).map { bnd =>
-        (0 until 4).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column)(
-          (acc, r) => acc * 31L + col("sk").getItem(bnd * 4 + r))
-      }
-      // sz > 0: zero-shingle docs band with nothing (see dedupMinhash)
-      sig.select(col("doc_id"), col("sk").getItem(16).as("sz"),
-        explode(array(bandStructs: _*)).as("bucket"))
-        .filter(col("sz") > 0)
-    }
-    val cand = graft.CacheScope.track(bands(corpus(spark, dir)).as("t")
-      .join(broadcast(bands(evalDocs).as("e")),
+    val cand = graft.CacheScope.track(bandBuckets(corpus(spark, dir)).as("t")
+      .join(broadcast(bandBuckets(evalDocs).as("e")),
         col("t.bucket") === col("e.bucket") &&
           col("t.doc_id") =!= col("e.doc_id"))
       .select(col("t.doc_id").as("train_id"), col("t.sz").as("sz_t"),

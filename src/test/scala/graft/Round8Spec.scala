@@ -276,8 +276,12 @@ class Round8Spec extends SparkSpec {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft_mh_repair_").toFile
     try {
-      val hist = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      // doc 9 has one token → zero shingles → legitimately no band rows;
+      // it must never be classified as an orphan
+      val hist = Seq((1L, "alpha beta gamma delta epsilon"), (9L, "solo"))
+        .toDF("doc_id", "text")
       operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath, hist)
+      assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath) === 0L)
       // simulate appendToMinhashIndex crashing between its two writes:
       // shingles landed, bands did not (the only reachable partial state
       // given the shingles-first write order)
