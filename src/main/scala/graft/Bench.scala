@@ -22,14 +22,14 @@ object Bench {
     * short time) and main exits nonzero, so a regression can never
     * produce a green-looking bench line. BenchSpec guards this.
     *
-    * @return (the single-line JSON report, number of failed queries,
-    *         the bare `queries` JSON object — returned structurally so
-    *         no caller ever re-parses the report text: an error message
-    *         containing braces/quotes would defeat any textual
-    *         extraction)
+    * @return the report: single-line JSON, failure count, and the bare
+    *         `queries`/`total`/`retimed` fragments — returned
+    *         structurally so no caller ever re-parses the report text:
+    *         an error message containing braces/quotes would defeat any
+    *         textual extraction
     */
   def run(spark: SparkSession, sfDir: String, ops: Seq[Op],
-      timedRuns: Int = 2): (String, Int, String) = {
+      timedRuns: Int = 2): Report = {
     val results: Seq[(String, Either[String, Double], Seq[Double], Boolean)] = ops.map { op =>
       try op.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failure re-surfaces in the timed runs
@@ -59,21 +59,38 @@ object Bench {
         ok, retimed)
     }
     val qs = results.map {
-      case (k, Right(t), _, _) => Json.str(k) + ":" + t
+      case (k, Right(t), _, _) => Json.str(k) + ":" + fmt3(t)
       case (k, Left(m), _, _)  => Json.str(k) + ":" + Json.str("err: " + m)
     }.mkString("{", ",", "}")
     // every timed run, not just the best-of: a one-off outlier (GC,
     // box contention) must be diagnosable from the artifact alone
     val perRun = results.map { case (k, _, ok, _) =>
-      Json.str(k) + ":" + ok.mkString("[", ",", "]")
+      Json.str(k) + ":" + ok.map(fmt3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val retimedArr = results.collect { case (k, _, _, true) => Json.str(k) }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, Right(t), _, _) => t }.sum
+    val total = fmt3(results.collect { case (_, Right(t), _, _) => t }.sum)
     val errs = results.count(_._2.isLeft)
-    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$perRun,"retimed":$retimedArr,"errors":$errs,"sf":${Json.str(sfDir)}}""",
-      errs, qs)
+    Report(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$perRun,"retimed":$retimedArr,"errors":$errs,"sf":${Json.str(sfDir)}}""",
+      errs, qs, total, retimedArr)
   }
+
+  /** One bench report: the full single-line JSON plus its fragments,
+    * kept structural so callers never re-parse the text. */
+  final case class Report(json: String, errs: Int, queries: String,
+      total: String, retimed: String)
+
+  /** Millisecond-rounded decimal rendering ("0.272", never
+    * "0.27199999"): wall-clock below 1 ms is noise, and compact values
+    * keep the whole stdout report inside the driver's bounded log-tail
+    * window (2,000 chars observed) — the r06..r08 artifacts all came
+    * back `"parsed": null` because full-precision doubles pushed the
+    * line past the window and its FRONT was chopped. Locale-safe (no
+    * printf comma decimal separators). */
+  private def fmt3(t: Double): String =
+    BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.toPlainString
 
   /** 1-minute load average — recorded in the artifact so a contended
     * box is self-diagnosing (Linux-only; absent elsewhere). */
@@ -86,7 +103,7 @@ object Bench {
     * timed run each) — the cheap probe behind the three-point scale
     * readout. */
   private def timesAt(spark: SparkSession, sfDir: String, ops: Seq[Op]): String =
-    run(spark, sfDir, ops, timedRuns = 1)._3
+    run(spark, sfDir, ops, timedRuns = 1).queries
 
   /** The expected WARN flood classes (checkpoint-generation retirement,
     * large-broadcast notices) drown a real error in the artifact tail —
@@ -124,7 +141,7 @@ object Bench {
 
     val heads = Registry.ops.filter(_.headline)
     val loadBefore = loadAvg()
-    val (json, errs, primaryQueries) = run(spark, sfDir, heads)
+    val rep = run(spark, sfDir, heads)
     val loadAfter = loadAvg()
 
     // three-point scale evidence: per-query times at the sibling scale
@@ -136,25 +153,37 @@ object Bench {
       .map(n => new java.io.File(parent, n))
       .filter(f => f.isDirectory && f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
       .map(_.getAbsolutePath)
-    // the primary point reuses the best-of-2 numbers already measured
-    val scaling = (siblings.map(d => Json.str(d) + ":" + timesAt(spark, d, heads)) :+
-      (Json.str(sfDir) + ":" + primaryQueries))
+    // scaling keys are the short sf names ("sf0.001"), not absolute
+    // paths — the stdout report must stay compact (see fmt3); the
+    // primary point reuses the best-of-2 numbers already measured
+    def sfKey(d: String) = Json.str(new java.io.File(d).getName)
+    val sibScaling = siblings.map(d => sfKey(d) + ":" + timesAt(spark, d, heads))
+    val scalingFull = (sibScaling :+ (sfKey(sfDir) + ":" + rep.queries))
       .mkString("{", ",", "}")
     val loads = (loadBefore.map(l => s""""load_before":$l""") ++
       loadAfter.map(l => s""""load_after":$l""")).mkString(",")
-    val withScaling = json.dropRight(1) + s""","scaling":$scaling""" +
+    // default next to the checkout, not a hardcoded machine path: the
+    // working directory is where sbt (and the driver) run the bench
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props("user.dir"), "bench_out.json").getAbsolutePath)
+    // FULL artifact (per-run times, all three scaling points) goes to
+    // the dedicated file; numbers recoverable only from a log tail
+    // defeat the point of a machine-readable bench line
+    val fileLine = rep.json.dropRight(1) + s""","scaling":$scalingFull""" +
       (if (loads.nonEmpty) s",$loads}" else "}")
-
-    println(withScaling)
-    // the artifact is ALSO written to a dedicated file: the driver's
-    // stdout parse has come back null two rounds running (interleaved
-    // log lines), and numbers recoverable only from a log tail defeat
-    // the point of a machine-readable bench line
-    // absolute default: the driver's working directory is not ours
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), withScaling + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
+    // stdout gets a COMPACT twin that must fit ENTIRELY inside the
+    // driver's 2,000-char log-tail window (r06..r08 `"parsed": null`
+    // root cause: the line's front scrolled out of the window): no
+    // per-run arrays, sibling scaling only (the primary point IS
+    // `queries`), ms-rounded values. ~1.5 KB at 18 headline queries.
+    val stdoutLine =
+      s"""{"metric":"total","value":${rep.total},"unit":"sec","queries":${rep.queries},"retimed":${rep.retimed},"errors":${rep.errs},"sf":${Json.str(sfDir)},"scaling":${sibScaling.mkString("{", ",", "}")}""" +
+        (if (loads.nonEmpty) s",$loads" else "") +
+        s""","detail":${Json.str(outFile)}}"""
+    println(stdoutLine)
     spark.stop()
-    if (errs > 0) sys.exit(1)
+    if (rep.errs > 0) sys.exit(1)
   }
 }

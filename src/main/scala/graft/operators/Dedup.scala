@@ -250,14 +250,27 @@ object Dedup {
     * are not even an input to the serve call. At 100 TB, land `bands`
     * bucketed on `bucket` through the catalog
     * ([[graft.sources.Sources.writeBucketed]]) and the daily candidate
-    * join runs shuffle-free on the index side. */
+    * join runs shuffle-free on the index side.
+    *
+    * Failure semantics match the append path: shingles land FIRST, so a
+    * crash between the two writes leaves only shingle rows with no band
+    * rows — docs invisible to candidate generation, recoverable by
+    * [[repairMinhashIndex]]. (The opposite order would leave band rows
+    * whose candidates silently vanish at the verify join.) Bands are
+    * then derived FROM the just-written shingles, not from the source:
+    * the durable parquet is the snapshot, so even a nondeterministic
+    * source cannot produce bands that disagree with the shingles the
+    * index actually stores. */
   def writeMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
     import graft.functions.HashFunctions
-    graft.sources.Sources.writeTruncate(bandBuckets(docs), s"$path/bands")
     graft.sources.Sources.writeTruncate(
       docs.select(col("doc_id"),
         HashFunctions.shingleHashes(split(col("text"), " ")).as("shs")),
       s"$path/shingles")
+    graft.sources.Sources.writeTruncate(
+      bandsFromSig(spark.read.parquet(s"$path/shingles").select(col("doc_id"),
+        HashFunctions.minhashSketchFromHashes(col("shs")).as("sk"))),
+      s"$path/bands")
   }
 
   /** Append a document set's bands + shingles to an existing
@@ -279,23 +292,30 @@ object Dedup {
     * the verify join — missed duplicates with no error.) Recovery from
     * a partial append is an anti-join repair (append the bands of
     * shingle-docs missing from bands), NOT a blind re-run, which would
-    * violate the append-once contract. The input is persisted across
-    * the two actions so a nondeterministic source cannot append
-    * mismatched bands vs shingles. */
+    * violate the append-once contract.
+    *
+    * The batch's shingle hashes are snapshotted DURABLY (a staging
+    * parquet, one action over the source) and both index appends derive
+    * from that snapshot — so bands and shingles cannot disagree even
+    * under a nondeterministic source. (A persist() would be best-effort
+    * only: cached blocks lost to eviction or executor failure are
+    * recomputed from the source lineage between the two writes.) The
+    * staging dir's cleanup is registered BEFORE any write, so a
+    * mid-write throw cannot leak it. */
   def appendToMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
     import graft.functions.HashFunctions
-    // respect a caller-owned cache (the CacheScope.checkpoint guard):
-    // persistence is not refcounted, so unpersisting an input that was
-    // already persisted would evict the caller's blocks
-    val callerCached =
-      docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val snap = if (callerCached) docs else docs.persist()
-    try {
-      snap.select(col("doc_id"),
-        HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
-        .write.mode("append").parquet(s"$path/shingles")
-      bandBuckets(snap).write.mode("append").parquet(s"$path/bands")
-    } finally if (!callerCached) snap.unpersist(blocking = false): Unit
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mh_append_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    graft.sources.Sources.writeTruncate(
+      docs.select(col("doc_id"),
+        HashFunctions.shingleHashes(split(col("text"), " ")).as("shs")),
+      stage.getAbsolutePath)
+    val snap = spark.read.parquet(stage.getAbsolutePath)
+    snap.write.mode("append").parquet(s"$path/shingles")
+    bandsFromSig(snap.select(col("doc_id"),
+      HashFunctions.minhashSketchFromHashes(col("shs")).as("sk")))
+      .write.mode("append").parquet(s"$path/bands")
   }
 
   /** Repair a partially-appended index: [[appendToMinhashIndex]] lands
@@ -319,12 +339,28 @@ object Dedup {
     * (FileOutputCommitter v1, the default); under a v2 committer a
     * crash MID-write can leave a partial shard that repair would make
     * visible as-is — recovery there is re-landing the day from source,
-    * not repair. */
+    * not repair.
+    *
+    * The REVERSE partial state — band docs with no shingle rows — is
+    * unreachable from this library's shingles-first writers, and it is
+    * NOT repairable from the index (the shingle hashes are gone): those
+    * docs' candidates silently vanish at the verify join, i.e. the index
+    * quietly misses duplicates. Repair therefore DETECTS it and throws
+    * before touching the index; recovery is re-landing those docs from
+    * source (or restoring a backup), never a silent continue. */
   def repairMinhashIndex(spark: SparkSession, path: String,
       idFilter: org.apache.spark.sql.Column = lit(true)): Long = {
     import graft.functions.HashFunctions
     val bandIds = spark.read.parquet(s"$path/bands")
       .filter(idFilter).select("doc_id").distinct()
+    val shingleIds = spark.read.parquet(s"$path/shingles")
+      .filter(idFilter).select("doc_id").distinct()
+    val corrupt = bandIds.join(shingleIds, Seq("doc_id"), "left_anti").count()
+    if (corrupt > 0)
+      throw new IllegalStateException(
+        s"minhash index at $path has $corrupt band doc(s) with no shingle rows — " +
+          "not repairable from the index (verify-side hashes are missing); " +
+          "re-land those docs from source")
     val orphans = spark.read.parquet(s"$path/shingles")
       .filter(idFilter)
       .filter(size(col("shs")) > 0) // banding skips empty sketches by design
@@ -400,8 +436,10 @@ object Dedup {
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_mh_index_${java.util.UUID.randomUUID().toString.take(8)}")
-    writeMinhashIndex(spark, stage.getAbsolutePath, hist)
+    // cleanup registered BEFORE the write: a mid-write throw must not
+    // leak the staging dir (the Maintenance.compactFiles ordering)
     graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    writeMinhashIndex(spark, stage.getAbsolutePath, hist)
     dedupAgainstIndex(spark, stage.getAbsolutePath, fresh)
   }
 

@@ -282,9 +282,10 @@ class Round8Spec extends SparkSpec {
         .toDF("doc_id", "text")
       operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath, hist)
       assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath) === 0L)
-      // simulate appendToMinhashIndex crashing between its two writes:
-      // shingles landed, bands did not (the only reachable partial state
-      // given the shingles-first write order)
+      // simulate a writer crashing between its two writes: shingles
+      // landed, bands did not — the only reachable partial state now
+      // that BOTH writers (writeMinhashIndex and appendToMinhashIndex)
+      // land shingles first
       val orphan = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
       orphan.select($"doc_id",
         graft.functions.HashFunctions.shingleHashes(split($"text", " ")).as("shs"))
@@ -303,6 +304,30 @@ class Round8Spec extends SparkSpec {
       // idempotent: a consistent index repairs nothing
       CacheScope.releaseAll()
       assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath) === 0L)
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
+
+  test("index repair refuses the unrepairable state: bands with no shingles") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_mh_corrupt_").toFile
+    try {
+      operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath,
+        Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+      // band rows whose doc has no shingle rows cannot come from this
+      // library's shingles-first writers (external corruption / a lost
+      // shingle shard); the verify-side hashes are gone, so the doc's
+      // candidates silently vanish — repair must REFUSE, not continue
+      Seq((666L, 5L, 12345L)).toDF("doc_id", "sz", "bucket")
+        .write.mode("append").parquet(s"${stage.getAbsolutePath}/bands")
+      val e = intercept[IllegalStateException] {
+        operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath)
+      }
+      assert(e.getMessage.contains("no shingle rows"))
+      // bounded probe: an idFilter excluding the corrupt slice still
+      // lets the healthy slice repair (report 0 here — it is consistent)
+      CacheScope.releaseAll()
+      assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath,
+        col("doc_id") < 100L) === 0L)
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
