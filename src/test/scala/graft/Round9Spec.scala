@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Round-9 guarantees: the coded-corpus ANN lifecycle — ingest-side
+  * encode into a per-cluster partitioned layout, the daily append
+  * increment, and a serve path that never touches the corpus
+  * embeddings. */
+class Round9Spec extends SparkSpec {
+
+  private def rm(f: java.io.File): Unit = sources.Sources.deleteRecursively(f)
+
+  private def parquetFiles(dir: java.io.File): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.toSeq.flatMap(walk)
+      else Seq(f)
+    walk(dir).map(_.getAbsolutePath).filter(_.endsWith(".parquet")).toSet
+  }
+
+  /** Train the gate-shaped index (k=8 IVF / M=8×K=4 PQ, id-sliced
+    * init) on `emb` and persist it under `path`. */
+  private def buildIndex(path: String,
+      emb: org.apache.spark.sql.DataFrame): Similarity.IvfPqIndex = {
+    val first8 = Similarity.firstVectors(emb, 8)
+    val trained = Similarity.IvfPqIndex(
+      Similarity.trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2))),
+      Similarity.trainPq(emb, M = 8, dsub = 8, K = 4,
+        Some(first8.filter(_._1 < 4).map(_._2))))
+    Similarity.writeIvfPqIndex(spark, path, trained)
+    Similarity.readIvfPqIndex(spark, path)
+  }
+
+  test("coded-corpus serve scans only index artifacts and retrieves planted twins") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_coded_").toFile
+    try {
+      val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val index = buildIndex(stage.getAbsolutePath, base)
+      Similarity.writeCodedCorpus(spark, stage.getAbsolutePath, index, base)
+      // queries are exact twins of every 10th corpus vector, supplied as
+      // a LOCAL frame: the serve plan's only file scans must then be the
+      // index artifacts — the corpus embeddings are structurally
+      // unavailable to it (searchCoded takes no corpus argument)
+      val twinRows = base.filter(col("vec_id") % 10 === 0).collect()
+        .map(r => Row(r.getLong(0) + 1000000L, r.get(1)))
+      assert(twinRows.nonEmpty)
+      val twins = spark.createDataFrame(
+        spark.sparkContext.parallelize(twinRows.toIndexedSeq), base.schema)
+      val served = Similarity.searchCoded(spark, stage.getAbsolutePath, twins)
+      val scans = served.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq(r.relation.toString)
+          }
+      }.flatten
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.contains(stage.getName)),
+        s"serve plan scans files outside the index: $scans")
+      // the coded table is partitioned by cluster, so `cluster` must be
+      // a PARTITION column of its relation — the layout under which a
+      // 2-of-k probe reads 2/k of a 100 TB corpus's files (logical
+      // plan, not executedPlan: AQE hides the physical scans behind an
+      // AdaptiveSparkPlanExec leaf)
+      val codedParts = served.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation
+      }.collect {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+            if fs.location.rootPaths.exists(_.toString.endsWith("/coded")) =>
+          fs.partitionSchema.fieldNames.toSeq
+      }.flatten
+      assert(codedParts.contains("cluster"),
+        s"coded table is not partitioned by cluster: $codedParts")
+      // exact-twin recall 1.0: each twin shares its original's cluster
+      // and codes, so the original must rank in its top-3
+      val byQ = served.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1)
+      twinRows.foreach { tr =>
+        val q = tr.getLong(0)
+        val top = byQ.getOrElse(q, Array.empty).map(_._2).toSet
+        assert(top.contains(q - 1000000L), s"twin $q missed its original: $top")
+      }
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
+
+  test("appendCodedCorpus makes a new batch searchable without rewriting the corpus") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_coded_app_").toFile
+    try {
+      val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      val index = buildIndex(stage.getAbsolutePath, base)
+      // day 0: the corpus WITHOUT the %10 slice; its twins find nothing
+      Similarity.writeCodedCorpus(spark, stage.getAbsolutePath, index,
+        base.filter(col("vec_id") % 10 =!= 0))
+      val files0 = parquetFiles(new java.io.File(stage, "coded"))
+      val twinRows = base.filter(col("vec_id") % 10 === 0).collect()
+        .map(r => Row(r.getLong(0) + 1000000L, r.get(1)))
+      val twins = spark.createDataFrame(
+        spark.sparkContext.parallelize(twinRows.toIndexedSeq), base.schema)
+      def hits(): Map[Long, Set[Long]] =
+        Similarity.searchCoded(spark, stage.getAbsolutePath, twins)
+          .collect().map(r => (r.getLong(0), r.getLong(2)))
+          .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+      val before = hits()
+      twinRows.foreach { tr =>
+        val q = tr.getLong(0)
+        assert(!before.getOrElse(q, Set.empty).contains(q - 1000000L),
+          s"original of $q visible before its batch was appended")
+      }
+      // day 1: append ONLY the missing slice — O(batch), frozen artifacts
+      Similarity.appendCodedCorpus(spark, stage.getAbsolutePath, index,
+        base.filter(col("vec_id") % 10 === 0))
+      val after = hits()
+      twinRows.foreach { tr =>
+        val q = tr.getLong(0)
+        assert(after.getOrElse(q, Set.empty).contains(q - 1000000L),
+          s"twin $q missed its appended original: ${after.get(q)}")
+      }
+      // append, not rewrite: every day-0 file is still on disk
+      val files1 = parquetFiles(new java.io.File(stage, "coded"))
+      assert(files0.subsetOf(files1),
+        s"append rewrote day-0 files: ${files0 -- files1}")
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
+}
