@@ -959,6 +959,33 @@ object Dedup {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** LSH index health: the bucket-cardinality histogram of the band
+    * table, with each size's candidate-pair load. Hot buckets are THE
+    * skew hazard of every minhash candidate join at 100 TB — a single
+    * bucket of n docs contributes n·(n−1)/2 pairs, so the pair
+    * expansion is quadratic in the largest bucket while the shuffle is
+    * linear in rows. This is the diagnostic that decides WHEN to act
+    * (salt the hot keys, add a document-frequency cut, or re-band):
+    * run it on the accumulated index before the daily join, and alert
+    * on pair_load concentration in the tail. One hash aggregation on
+    * bucket + one tiny re-aggregation on the size — no joins, no
+    * skew exposure of its own. */
+  def indexStats(spark: SparkSession, dir: String): DataFrame =
+    bandBuckets(corpus(spark, dir))
+      .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("pair_load",
+        expr("(bucket_size * (bucket_size - 1)) DIV 2 * n_buckets"))
+      .orderBy("bucket_size")
+
+  private val indexStatsOracle =
+    s"""WITH corpus AS $corpusSql,
+       |${minhashCtes("s", "corpus")},
+       |bsz AS (SELECT bucket, COUNT(*) AS bucket_size FROM bands_s GROUP BY bucket)
+       |SELECT bucket_size, COUNT(*) AS n_buckets,
+       |  ((bucket_size * (bucket_size - 1)) // 2) * COUNT(*) AS pair_load
+       |FROM bsz GROUP BY bucket_size ORDER BY bucket_size""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_dedup_exact", dedupExact, Some(dedupExactOracle), headline = true),
     Op("q_edit_blocking", editBlocking, Some(editBlockingOracle)),
@@ -970,5 +997,6 @@ object Dedup {
     Op("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Op("q_dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
     Op("q_dedup_embed", dedupEmbed, Some(dedupEmbedOracle)),
+    Op("q_index_stats", indexStats, Some(indexStatsOracle)),
   )
 }
