@@ -80,9 +80,10 @@ object Dedup {
     // bounds it: all-pairs ngram Jaccard runs on the keyed SAMPLE only
     // (the doc filter above), so the hottest posting list is sample-
     // sized. At full-corpus scale the production path is dedupMinhash
-    // (uniform 8-byte buckets); a full-corpus ngram variant would need
-    // a document-frequency cut on hot shingles, which changes `inter`
-    // and is therefore a different operator, not a flag here.
+    // (uniform 8-byte buckets); the full-corpus ngram variant with the
+    // document-frequency cut that caps hot shingles is
+    // [[dedupNgramDfcut]] — a different operator, not a flag here,
+    // because the cut changes `inter`.
     // Deliberately NOT persisted: the shingle subplan appears three
     // times statically (pairs + both size joins) but AQE stage reuse
     // absorbs the copies at runtime — ProfileCC's interleaved A/B
@@ -125,6 +126,89 @@ object Dedup {
       |           JOIN sizes sb ON pairs.id_b = sb.doc_id
       |WHERE (sign(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * floor(abs(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * 1e4 + 0.5) / 1e4) >= 0.06
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** FULL-corpus word-bigram Jaccard near-dup with a document-frequency
+    * cut — the scale-safe all-pairs variant [[dedupNgram]]'s skew caveat
+    * calls for, and the remedy [[indexStats]] recommends when the LSH
+    * pair load concentrates in hot buckets. Shingles appearing in more
+    * than max(2, N/50) documents (2% of the corpus — stop-word bigrams,
+    * boilerplate) are cut BEFORE any pair generation, so:
+    *
+    *  - pass 1 (df) is a count-only hash aggregation — map-side partial
+    *    agg, constant per-key state, immune to Zipfian skew;
+    *  - pass 2 collects posting lists ONLY for surviving shingles, so
+    *    the per-shingle buffer and the quadratic pair expansion are both
+    *    bounded by the cut (≤ dfCut·(dfCut−1)/2 pairs per shingle) —
+    *    the property that makes all-pairs ngram viable at 100 TB;
+    *  - the cut is corpus-adaptive with NO driver action: N rides in as
+    *    a broadcast 1-row aggregate (integer N DIV 50, exact in both
+    *    engines — float 0.02·N would round differently in DuckDB).
+    *
+    * Semantics: Jaccard over the RARE-shingle sets (df ≤ cut, df = 1
+    * included in sizes) — the standard stop-shingle filtering, so a
+    * verbatim duplicate pair still scores 1.0 when it has any rare
+    * shingle, and boilerplate-only overlap scores 0. The shingle table
+    * feeds the df agg, the df join, and the doc-size agg from one lazy
+    * subplan (AQE stage reuse absorbs the copies — the measured-faster
+    * shape from [[dedupNgram]]). */
+  def dedupNgramDfcut(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir)
+    val docs = base.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val shingles = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("shingle")).distinct()
+    val nd = base.agg(count(lit(1)).as("nd"))
+    val keptShingles = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") <= greatest(lit(2L), expr("nd DIV 50")))
+      .select("shingle", "df")
+    // shuffle join on shingle: reuses the df aggregation's partitioning
+    val kept = shingles.join(keptShingles, Seq("shingle"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = kept.filter(col("df") >= 2)
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(col("ds")).as("id_a"), col("ds"))
+      .select(col("id_a"), explode(col("ds")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", r4(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "inter", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupNgramDfcutOracle = {
+    val jac = "(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter))"
+    s"""WITH corpus AS $corpusSql,
+       |docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       |shingles AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS shingle
+       |  FROM docs),
+       |nd AS (SELECT COUNT(*) AS nd FROM corpus),
+       |df AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY 1),
+       |kept AS (
+       |  SELECT s.doc_id, s.shingle, df.df
+       |  FROM shingles s JOIN df USING (shingle), nd
+       |  WHERE df.df <= greatest(2, nd.nd // 50)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, ${rSql(jac, 4)} AS jaccard
+       |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+       |           JOIN sizes sb ON pairs.id_b = sb.doc_id
+       |WHERE ${rSql(jac, 4)} >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** MinHash + LSH banding near-dup candidates (the 100 TB path).
     * 16 permutations h_i(s) = (a_i·H(s) + b_i) mod p over word-bigram
@@ -993,6 +1077,7 @@ object Dedup {
     Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle), headline = true),
     Op("q_split_safe", splitSafe, Some(splitSafeOracle)),
     Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
+    Op("q_dedup_ngram_dfcut", dedupNgramDfcut, Some(dedupNgramDfcutOracle)),
     Op("q_dedup_minhash", dedupMinhash, Some(dedupMinhashOracle), headline = true),
     Op("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Op("q_dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),

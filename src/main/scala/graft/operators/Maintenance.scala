@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance mechanics a long-running ingest needs at 100 TB —
@@ -98,7 +98,173 @@ object Maintenance {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ───── file-level min/max data skipping ─────────────────────────────
+  //
+  // Parquet footers already prune ROW GROUPS inside an opened file; a
+  // manifest of per-file column min/max prunes at the FILE level —
+  // unmatched files are never listed into the scan, never opened, never
+  // footer-read. At 100 TB (millions of files) this is the difference
+  // between a planning-time metadata filter and a cluster-wide footer
+  // storm; it is the core scan mechanic of every table format (Iceberg
+  // manifests, Delta add-file stats). Directory partitioning still
+  // handles the coarse key (date); the manifest handles everything the
+  // directory key doesn't.
+
+  /** Write `df` under `path/data` clustered on `clusterBy` (range
+    * partition + in-file sort into `nFiles` files, so each file covers
+    * a disjoint key range) and a `path/manifest` table of per-file
+    * row counts and min/max for each of `statsCols`.
+    *
+    * The manifest derives from the JUST-WRITTEN files, not from `df`
+    * (the writeMinhashIndex snapshot discipline): the durable parquet is
+    * the source of truth, so a nondeterministic input cannot produce
+    * stats that disagree with the data actually stored. One pass over
+    * the written data; the per-file aggregation's partial state is one
+    * (count, mins, maxes) row per file per task — negligible. File
+    * names are stored relative to `path/data`, so the table relocates.
+    *
+    * NULL semantics: min/max ignore NULLs, so an all-NULL file carries
+    * NULL stats and is pruned — correct, because a range predicate on
+    * that column never selects NULL rows. */
+  def writeSkipIndexed(df: DataFrame, path: String, statsCols: Seq[String],
+      nFiles: Int, clusterBy: String): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    require(statsCols.nonEmpty, "statsCols must name at least one column")
+    val spark = df.sparkSession
+    df.repartitionByRange(nFiles, col(clusterBy)).sortWithinPartitions(clusterBy)
+      .write.mode("overwrite").parquet(s"$path/data")
+    val stats = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val manifest = spark.read.parquet(s"$path/data")
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Scan `path` for rows with `c` in [lo, hi]: the manifest picks the
+    * files whose [min_c, max_c] intersects the range, ONLY those files
+    * enter the scan, and the predicate is re-applied as the residual
+    * filter (results are exact whatever the layout — pruning is purely
+    * a cost lever). The manifest read + file-list collect is
+    * driver-side PLANNING metadata — one row per data file, the same
+    * cardinality every table format's planner holds on the driver —
+    * never the data itself. */
+  def prunedRead(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = spark.read.parquet(s"$path/manifest")
+      .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+      .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
+    val data =
+      if (files.isEmpty)
+        // no file can match: keep the data schema, scan nothing
+        spark.read.parquet(s"$path/data").filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    data.filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Manifest-pruned range scan as a driver-visible query: stage the
+    * events table as 16 skip-indexed files clustered on event_id, then
+    * answer a 200-id range query through [[prunedRead]]. The oracle is
+    * the plain filter+aggregate over the raw table — pruning must be
+    * invisible in the answer. Round9Spec separately audits the cost
+    * side: the pruned plan reads a strict subset of the files and the
+    * scan does not touch the excluded key ranges. At 100 TB the staged
+    * layout is the table's permanent state (compaction writes it) and
+    * this query's scan cost is O(selected range), independent of table
+    * size. */
+  def pruneScan(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_prune_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    writeSkipIndexed(Tables.events(spark, dir), stage.getAbsolutePath,
+      statsCols = Seq("event_id", "user_id"), nFiles = 16, clusterBy = "event_id")
+    import graft.functions.Compat._
+    prunedRead(spark, stage.getAbsolutePath, "event_id", 100L, 299L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val pruneScanOracle = {
+    import graft.functions.Compat.rSql
+    s"""SELECT event_type, COUNT(*) AS n, ${rSql("SUM(value)", 4)} AS sum_value
+       |FROM events WHERE event_id BETWEEN 100 AND 299
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ───── Z-order (Morton) multi-column clustering ──────────────────────
+
+  /** Interleave the low `bits` bits of two non-negative int columns into
+    * one Morton z-value: bit i of x → bit 2i, bit i of y → bit 2i+1.
+    * Sorting by z makes ANY prefix range of z a tight 2D box in (x, y),
+    * so a file layout clustered on z carries useful min/max stats for
+    * BOTH columns — the multi-column complement to [[writeSkipIndexed]]'s
+    * single-key clustering, where the sort key's stats are tight but
+    * every other column's span the whole domain. Plain integer
+    * arithmetic (shift/mod/sum), exactly replayable in ANSI SQL. */
+  def zvalue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i) % 2, 2 * i) +
+        shiftleft(shiftright(y, i) % 2, 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` under `path/data` clustered on the z-value of
+    * (`cx`, `cy`) with min/max manifest stats on both columns. The
+    * z column is layout-only — it shapes the range partition and the
+    * in-file sort, then drops out of the stored schema. */
+  def writeZordered(df: DataFrame, path: String, cx: String, cy: String,
+      bits: Int, nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val spark = df.sparkSession
+    df.withColumn("_z", zvalue(col(cx), col(cy), bits))
+      .repartitionByRange(nFiles, col("_z")).sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(s"$path/data")
+    val stats = Seq(cx, cy).flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(s"$path/data")
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Z-order locality as a driver-visible query: Morton-code lineitem's
+    * (l_partkey mod 256, l_suppkey mod 256), bucket rows by the top z
+    * bits (z DIV 4096 — each bucket is one 64×64 tile of the key
+    * plane), and emit each bucket's row count and 2D bounding box. The
+    * tight per-bucket boxes ARE the property that makes the z-clustered
+    * file layout prunable on both columns; Round9Spec audits the layout
+    * side (a y-only range predicate skips most files in the z layout
+    * and none in the x-sorted layout). */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    li.withColumn("zbucket", zvalue(col("x"), col("y"), 8).divide(4096).cast("long"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("zbucket")
+  }
+
+  private val zorderStatsOracle = {
+    val z = (0 until 8).map { i =>
+      s"(((x // ${1L << i}) % 2) * ${1L << (2 * i)} + ((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+    s"""WITH pts AS (
+       |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+       |zed AS (SELECT x, y, ($z) // 4096 AS zbucket FROM pts)
+       |SELECT zbucket, COUNT(*) AS n,
+       |  MIN(x) AS min_x, MAX(x) AS max_x,
+       |  MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM zed GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_compact_files", compactFiles, Some(compactFilesOracle)),
+    Op("q_prune_scan", pruneScan, Some(pruneScanOracle)),
+    Op("q_zorder", zorderStats, Some(zorderStatsOracle)),
   )
 }

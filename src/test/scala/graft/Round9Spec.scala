@@ -124,4 +124,78 @@ class Round9Spec extends SparkSpec {
         s"append rewrote day-0 files: ${files0 -- files1}")
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
+
+  /** Data files the plan will actually read (explicit file-list reads
+    * surface each file as a root path). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq
+          case _ => Seq.empty
+        }
+    }.flatten
+
+  test("prunedRead is exact and reads a strict subset of the skip-indexed files") {
+    import operators.Maintenance
+    val stage = java.nio.file.Files.createTempDirectory("graft_skipidx_").toFile
+    try {
+      val ev = Tables.events(spark, sfDir)
+      Maintenance.writeSkipIndexed(ev, stage.getAbsolutePath,
+        statsCols = Seq("event_id", "user_id"), nFiles = 16, clusterBy = "event_id")
+      val nData = parquetFiles(new java.io.File(stage, "data")).size
+      assert(nData == 16, s"expected 16 staged files, got $nData")
+      val pruned = Maintenance.prunedRead(spark, stage.getAbsolutePath,
+        "event_id", 100L, 299L)
+      // cost: the 200-id range lives in a prefix of the event_id-ranged
+      // layout — most files never enter the scan
+      val scanned = scannedFiles(pruned)
+      assert(scanned.nonEmpty && scanned.size < nData,
+        s"no file-level pruning: ${scanned.size} of $nData files scanned")
+      // exactness: identical to the unpruned filter over the same data
+      val expected = spark.read.parquet(s"${stage.getAbsolutePath}/data")
+        .filter(col("event_id").between(100, 299))
+        .collect().map(_.toString).sorted.toSeq
+      val got = pruned.collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+      // a range beyond every file's stats scans nothing and returns none
+      val empty = Maintenance.prunedRead(spark, stage.getAbsolutePath,
+        "event_id", 1000000000L, 2000000000L)
+      assert(empty.count() == 0L)
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
+
+  test("z-order layout prunes on BOTH columns; single-key layout only on its sort key") {
+    import operators.Maintenance
+    val stage = java.nio.file.Files.createTempDirectory("graft_zorder_").toFile
+    try {
+      // the full 64×64 key plane, one row per cell — locality is then a
+      // pure property of the layout, not the data distribution
+      val grid = spark.range(64L * 64L)
+        .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      Maintenance.writeZordered(grid, s"${stage.getAbsolutePath}/z",
+        "x", "y", bits = 6, nFiles = 16)
+      Maintenance.writeSkipIndexed(grid, s"${stage.getAbsolutePath}/linear",
+        statsCols = Seq("x", "y"), nFiles = 16, clusterBy = "x")
+      // y-only range predicate: an eighth of the plane
+      def overlapping(path: String): Int =
+        spark.read.parquet(s"$path/manifest")
+          .filter(col("min_y") <= 7 && col("max_y") >= 0)
+          .count().toInt
+      val zFiles = overlapping(s"${stage.getAbsolutePath}/z")
+      val linFiles = overlapping(s"${stage.getAbsolutePath}/linear")
+      // x-sorted files each span every y value — nothing prunable
+      assert(linFiles == 16, s"x-clustered layout unexpectedly pruned y: $linFiles")
+      // z-order: y<=7 is the bottom 1/8 band; its cells live in at most
+      // half the z range, so at least half the 16 files prune away
+      assert(zFiles <= 8, s"z layout pruned too little on y: $zFiles of 16")
+      // and both layouts answer the query exactly
+      for (p <- Seq("z", "linear")) {
+        val n = Maintenance.prunedRead(spark, s"${stage.getAbsolutePath}/$p",
+          "y", 0L, 7L).count()
+        assert(n == 64L * 8L, s"layout $p: expected 512 rows, got $n")
+      }
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
 }
