@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight through sbt's own stdout/stderr —
+// no [info]/[error] logger prefixes. Load-bearing for the driver:
+// its bench parser json-loads raw lines from the log tail, and a
+// "[info] "-prefixed JSON line never parses (rounds 1-8 all came back
+// parsed:null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
