@@ -151,8 +151,14 @@ object Dedup {
     * feeds the df agg, the df join, and the doc-size agg from one lazy
     * subplan (AQE stage reuse absorbs the copies — the measured-faster
     * shape from [[dedupNgram]]). */
-  def dedupNgramDfcut(spark: SparkSession, dir: String): DataFrame = {
-    val base = corpus(spark, dir)
+  def dedupNgramDfcut(spark: SparkSession, dir: String): DataFrame =
+    ngramDfcutPairs(corpus(spark, dir))
+
+  /** The df-cut all-pairs kernel of [[dedupNgramDfcut]], over any
+    * (doc_id, text) frame — split out so specs can pin the semantics
+    * on constructed corpora (boilerplate-only overlap must score 0;
+    * planted near-dups must survive the cut). */
+  private[graft] def ngramDfcutPairs(base: DataFrame): DataFrame = {
     val docs = base.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val shingles = docs.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(

@@ -713,6 +713,43 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF index health: per-cell population and cohesion — the ANN twin
+    * of [[graft.operators.Dedup.indexStats]]. Cell balance is what the
+    * coded-corpus layout's cost model assumes: a 2-of-k probe reads 2/k
+    * of a 100 TB corpus only while cells stay near-uniform, so a
+    * population skew here is the signal to re-train or re-balance
+    * BEFORE the daily probe join degrades. `mean_cos`/`min_cos` (each
+    * member's cosine to its own centroid, decimal-exact mean over
+    * r6-rounded values) expose drift: a cell whose cohesion decays is
+    * absorbing vectors its centroid no longer represents. Runs on the
+    * assignment alone — scan-local literal expressions + ONE hash
+    * aggregation, no joins. */
+  def annStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Compat.r6
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val centroids = trainIvf(emb, k = 8, iters = 2)
+    val assigned = assignCluster(centroids, emb)
+      .withColumn("own_cos", r6(element_at(col("dots"), col("cluster") + 1)))
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(sum(col("own_cos").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("mean_cos"),
+        min("own_cos").as("min_cos"))
+      .orderBy("cluster")
+  }
+
+  private val annStatsOracle =
+    s"""WITH $ivfChainCtes,
+       |assigned_cos AS (
+       |  SELECT vec_id, cluster, cos FROM (
+       |    SELECT vec_id, cluster, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+       |    FROM final_sc) WHERE rn = 1)
+       |SELECT cluster, COUNT(*) AS n_vecs,
+       |  ${rSql("(CAST(SUM(CAST(" + rSql("cos", 6) + " AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))", 6)} AS mean_cos,
+       |  MIN(${rSql("cos", 6)}) AS min_cos
+       |FROM assigned_cos GROUP BY cluster ORDER BY cluster""".stripMargin
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Compat.r6
     val M = 8; val dsub = 8; val K = 4
@@ -958,6 +995,7 @@ object Similarity {
     Op("q_ann_ivfpq", annIvfPq, Some(annIvfPqOracle), headline = true),
     Op("q_ann_serve", annServe, Some(annIvfPqOracle)),
     Op("q_ann_coded", annCoded, Some(annIvfPqOracle)),
+    Op("q_ann_stats", annStats, Some(annStatsOracle)),
     Op("q_random_projection", randomProjection, Some(randomProjectionOracle)),
     Op("q_semdedup", semDedup, Some(semDedupOracle)),
   )

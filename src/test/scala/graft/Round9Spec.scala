@@ -198,4 +198,25 @@ class Round9Spec extends SparkSpec {
       }
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
+
+  test("df-cut ngram: boilerplate-only overlap scores zero; planted twins survive") {
+    import spark.implicits._
+    // 60 docs, cut = max(2, 60/50) = 2. Every doc ends with the same
+    // 7-token boilerplate (df = 60 — cut); doc i and doc i+30 share a
+    // unique 5-token prefix (df = 2 — kept), i+30 with one extra token.
+    val uniq = (0 until 30).map(i => s"alpha$i beta$i gamma$i delta$i epsilon$i")
+    val boiler = "terms of service apply to all users"
+    val docs = ((0 until 30).map(i => (i.toLong, s"${uniq(i)} $boiler")) ++
+      (0 until 30).map(i => ((i + 30).toLong, s"${uniq(i)} zeta$i $boiler")))
+      .toDF("doc_id", "text")
+    val pairs = operators.Dedup.ngramDfcutPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // rare sets: prefix bigrams (4 shared) + the df=1 seam bigrams →
+    // jaccard 4/7 per twin; any non-twin pair overlaps ONLY in cut
+    // boilerplate and must not even become a candidate
+    assert(pairs.length == 30, s"expected the 30 planted twins, got ${pairs.length}")
+    pairs.foreach { case (a, b) =>
+      assert(b - a == 30, s"non-twin pair ($a, $b) survived the df cut")
+    }
+  }
 }
