@@ -867,8 +867,11 @@ object Dedup {
       .orderBy("component")
   }
 
-  private val dedupClustersOracle = {
-    // same pair list as q_dedup_ngram, then min-reachable-id per node
+  /** Shared CTE chain: the q_dedup_ngram pair list → undirected edges →
+    * min-reachable-id per node (`labeled(node, component)`). Used by the
+    * clusters and keep-best oracles so the component labeling can never
+    * diverge between them. Starts with WITH RECURSIVE. */
+  private val ccLabeledCtes = {
     val pairsSql =
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0),
@@ -897,11 +900,25 @@ object Dedup {
        |  UNION
        |  SELECT e.src AS node, r.label
        |  FROM reach r JOIN edges e ON r.node = e.dst),
-       |labeled AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
-       |SELECT component, COUNT(*) AS cluster_size, MAX(node) AS max_node
-       |FROM labeled GROUP BY 1 ORDER BY component""".stripMargin
+       |labeled AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)""".stripMargin
       .replaceFirst("WITH docs", "WITH RECURSIVE docs")
   }
+
+  private val dedupClustersOracle =
+    s"""$ccLabeledCtes
+       |SELECT component, COUNT(*) AS cluster_size, MAX(node) AS max_node
+       |FROM labeled GROUP BY 1 ORDER BY component""".stripMargin
+
+  private val dedupKeepBestOracle =
+    s"""$ccLabeledCtes,
+       |ranked AS (
+       |  SELECT component, node, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, node) AS rk,
+       |    COUNT(*) OVER (PARTITION BY component) AS cluster_size
+       |  FROM labeled JOIN documents d ON labeled.node = d.doc_id)
+       |SELECT component, cluster_size, node AS keep_id, n_chars AS keep_chars,
+       |  cluster_size - 1 AS n_dropped
+       |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
 
   /** Leakage-safe train/val/test split: members of one near-dup
     * cluster MUST land in the same split, or val/test leaks training
@@ -914,6 +931,35 @@ object Dedup {
     * Scale: CC runs only on the near-dup edge list (pair-bounded); the
     * corpus-wide work is one left join of docs to the (tiny) cluster
     * label table plus scan-local integer mixing. */
+  /** Representative selection — the step that turns near-dup CLUSTERS
+    * into the deduplicated CORPUS: per connected component, keep the
+    * longest document (ties to the lowest doc_id) and count the drops.
+    * "Longest wins" is the standard representative heuristic when no
+    * model-based quality score is in the loop; swapping the ORDER BY
+    * for a quality column is a one-line change. One shuffle on
+    * component (rank and size share the same window partition), after
+    * the same pair→CC chain as [[dedupClusters]]; at 100 TB the
+    * component key is near-uniform (clusters are small by
+    * construction — LSH candidates verified at high Jaccard), so the
+    * window never sees a hot partition. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgram(spark, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val joined = connectedComponents(pairs)
+      .join(docs, col("node") === col("doc_id"))
+    val byComp = Window.partitionBy("component")
+    joined
+      .withColumn("rk", row_number().over(
+        byComp.orderBy(col("n_chars").desc, col("node"))))
+      .withColumn("cluster_size", count(lit(1)).over(byComp))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("cluster_size"),
+        col("node").as("keep_id"), col("n_chars").as("keep_chars"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("component")
+  }
+
   def splitSafe(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgram(spark, dir)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1081,6 +1127,7 @@ object Dedup {
     Op("q_edit_blocking", editBlocking, Some(editBlockingOracle)),
     Op("q_decontam_fuzzy", fuzzyDecontam, Some(fuzzyDecontamOracle)),
     Op("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle), headline = true),
+    Op("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),
     Op("q_split_safe", splitSafe, Some(splitSafeOracle)),
     Op("q_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     Op("q_dedup_ngram_dfcut", dedupNgramDfcut, Some(dedupNgramDfcutOracle)),

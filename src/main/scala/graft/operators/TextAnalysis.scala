@@ -502,7 +502,35 @@ object TextAnalysis {
        |JOIN documents d ON ch.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Unicode canonicalization over the corpus through the native
+    * [[graft.functions.NfcNormExpr]] kernel (NFC compose + control
+    * strip + whitespace collapse — Spark itself has no NFC builtin).
+    * The query injects a deterministic mess around every document —
+    * a combining-acute sequence (NFC must compose it), a C0 control
+    * (must vanish without a space), tabs and double spaces (must
+    * collapse), and flanking whitespace (must trim) — so the kernel's
+    * entire contract is exercised and hash-checked on EVERY row, even
+    * though the synthetic corpus text is clean ASCII. Scan-local
+    * per-row expression inside whole-stage codegen; zero shuffles
+    * before the output sort. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextNorm.textNorm
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        textNorm(concat(lit("  e\u0301\u0001\t "), col("text"), lit(" \t x  ")))
+          .as("norm"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeOracle =
+    """SELECT doc_id, trim(regexp_replace(regexp_replace(
+      |    nfc_normalize('  e' || chr(769) || chr(1) || chr(9) || ' ' || text || ' ' || chr(9) || ' x  '),
+      |    '[\x00-\x08\x0B\x0E-\x1F\x7F-\x9F]', '', 'g'),
+      |  '[ \t\n\f\r]+', ' ', 'g')) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_text_norm", textNormalize, Some(textNormalizeOracle)),
     Op("q_pack_budget", packBudget, Some(packBudgetOracle)),
     Op("q_rag_chunk", ragChunk, Some(ragChunkOracle)),
     Op("q_chunk_dedup", chunkDedup, Some(chunkDedupOracle)),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{Decimal, DoubleType}
-import graft.functions.{BottomKPairsAgg, CmsSketchAgg, DotExpr, MinHashSketchExpr, NormExpr, PipExpr, QuantileSketchAgg, ShingleHashesExpr, SqDistFDExpr, TopKItemsAgg}
+import graft.functions.{BottomKPairsAgg, CmsSketchAgg, DotExpr, MinHashSketchExpr, NfcNormExpr, NormExpr, PipExpr, QuantileSketchAgg, ShingleHashesExpr, SqDistFDExpr, TopKItemsAgg}
 
 /** SQL surface for graft's native expressions. Install at session build
   * with `.withExtensions(new GraftExtensions)` / the
@@ -83,6 +83,9 @@ object GraftExtensions {
     (FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - float-vector L2 norm"),
       (args: Seq[Expression]) => NormExpr(args(0))),
+    (FunctionIdentifier("nfc_norm"),
+      info("nfc_norm", "nfc_norm(s) - unicode NFC + control strip + whitespace collapse/trim"),
+      (args: Seq[Expression]) => NfcNormExpr(args(0))),
     (FunctionIdentifier("minhash_sketch"),
       info("minhash_sketch", "minhash_sketch(tokens) - 16 minhashes + distinct-shingle count"),
       (args: Seq[Expression]) => MinHashSketchExpr(args(0))),

@@ -199,6 +199,25 @@ class Round9Spec extends SparkSpec {
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
+  test("nfc_norm kernel: compose, strip, collapse, trim — edge cases, via the SQL surface") {
+    import spark.implicits._
+    val cases = Seq(
+      ("e\u0301", "\u00e9"), // combining acute composes under NFC
+      ("", ""),
+      ("   \t\n ", ""), // all-whitespace trims to empty
+      ("\u0001\u0002", ""), // control-only strips to empty
+      ("a\u0000b", "ab"), // control mid-word: stripped, NO space inserted
+      ("a \u0001 b", "a b"), // control inside a whitespace run
+      ("a\u00a0b", "a\u00a0b"), // NBSP is pass-through, NOT whitespace (the RE2 \\s contract)
+      ("x  \t y", "x y"), // runs collapse to one space
+      ("\ud834\udd1e  clef", "\ud834\udd1e clef"), // non-BMP survives the codepoint walk
+    )
+    val got = cases.map(_._1).toDF("s")
+      .selectExpr("nfc_norm(s) AS n").as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      got.zip(cases).filter { case (g, (_, e)) => g != e }.toString)
+  }
+
   test("df-cut ngram: boilerplate-only overlap scores zero; planted twins survive") {
     import spark.implicits._
     // 60 docs, cut = max(2, 60/50) = 2. Every doc ends with the same
