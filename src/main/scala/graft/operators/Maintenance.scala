@@ -262,9 +262,171 @@ object Maintenance {
        |FROM zed GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }
 
+  // ───── versioned snapshots (time travel + GC) ────────────────────────
+  //
+  // The commit mechanic every table format shares (Delta log, Iceberg
+  // snapshots): data files are immutable and uniquely named; a VERSION
+  // is one manifest directory listing every data file visible at that
+  // version; the manifest is committed LAST via an atomic rename. A
+  // crashed writer therefore leaves orphan data files — never a torn,
+  // readable table — and old versions stay readable (time travel) until
+  // explicitly expired. At 100 TB this is what makes daily appends
+  // O(batch), concurrent readers consistent, and bad loads revertible
+  // by reading the previous version instead of recomputing the table.
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Sorted version ids present at `path` (manifest listing only —
+    * driver-side planning metadata, one entry per committed version). */
+  def snapshotVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+    if (!fs.exists(vdir)) Seq.empty
+    else fs.listStatus(vdir).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}")).map(_.drop(1).toLong).sorted
+  }
+
+  /** Land `df` as a new immutable batch under `path/data/<uuid>/` and
+    * commit version `prev+1` whose manifest lists `carry` (the files of
+    * the base version — empty for a fresh write or a replace) plus the
+    * just-written files. Manifest rows are (file, n_rows) with file
+    * paths relative to `path/data` so the table relocates. The manifest
+    * is staged under `versions/.tmp-*` and renamed into place — rename
+    * is the atomic commit point on HDFS-like stores. */
+  private def commitSnapshot(df: DataFrame, path: String, nFiles: Int,
+      carry: DataFrame => DataFrame): Long = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val batch = s"b${java.util.UUID.randomUUID().toString.take(12)}"
+    df.repartition(nFiles).write.mode("overwrite").parquet(s"$path/data/$batch")
+    // stats derive from the JUST-WRITTEN files (the writeSkipIndexed
+    // snapshot discipline): the durable parquet is the source of truth
+    val newFiles = spark.read.parquet(s"$path/data/$batch")
+      .groupBy(concat(lit(s"$batch/"),
+        element_at(split(input_file_name(), "/"), -1)).as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    val next = snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1
+    val tmp = s"$path/versions/.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    carry(newFiles).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(f"$path/versions/v$next%05d")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new IllegalStateException(s"snapshot commit lost the race to $dst")
+    next
+  }
+
+  private def manifestOf(spark: SparkSession, path: String, v: Long): DataFrame =
+    spark.read.parquet(f"$path/versions/v$v%05d")
+
+  /** Create the table: version 1 contains exactly `df`. */
+  def snapshotWrite(df: DataFrame, path: String, nFiles: Int): Long = {
+    require(snapshotVersions(df.sparkSession, path).isEmpty,
+      s"$path already has versions — use snapshotAppend/snapshotReplace")
+    commitSnapshot(df, path, nFiles, identity)
+  }
+
+  /** Append-only commit: the new version sees the latest version's
+    * files PLUS the new batch — no existing file is rewritten, so the
+    * commit cost is O(batch) at any accumulated table size. */
+  def snapshotAppend(df: DataFrame, path: String, nFiles: Int): Long = {
+    val prev = snapshotVersions(df.sparkSession, path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"$path has no versions to append to"))
+    val old = manifestOf(df.sparkSession, path, prev)
+    commitSnapshot(df, path, nFiles, fresh => old.unionByName(fresh))
+  }
+
+  /** Full-replace commit (WRITE_TRUNCATE as a version): the new version
+    * lists ONLY the new batch; prior versions keep reading the old
+    * files until [[vacuumSnapshots]] expires them. */
+  def snapshotReplace(df: DataFrame, path: String, nFiles: Int): Long =
+    commitSnapshot(df, path, nFiles, identity)
+
+  /** Read the table as of version `asOf` (latest when None). The
+    * manifest's file list is collected driver-side — planning metadata,
+    * one row per data file, exactly what any format's planner holds. */
+  def readSnapshot(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs (expired or never committed)")
+    val files = manifestOf(spark, path, v)
+      .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Expire all but the newest `keep` versions and GC: delete expired
+    * manifests, then every data file no surviving manifest references —
+    * including orphans from crashed commits (data landed, manifest
+    * rename never happened). Returns (versions expired, files deleted).
+    * Collects are manifest/file LISTINGS, not data. */
+  def vacuumSnapshots(spark: SparkSession, path: String, keep: Int): (Long, Long) = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = fsFor(spark, path)
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions to vacuum")
+    val (expire, kept) = vs.splitAt((vs.size - keep).max(0))
+    val referenced = kept.map(v => manifestOf(spark, path, v).select("file"))
+      .reduce(_ unionByName _).distinct()
+      .collect().map(_.getString(0)).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    val it = fs.listFiles(dataRoot, true)
+    var removed = 0L
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = s"${f.getParent.getName}/${f.getName}"
+      if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+        fs.delete(f, false); removed += 1
+      }
+    }
+    expire.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(f"$path/versions/v$v%05d"), true))
+    (expire.size.toLong, removed)
+  }
+
+  /** Time travel as a driver-visible query: commit the even-event_id
+    * half of events as v1, append the odd half as v2, then aggregate
+    * BOTH versions — v1 must still answer exactly the pre-append table
+    * after v2 exists (the whole point of snapshot isolation), v2 the
+    * full table. The oracle recomputes both halves from the raw table;
+    * any append-time rewrite, torn commit, or version bleed hash-fails.
+    * Round9Spec pins the mechanics this query can't see: append writes
+    * zero new bytes into v1's files, a crashed commit is invisible to
+    * readers, and vacuum removes it without touching live versions. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tt_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    val p = stage.getAbsolutePath
+    val ev = Tables.events(spark, dir)
+    snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4)
+    snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4)
+    import graft.functions.Compat._
+    def agg(v: Long) = readSnapshot(spark, p, Some(v))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(lit(v).as("version"), col("n"), col("sum_value"), col("n_users"))
+    agg(1L).unionByName(agg(2L)).orderBy("version")
+  }
+
+  private val timeTravelOracle = {
+    import graft.functions.Compat.rSql
+    s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+       |  ${rSql("SUM(value)", 4)} AS sum_value,
+       |  COUNT(DISTINCT user_id) AS n_users FROM events WHERE event_id % 2 = 0
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), COUNT(*), ${rSql("SUM(value)", 4)},
+       |  COUNT(DISTINCT user_id)
+       |FROM events
+       |ORDER BY version""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_compact_files", compactFiles, Some(compactFilesOracle)),
     Op("q_prune_scan", pruneScan, Some(pruneScanOracle)),
     Op("q_zorder", zorderStats, Some(zorderStatsOracle)),
+    Op("q_time_travel", timeTravel, Some(timeTravelOracle)),
   )
 }

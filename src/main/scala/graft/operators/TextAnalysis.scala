@@ -529,7 +529,94 @@ object TextAnalysis {
       |  '[ \t\n\f\r]+', ' ', 'g')) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** URL canonicalization — the key-normalization step in front of any
+    * web-corpus dedup (two crawls of one page must map to one key
+    * before exact/minhash dedup can see them as duplicates). Rules:
+    * lowercase scheme+host, strip a leading `www.`, strip the scheme's
+    * default port (443/https, 80/http) but keep explicit non-default
+    * ports, drop the fragment, drop `utm_*` tracking params, and sort
+    * the surviving params so parameter order never splits a key.
+    *
+    * The corpus has no URL column, so the query synthesizes a
+    * deterministic adversarial URL per doc_id — mixed-case scheme/host,
+    * default and non-default ports, tracking params out of order,
+    * fragments — and the whole contract is hash-checked on every row
+    * (the q_text_norm discipline). Scan-local per-row string work
+    * inside whole-stage codegen; zero shuffles before the output sort. */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(
+      when(d % 2 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+      lit("WWW.Example"), (d % 7).cast("string"), lit(".COM"),
+      when(d % 3 === 0, when(d % 2 === 0, lit(":443")).otherwise(lit(":80")))
+        .when(d % 3 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Cat/item"), d.cast("string"),
+      when(d % 4 === 0, lit("")).otherwise(
+        concat(lit("?utm_source=feed&b="), (d % 5).cast("string"),
+          lit("&utm_campaign=x&a=1"))),
+      when(d % 2 === 1, lit("#Sec2")).otherwise(lit("")))
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = regexp_replace(
+      lower(regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostport, ":(\\d+)$", 1)
+    val keepPort = when(port === "", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      x => x =!= "" && substring(x, 1, 4) =!= "utm_")
+    val q = array_join(array_sort(params), "&")
+    Tables.documents(spark, dir)
+      .select(d, url.as("url"),
+        concat(scheme, lit("://"), host, keepPort, path,
+          when(q === "", lit("")).otherwise(concat(lit("?"), q))).as("canon"))
+      .orderBy("doc_id")
+  }
+
+  private val urlNormalizeOracle =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+      |    || '://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      |    || (CASE WHEN doc_id % 3 = 0
+      |              THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+      |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+      |    || '/Cat/item' || CAST(doc_id AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ''
+      |             ELSE '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR)
+      |                  || '&utm_campaign=x&a=1' END)
+      |    || (CASE WHEN doc_id % 2 = 1 THEN '#Sec2' ELSE '' END) AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query
+      |  FROM urls),
+      |built AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':(\d+)$', 1) AS port,
+      |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) AS path,
+      |    COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')), '&'), '') AS q
+      |  FROM parts)
+      |SELECT doc_id, url,
+      |  scheme || '://' || host
+      |  || (CASE WHEN port = '' THEN ''
+      |           WHEN scheme = 'https' AND port = '443' THEN ''
+      |           WHEN scheme = 'http' AND port = '80' THEN ''
+      |           ELSE ':' || port END)
+      |  || path || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon
+      |FROM built ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_url_norm", urlNormalize, Some(urlNormalizeOracle)),
     Op("q_text_norm", textNormalize, Some(textNormalizeOracle)),
     Op("q_pack_budget", packBudget, Some(packBudgetOracle)),
     Op("q_rag_chunk", ragChunk, Some(ragChunkOracle)),

@@ -238,4 +238,59 @@ class Round9Spec extends SparkSpec {
       assert(b - a == 30, s"non-twin pair ($a, $b) survived the df cut")
     }
   }
+
+  test("snapshots: append rewrites nothing, crash is invisible, vacuum GCs exactly the dead files") {
+    import operators.Maintenance._
+    val stage = java.nio.file.Files.createTempDirectory("graft_snap_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      val even = ev.filter(col("event_id") % 2 === 0)
+      val v1 = snapshotWrite(even, p, nFiles = 3)
+      assert(v1 == 1L)
+      val filesAfterV1 = parquetFiles(new java.io.File(stage, "data"))
+        .map(f => (f, new java.io.File(f).lastModified, new java.io.File(f).length))
+      val v2 = snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 3)
+      assert(v2 == 2L)
+      // append-not-rewrite: every v1 data file survives byte-for-byte
+      // (same path, mtime, size) — the O(batch) commit claim
+      val after = parquetFiles(new java.io.File(stage, "data"))
+        .map(f => (f, new java.io.File(f).lastModified, new java.io.File(f).length))
+      assert(filesAfterV1.subsetOf(after), "append rewrote a v1 data file")
+      // time travel: v1 still answers the pre-append table exactly
+      assert(readSnapshot(spark, p, Some(1L)).count() == even.count())
+      assert(readSnapshot(spark, p).count() == ev.count())
+
+      // crashed commit = data files landed, manifest rename never
+      // happened: simulate by writing a batch dir with no version
+      val orphan = new java.io.File(stage, "data/bcrashed0000")
+      even.limit(10).write.mode("overwrite").parquet(orphan.getAbsolutePath)
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L),
+        "a crashed commit must not surface as a version")
+      assert(readSnapshot(spark, p).count() == ev.count(),
+        "orphan files leaked into the latest snapshot")
+
+      // vacuum keep=1: v1's manifest goes; since v2 carries v1's files
+      // forward, the only DEAD data files are the orphan batch's
+      val orphanFiles = parquetFiles(orphan)
+      assert(orphanFiles.nonEmpty)
+      val (expired, removed) = vacuumSnapshots(spark, p, keep = 1)
+      assert(expired == 1L, s"expected to expire v1 only, got $expired")
+      assert(removed == orphanFiles.size.toLong,
+        s"expected to GC the ${orphanFiles.size} orphan files, got $removed")
+      assert(snapshotVersions(spark, p) == Seq(2L))
+      assert(readSnapshot(spark, p).count() == ev.count(),
+        "vacuum touched a live file")
+      // replace: v3 sees only its own batch; the v2 files become
+      // vacuum-able history
+      val v3 = snapshotReplace(even.limit(100), p, nFiles = 2)
+      assert(v3 == 3L)
+      assert(readSnapshot(spark, p).count() == 100L)
+      assert(readSnapshot(spark, p, Some(2L)).count() == ev.count(),
+        "replace must leave the prior version readable")
+      val (e2, r2) = vacuumSnapshots(spark, p, keep = 1)
+      assert(e2 == 1L && r2 > 0L, s"replace history not GC'd: ($e2, $r2)")
+      assert(readSnapshot(spark, p).count() == 100L)
+    } finally rm(stage)
+  }
 }
