@@ -296,18 +296,27 @@ object Maintenance {
     * is staged under `versions/.tmp-*` and renamed into place — rename
     * is the atomic commit point on HDFS-like stores. */
   private def commitSnapshot(df: DataFrame, path: String, nFiles: Int,
-      carry: DataFrame => DataFrame): Long = {
+      carry: DataFrame => DataFrame, statsCols: Seq[String],
+      clusterBy: Option[String]): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val batch = s"b${java.util.UUID.randomUUID().toString.take(12)}"
-    df.repartition(nFiles).write.mode("overwrite").parquet(s"$path/data/$batch")
+    // cluster the batch on the stats key when asked, so its per-file
+    // min/max ranges are disjoint (tight) rather than full-domain
+    val shaped = clusterBy match {
+      case Some(k) => df.repartitionByRange(nFiles, col(k)).sortWithinPartitions(k)
+      case None => df.repartition(nFiles)
+    }
+    shaped.write.mode("overwrite").parquet(s"$path/data/$batch")
     // stats derive from the JUST-WRITTEN files (the writeSkipIndexed
     // snapshot discipline): the durable parquet is the source of truth
+    val stats = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val newFiles = spark.read.parquet(s"$path/data/$batch")
       .groupBy(concat(lit(s"$batch/"),
         element_at(split(input_file_name(), "/"), -1)).as("file"))
-      .agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
     val next = snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1
     val tmp = s"$path/versions/.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
     carry(newFiles).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -320,28 +329,59 @@ object Maintenance {
   private def manifestOf(spark: SparkSession, path: String, v: Long): DataFrame =
     spark.read.parquet(f"$path/versions/v$v%05d")
 
-  /** Create the table: version 1 contains exactly `df`. */
-  def snapshotWrite(df: DataFrame, path: String, nFiles: Int): Long = {
+  /** Create the table: version 1 contains exactly `df`. `statsCols`
+    * adds per-file min/max columns to every manifest (enabling
+    * [[readSnapshotRange]] pruning); with `clusterBy` the batch is
+    * range-clustered on that key so its stats are tight. Append
+    * commits must pass the SAME statsCols — the manifest schema is
+    * part of the table contract. */
+  def snapshotWrite(df: DataFrame, path: String, nFiles: Int,
+      statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
     require(snapshotVersions(df.sparkSession, path).isEmpty,
       s"$path already has versions — use snapshotAppend/snapshotReplace")
-    commitSnapshot(df, path, nFiles, identity)
+    commitSnapshot(df, path, nFiles, identity, statsCols, clusterBy)
   }
 
   /** Append-only commit: the new version sees the latest version's
     * files PLUS the new batch — no existing file is rewritten, so the
     * commit cost is O(batch) at any accumulated table size. */
-  def snapshotAppend(df: DataFrame, path: String, nFiles: Int): Long = {
+  def snapshotAppend(df: DataFrame, path: String, nFiles: Int,
+      statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
     val prev = snapshotVersions(df.sparkSession, path).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$path has no versions to append to"))
     val old = manifestOf(df.sparkSession, path, prev)
-    commitSnapshot(df, path, nFiles, fresh => old.unionByName(fresh))
+    commitSnapshot(df, path, nFiles, fresh => old.unionByName(fresh),
+      statsCols, clusterBy)
   }
 
   /** Full-replace commit (WRITE_TRUNCATE as a version): the new version
     * lists ONLY the new batch; prior versions keep reading the old
     * files until [[vacuumSnapshots]] expires them. */
-  def snapshotReplace(df: DataFrame, path: String, nFiles: Int): Long =
-    commitSnapshot(df, path, nFiles, identity)
+  def snapshotReplace(df: DataFrame, path: String, nFiles: Int,
+      statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long =
+    commitSnapshot(df, path, nFiles, identity, statsCols, clusterBy)
+
+  /** Range scan of a snapshot version with manifest pruning — the
+    * [[prunedRead]] mechanic composed with time travel, i.e. what a
+    * format's planner actually does: resolve the version, pick the
+    * files whose [min_c, max_c] intersects [lo, hi] FROM THAT
+    * VERSION'S manifest, scan only those, re-apply the predicate as
+    * the residual. Historic versions prune just as well as the head —
+    * their manifests are immutable. */
+  def readSnapshotRange(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs (expired or never committed)")
+    val files = manifestOf(spark, path, v)
+      .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+      .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
+    val data =
+      if (files.isEmpty) readSnapshot(spark, path, Some(v)).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    data.filter(col(c) >= lo && col(c) <= hi)
+  }
 
   /** Read the table as of version `asOf` (latest when None). The
     * manifest's file list is collected driver-side — planning metadata,
@@ -401,8 +441,10 @@ object Maintenance {
     graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
     val p = stage.getAbsolutePath
     val ev = Tables.events(spark, dir)
-    snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4)
-    snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4)
+    snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
     import graft.functions.Compat._
     def agg(v: Long) = readSnapshot(spark, p, Some(v))
       .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"),

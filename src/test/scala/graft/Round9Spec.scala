@@ -293,4 +293,39 @@ class Round9Spec extends SparkSpec {
       assert(readSnapshot(spark, p).count() == 100L)
     } finally rm(stage)
   }
+
+  test("snapshot range read prunes files from the queried version's own manifest") {
+    import operators.Maintenance._
+    val stage = java.nio.file.Files.createTempDirectory("graft_snapr_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      val even = ev.filter(col("event_id") % 2 === 0)
+      snapshotWrite(even, p, nFiles = 8,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 8,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.select(input_file_name()).distinct().collect()
+          .map(_.getString(0)).toSet
+      // a 100-id range over v2 must scan a strict subset of the 16
+      // clustered files and answer exactly the plain filter
+      val pruned = readSnapshotRange(spark, p, "event_id", 100L, 199L)
+      val expect = ev.filter(col("event_id").between(100L, 199L)).count()
+      assert(pruned.count() == expect)
+      val all = parquetFiles(new java.io.File(stage, "data"))
+      assert(scannedFiles(pruned).size < all.size,
+        s"range read scanned all ${all.size} files — no pruning happened")
+      // historic version: same range over v1 sees only the even ids,
+      // pruned from v1's OWN (immutable) manifest
+      val v1r = readSnapshotRange(spark, p, "event_id", 100L, 199L, Some(1L))
+      assert(v1r.count() ==
+        even.filter(col("event_id").between(100L, 199L)).count())
+      assert(scannedFiles(v1r).size < 8, "v1 range read did not prune")
+      // empty range: zero files planned, schema intact
+      val none = readSnapshotRange(spark, p, "event_id", -500L, -1L)
+      assert(none.count() == 0L)
+      assert(none.schema == pruned.schema)
+    } finally rm(stage)
+  }
 }
