@@ -68,17 +68,36 @@ object TextAnalysis {
        |SELECT lang, pred, COUNT(*) AS n FROM pred GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
   }
 
-  /** Text-quality features: length, token stats, stopword ratio, unique
-    * ratio → a composite score, rolled up per score-decile. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** The composite text-quality score on `text` (unique-token ratio,
+    * stopword ratio, average token length — each saturated, weighted,
+    * r4-rounded onto the decimal grid). Shared by [[qualityScore]] and
+    * the [[corpusPipeline]] filter so the two can never drift. */
+  private def qualityScoreExpr: Column = {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
     val stopRatio = hitScore("en").cast("double") / nTok
     val avgTokLen = (length(col("text")) - nTok + 1).cast("double") / nTok
-    val score = r4(lit(0.4) * least(uniqRatio * 3, lit(1.0)) +
-        lit(0.3) * least(stopRatio * 10, lit(1.0)) +
-        lit(0.3) * least(avgTokLen / 8, lit(1.0)))
+    r4(lit(0.4) * least(uniqRatio * 3, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 10, lit(1.0)) +
+      lit(0.3) * least(avgTokLen / 8, lit(1.0)))
+  }
+
+  /** DuckDB twin of [[qualityScoreExpr]]. */
+  private val qualityScoreExprSql: String = {
+    val nTok = "len(string_split(text, ' '))"
+    val uniq = s"CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok"
+    val stop = s"CAST(${hitScoreSql("en")} AS DOUBLE) / $nTok"
+    val avgLen = s"CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok"
+    s"(sign(0.4 * least($uniq * 3, 1.0) + 0.3 * least($stop * 10, 1.0) + 0.3 * least($avgLen / 8, 1.0)) * floor(abs(0.4 * least($uniq * 3, 1.0) + 0.3 * least($stop * 10, 1.0) + 0.3 * least($avgLen / 8, 1.0)) * 1e4 + 0.5) / 1e4)"
+  }
+
+  /** Text-quality features: length, token stats, stopword ratio, unique
+    * ratio → a composite score, rolled up per score-decile. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val score = qualityScoreExpr
     Tables.documents(spark, dir)
       .select(floor(score * 10).as("score_decile"),
         col("n_chars"), nTok.as("n_tok"))
@@ -90,11 +109,7 @@ object TextAnalysis {
 
   private val qualityScoreOracle = {
     val nTok = "len(string_split(text, ' '))"
-    val uniq = s"CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok"
-    val stop = s"CAST(${hitScoreSql("en")} AS DOUBLE) / $nTok"
-    val avgLen = s"CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok"
-    val score =
-      s"(sign(0.4 * least($uniq * 3, 1.0) + 0.3 * least($stop * 10, 1.0) + 0.3 * least($avgLen / 8, 1.0)) * floor(abs(0.4 * least($uniq * 3, 1.0) + 0.3 * least($stop * 10, 1.0) + 0.3 * least($avgLen / 8, 1.0)) * 1e4 + 0.5) / 1e4)"
+    val score = qualityScoreExprSql
     s"""SELECT CAST(FLOOR($score * 10) AS BIGINT) AS score_decile,
        |  COUNT(*) AS n_docs,
        |  (sign(AVG($nTok)) * floor(abs(AVG($nTok)) * 1e2 + 0.5) / 1e2) AS avg_tokens
@@ -615,7 +630,86 @@ object TextAnalysis {
       |  || path || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon
       |FROM built ORDER BY doc_id""".stripMargin
 
+  /** The corpus-curation funnel end-to-end — block C's flagship, the
+    * training-data sibling of q_sb_pipeline's switchback DAG: raw crawl
+    * (documents plus the re-crawled copies every 10th doc contributes —
+    * the [[Dedup.dedupExact]] corpus) → exact dedup on the content
+    * digest (keep lowest doc_id; one shuffle on the 128-bit hash,
+    * perfectly spread at any scale) → quality filter at score ≥ 0.7 on
+    * the SHARED [[qualityScoreExpr]] → per-source funnel rollup: raw
+    * count, dedup drops, quality drops, kept docs, kept whitespace
+    * tokens. Re-crawled copies hash-equal their originals, so the
+    * min-id survivor is always the original — the survivor set needs
+    * no special casing downstream.
+    *
+    * Scale: ONE digest groupBy over the crawl (the dominant shuffle —
+    * it moves (digest, doc_id) pairs, never text), one semi-join of
+    * documents against the survivor ids, and two per-source hash
+    * aggregations. The raw per-source counts need no join at all: the
+    * copy multiplicity is a pure function of doc_id, so the rollup is
+    * a single scan-aggregation of documents. Because every survivor is
+    * an ORIGINAL id, the semi-join's probe side is documents itself —
+    * the union never appears above the digest aggregation, so the
+    * optimizer cannot duplicate it through join pushdown (the naive
+    * crawl-side semi-join plan computed the digest shuffle TWICE). All
+    * per-row work (md5, score, token count) is scan-local in codegen. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val crawl = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val keep = crawl.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+    val surv = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("score", qualityScoreExpr)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val raw = docs.groupBy("source").agg(
+      (count(lit(1)) +
+        sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))).as("n_raw"))
+    val funnel = surv.groupBy("source").agg(
+      count(lit(1)).as("n_unique"),
+      sum(when(col("score") >= 0.7, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("score") >= 0.7, col("n_tok")).otherwise(0L)).as("tokens_kept"))
+    raw.join(funnel, Seq("source"))
+      .select(col("source"), col("n_raw"),
+        (col("n_raw") - col("n_unique")).as("n_dedup_dropped"),
+        (col("n_unique") - col("n_kept")).as("n_quality_dropped"),
+        col("n_kept"), col("tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val corpusPipelineOracle =
+    s"""WITH crawl AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |keep AS (
+       |  SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM crawl GROUP BY 1),
+       |surv AS (
+       |  SELECT d.doc_id, d.source,
+       |    $qualityScoreExprSql AS score,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM keep)),
+       |raw AS (
+       |  SELECT source, CAST(COUNT(*) +
+       |    SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw
+       |  FROM documents GROUP BY 1),
+       |funnel AS (
+       |  SELECT source, COUNT(*) AS n_unique,
+       |    CAST(SUM(CASE WHEN score >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN score >= 0.7 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+       |  FROM surv GROUP BY 1)
+       |SELECT r.source, r.n_raw,
+       |  r.n_raw - f.n_unique AS n_dedup_dropped,
+       |  f.n_unique - f.n_kept AS n_quality_dropped,
+       |  f.n_kept, f.tokens_kept
+       |FROM raw r JOIN funnel f ON r.source = f.source
+       |ORDER BY r.source""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_corpus_pipeline", corpusPipeline, Some(corpusPipelineOracle),
+      headline = true),
     Op("q_url_norm", urlNormalize, Some(urlNormalizeOracle)),
     Op("q_text_norm", textNormalize, Some(textNormalizeOracle)),
     Op("q_pack_budget", packBudget, Some(packBudgetOracle)),
