@@ -163,7 +163,79 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** Resize as a driver-visible ORACLE-BACKED query: encode → resize
+    * (inflate, nearest-neighbor subsample, re-encode) → decode the
+    * RESIZED payload bytes, and emit each row's output dimensions. The
+    * resize dimension rule is pure integer arithmetic
+    * (scale = max(1, max(w,h) div maxDim); out = max(1, dim div
+    * scale)), so DuckDB replays it from the planted metadata — but the
+    * Spark side recovers the dims by DECODING the re-encoded PNG, so a
+    * regression anywhere in the inflate/subsample/encode/decode chain
+    * hash-fails, not just the arithmetic. Non-image modalities pass
+    * through with their payloads untouched. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resize(mediaTable(spark, dir), maxDim = 16)
+      .mapPartitions(_.map { r =>
+        if (r.modality == "image") {
+          val d = MediaCodec.pngDecode(r.payload)
+          (r.doc_id, r.modality,
+            d.map(_.width.toLong).getOrElse(-1L),
+            d.map(_.height.toLong).getOrElse(-1L),
+            if (d.exists(i => i.crcOk && i.pixelsOk)) 1L else 0L)
+        } else (r.doc_id, r.modality, r.width.toLong, r.height.toLong, 1L)
+      })
+      .toDF("doc_id", "modality", "out_w", "out_h", "ok")
+      .orderBy("doc_id")
+  }
+
+  private val mediaResizeOracle =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    n_chars % 64 + 8 AS w, n_chars % 48 + 8 AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, modality, w, h,
+      |    greatest(1, greatest(w, h) // 16) AS scale
+      |  FROM m)
+      |SELECT doc_id, modality,
+      |  CAST(CASE WHEN modality = 'image' THEN greatest(1, w // scale)
+      |       ELSE w END AS BIGINT) AS out_w,
+      |  CAST(CASE WHEN modality = 'image' THEN greatest(1, h // scale)
+      |       ELSE h END AS BIGINT) AS out_h,
+      |  CAST(1 AS BIGINT) AS ok
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling as a driver-visible ORACLE-BACKED query: every 3rd
+    * fixed-size frame of each video payload, with the frame BYTES
+    * surfaced as hex. The GIF containers are deterministic (14 bytes:
+    * magic, LE dims, flags, trailer), so the oracle derives the exact
+    * bytes of every sampled frame from the planted metadata — frame 0
+    * is the magic ("GI"), frame 3 spans the little-endian width byte,
+    * frame 6 ends at the 0x3B trailer. Any drift in the encoder, the
+    * grouping, or the sampling stride hash-fails at the byte level. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir), everyN = 3)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        hex(col("frame_bytes")).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val frameSampleOracle =
+    """WITH v AS (
+      |  SELECT doc_id, n_chars % 64 + 8 AS w
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, w, unnest([0, 3, 6]) AS frame_idx FROM v)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CASE frame_idx WHEN 0 THEN '4749'
+      |    WHEN 3 THEN lpad(hex(w), 2, '0') || '00'
+      |    ELSE '003B' END AS frame_hex
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_multimodal", multimodal, None),
+    Op("q_media_resize", mediaResize, Some(mediaResizeOracle)),
+    Op("q_frame_sample", frameSample, Some(frameSampleOracle)),
   )
 }
