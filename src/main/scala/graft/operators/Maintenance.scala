@@ -385,16 +385,23 @@ object Maintenance {
 
   /** Read the table as of version `asOf` (latest when None). The
     * manifest's file list is collected driver-side — planning metadata,
-    * one row per data file, exactly what any format's planner holds. */
+    * one row per data file, exactly what any format's planner holds.
+    *
+    * `mergeSchema = true` enables schema-evolution reads: an appended
+    * batch may carry ADDED columns (the only evolution a file-immutable
+    * table supports without rewrite); older files surface NULL for
+    * them. Off by default — merged-footer planning costs a footer read
+    * per distinct batch schema, and most reads know their schema. */
   def readSnapshot(spark: SparkSession, path: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val vs = snapshotVersions(spark, path)
     require(vs.nonEmpty, s"$path has no committed versions")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs (expired or never committed)")
     val files = manifestOf(spark, path, v)
       .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.toIndexedSeq: _*)
   }
 
   /** Expire all but the newest `keep` versions and GC: delete expired

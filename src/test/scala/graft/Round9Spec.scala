@@ -328,4 +328,33 @@ class Round9Spec extends SparkSpec {
       assert(none.schema == pruned.schema)
     } finally rm(stage)
   }
+
+  test("snapshot append with an added column: old files read NULL, old versions unchanged") {
+    import operators.Maintenance._
+    val stage = java.nio.file.Files.createTempDirectory("graft_snapev_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      snapshotWrite(half, p, nFiles = 2)
+      // the appended batch carries an ADDED column — the one evolution a
+      // file-immutable table supports without rewriting history
+      snapshotAppend(docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("lang_conf", (col("doc_id") % 100).cast("double") / 100),
+        p, nFiles = 2)
+      val merged = readSnapshot(spark, p, mergeSchema = true)
+      assert(merged.columns.toSet == Set("doc_id", "source", "lang_conf"))
+      assert(merged.count() == docs.count())
+      // v1 rows surface NULL for the added column; v2 rows carry it
+      assert(merged.filter(col("doc_id") % 2 === 0)
+        .filter(col("lang_conf").isNotNull).count() == 0L)
+      assert(merged.filter(col("doc_id") % 2 === 1)
+        .filter(col("lang_conf").isNull).count() == 0L)
+      // time travel is unaffected by the evolution: v1 still reads its
+      // own (narrower) schema
+      val v1 = readSnapshot(spark, p, Some(1L))
+      assert(v1.columns.toSet == Set("doc_id", "source"))
+      assert(v1.count() == half.count())
+    } finally rm(stage)
+  }
 }
