@@ -433,6 +433,46 @@ object Maintenance {
     (expire.size.toLong, removed)
   }
 
+  // ───── streaming micro-batches as snapshot versions ──────────────────
+
+  /** Batch ids already committed to the streaming-sink table at `path`
+    * (read off the LATEST manifest — each version's manifest carries
+    * every file's originating batch id forward). Sink tables only:
+    * batch-op snapshot tables have no batch_id column. */
+  def committedBatchIds(spark: SparkSession, path: String): Set[Long] = {
+    val vs = snapshotVersions(spark, path)
+    if (vs.isEmpty) Set.empty
+    else manifestOf(spark, path, vs.last).select("batch_id")
+      .na.drop().distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Commit ONE streaming micro-batch as a snapshot append version —
+    * the lakehouse sink kernel. foreachBatch is at-least-once (a crash
+    * after the write but before the checkpoint commit re-delivers the
+    * batch), so exactly-once lands here: every manifest row records the
+    * batch id that produced its file, and a re-delivered id is detected
+    * and skipped BEFORE any write. A skipped replay leaves the table
+    * byte-identical; an empty batch commits nothing (no version churn).
+    * While the stream runs, readers get snapshot isolation (a version
+    * is visible only after its manifest rename), time travel over the
+    * ingest history, and [[vacuumSnapshots]] as retention. */
+  def snapshotSinkBatch(batch: DataFrame, path: String, id: Long,
+      nFiles: Int = 1): Unit = {
+    val spark = batch.sparkSession
+    if (!committedBatchIds(spark, path).contains(id)) {
+      // persist: the isEmpty probe + write would run the batch plan twice
+      batch.persist()
+      try if (!batch.isEmpty) {
+        val prev = snapshotVersions(spark, path).lastOption
+        commitSnapshot(batch, path, nFiles, fresh => {
+          val stamped = fresh.withColumn("batch_id", lit(id))
+          prev.map(v => manifestOf(spark, path, v).unionByName(stamped))
+            .getOrElse(stamped)
+        }, Nil, None): Unit
+      } finally batch.unpersist(blocking = false): Unit
+    }
+  }
+
   /** Time travel as a driver-visible query: commit the even-event_id
     * half of events as v1, append the odd half as v2, then aggregate
     * BOTH versions — v1 must still answer exactly the pre-append table

@@ -110,6 +110,26 @@ object EventStream {
       }
       .start()
 
+  /** Stream into a VERSIONED snapshot table (the lakehouse sink): each
+    * non-empty finalized micro-batch commits one snapshot append
+    * version via [[graft.operators.Maintenance.snapshotSinkBatch]],
+    * which records the batch id in the manifest and skips re-delivered
+    * ids — exactly-once across restarts on top of foreachBatch's
+    * at-least-once contract. Compared to [[exactlyOnceParquetSink]]'s
+    * one-directory-per-batch layout, readers here get atomic version
+    * visibility, time travel over the ingest history, and
+    * vacuum/compaction as maintenance — the sink a long-running
+    * monitoring deployment actually wants under its dashboards. */
+  def snapshotSink(finalized: DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    finalized.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Maintenance.snapshotSinkBatch(batch, path, id)
+      }
+      .start()
+
   /** Tumbling 1-hour per-event_type KPI aggregation with a 2-hour
     * watermark — the streaming twin of TimeSeries.windowTumbling. */
   def tumblingCounts(events: DataFrame): DataFrame =

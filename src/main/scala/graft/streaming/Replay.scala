@@ -52,6 +52,24 @@ object Replay {
   def replayViaFiles(spark: SparkSession, dir: String, chunks: Int = 10,
       dupFeed: Boolean = false)
       (xform: Dataset[Event] => DataFrame): DataFrame = {
+    val (input, stage, name) = stageFeed(spark, dir, chunks, dupFeed)
+    val q = xform(input).writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+    val rows = out.collect()
+    graft.sources.Sources.deleteRecursively(stage)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Stage `dir`'s events as the ts-ordered chunk-file feed and open
+    * the real FileStreamSource over it — the layout/mtime/sentinel
+    * mechanics of [[replayViaFiles]], factored out so callers can
+    * attach a DIFFERENT terminal (e.g. the versioned snapshot sink)
+    * to the same exactly-once file feed. Caller owns the returned
+    * stage dir (delete after the run). */
+  def stageFeed(spark: SparkSession, dir: String, chunks: Int = 10,
+      dupFeed: Boolean = false): (Dataset[Event], java.io.File, String) = {
     import spark.implicits._
     val id = counter.incrementAndGet()
     val stage = new java.io.File(
@@ -106,14 +124,7 @@ object Replay {
       .option("latestFirst", "false")
       .parquet(stage.getAbsolutePath)
       .as[Event]
-    val name = s"graft_file_replay_$id"
-    val q = xform(input).writeStream.format("memory")
-      .queryName(name).outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = spark.table(name)
-    val rows = out.collect()
-    graft.sources.Sources.deleteRecursively(stage)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    (input, stage, s"graft_file_replay_$id")
   }
 
   /** Replay `dir`'s events through `xform`; returns the finalized

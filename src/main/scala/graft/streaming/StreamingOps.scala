@@ -462,8 +462,33 @@ object StreamingOps {
       .orderBy("window_start")
   }
 
+  // ------------------------------------------------- lakehouse sink
+
+  /** The tumbling KPI monitor landing in a VERSIONED snapshot table
+    * ([[EventStream.snapshotSink]]): same file-source replay, but the
+    * terminal is the lakehouse sink — every micro-batch commits one
+    * snapshot version with its batch id recorded for replay-skip, and
+    * the registered result is read back THROUGH the snapshot reader
+    * (manifest-planned file list), so the driver gate hash-checks the
+    * entire stream → version-commit → snapshot-read path against the
+    * batch oracle. Shares q_stream_tumbling's oracle by construction. */
+  private def streamSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val (input, stage, _) = Replay.stageFeed(spark, dir)
+    val tbl = new java.io.File(stage, "table").getAbsolutePath
+    val cp = new java.io.File(stage, "cp").getAbsolutePath
+    val q = EventStream.snapshotSink(
+      EventStream.tumblingCounts(input.toDF()), tbl, cp)
+    try q.processAllAvailable() finally q.stop()
+    val out = graft.operators.Maintenance.readSnapshot(spark, tbl)
+      .orderBy("window_start", "event_type")
+    val rows = out.collect()
+    graft.sources.Sources.deleteRecursively(stage)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_stream_tumbling", streamTumbling, Some(streamTumblingOracle)),
+    Op("q_stream_snapshot", streamSnapshot, Some(streamTumblingOracle)),
     Op("q_stream_sb_rollup", streamSbRollup, Some(streamSbRollupOracle)),
     Op("q_stream_srm", streamSrm, Some(streamSrmOracle)),
     Op("q_stream_psi", streamPsi, Some(streamPsiOracle)),

@@ -329,6 +329,102 @@ class Round9Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("corpus pipeline plan: the crawl union and the digest aggregation appear exactly once") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Union}
+    // the naive crawl-side semi-join let the optimizer push the join
+    // through the union and compute the digest shuffle TWICE; the
+    // documents-probe formulation makes that impossible — pin it
+    val plan = operators.TextAnalysis.corpusPipeline(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val unions = plan.collect { case u: Union => u }
+    assert(unions.size == 1, s"expected ONE crawl union, got ${unions.size}")
+    // exactly three logical aggregations: digest keep, raw rollup,
+    // survivor funnel (the optimizer may alias md5 into a Project, so
+    // count nodes, not expression text); the doubled-digest plan had 4
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.size == 3, s"expected 3 aggregations, got ${aggs.size}")
+  }
+
+  test("snapshot sink: re-delivered batch ids are skipped before any write; empty batches commit nothing") {
+    import operators.Maintenance._
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_snapsink_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      def batch(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("k", "v")
+      snapshotSinkBatch(batch(1, 2), p, id = 0)
+      snapshotSinkBatch(batch(3, 4), p, id = 1)
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L))
+      val before = parquetFiles(new java.io.File(stage, "data"))
+      // at-least-once replay: the SAME id arrives again with different
+      // content (a nondeterministic upstream recomputation) — the sink
+      // must skip it entirely, leaving the table byte-identical
+      snapshotSinkBatch(batch(99), p, id = 1)
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L), "replayed id committed")
+      assert(parquetFiles(new java.io.File(stage, "data")) == before,
+        "replayed id wrote data files")
+      // empty batch: no version churn
+      snapshotSinkBatch(batch().toDF("k", "v"), p, id = 2)
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L))
+      snapshotSinkBatch(batch(5), p, id = 3)
+      assert(readSnapshot(spark, p).select("k").as[Long].collect().sorted
+        .sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+      // time travel over the ingest history
+      assert(readSnapshot(spark, p, Some(1L)).count() == 2L)
+      assert(committedBatchIds(spark, p) == Set(0L, 1L, 3L))
+    } finally rm(stage)
+  }
+
+  test("streaming snapshot sink survives a stop/restart without duplicating a batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import operators.Maintenance._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val events = (0 until 600).map { i =>
+      streaming.Event(i.toLong, ts(i.toLong), i % 5L,
+        if (i % 2 == 0) "click" else "view", (i % 13).toDouble)
+    }
+    val sentinel = streaming.Event(9999L, ts(100000L), 0L, "sentinel", 0.0)
+    val root = java.nio.file.Files.createTempDirectory("graft_snapsink2_").toFile
+    try {
+      // interrupted run: stop mid-stream, restart from the checkpoint
+      val (tbl, cp) = (new java.io.File(root, "tbl"), new java.io.File(root, "cp"))
+      val in1 = MemoryStream[streaming.Event]
+      def start1() = streaming.EventStream.snapshotSink(
+        streaming.EventStream.tumblingCounts(in1.toDF()),
+        tbl.getAbsolutePath, cp.getAbsolutePath)
+      val q1 = start1()
+      in1.addData(events.take(200)); q1.processAllAvailable()
+      in1.addData(events.slice(200, 400)); q1.processAllAvailable()
+      q1.stop()
+      val q2 = start1()
+      in1.addData(events.drop(400))
+      in1.addData(sentinel)
+      q2.processAllAvailable(); q2.stop()
+      // uninterrupted twin
+      val (tbl2, cp2) = (new java.io.File(root, "tbl2"), new java.io.File(root, "cp2"))
+      val in2 = MemoryStream[streaming.Event]
+      val q3 = streaming.EventStream.snapshotSink(
+        streaming.EventStream.tumblingCounts(in2.toDF()),
+        tbl2.getAbsolutePath, cp2.getAbsolutePath)
+      in2.addData(events); in2.addData(sentinel)
+      q3.processAllAvailable(); q3.stop()
+      val a = readSnapshot(spark, tbl.getAbsolutePath)
+        .select("window_start", "event_type", "n", "sum_value")
+        .collect().map(_.toString).sorted
+      val b = readSnapshot(spark, tbl2.getAbsolutePath)
+        .select("window_start", "event_type", "n", "sum_value")
+        .collect().map(_.toString).sorted
+      assert(a.nonEmpty && a.sameElements(b),
+        s"restarted sink diverged: ${a.length} vs ${b.length} rows")
+      // every committed batch id is distinct (no replay landed twice)
+      val ids = committedBatchIds(spark, tbl.getAbsolutePath)
+      assert(ids.size == snapshotVersions(spark, tbl.getAbsolutePath).size,
+        "a version landed without a fresh batch id")
+    } finally rm(root)
+  }
+
   test("snapshot append with an added column: old files read NULL, old versions unchanged") {
     import operators.Maintenance._
     val stage = java.nio.file.Files.createTempDirectory("graft_snapev_").toFile
