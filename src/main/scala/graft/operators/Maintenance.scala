@@ -433,17 +433,74 @@ object Maintenance {
     (expire.size.toLong, removed)
   }
 
+  /** Compact a snapshot table IN the snapshot layer: read the head
+    * version, rewrite it as ~`targetBytes` files (optionally
+    * range-clustered with tight manifest stats), and commit the result
+    * as a REPLACE version. Readers never see a half-compacted table
+    * (the new manifest is one atomic rename), concurrent time-travel
+    * readers of old versions are untouched, and the pre-compaction
+    * files stay reclaimable-but-readable history until
+    * [[vacuumSnapshots]] expires them — OPTIMIZE without a lock, the
+    * reason every table format models compaction as just another
+    * commit. Streaming-sink tables compact too: the replace manifest
+    * CARRIES FORWARD the head's committed batch ids (max per file
+    * count), so a replayed micro-batch arriving after a compaction is
+    * still recognized and skipped. Returns the new version id. */
+  def compactSnapshot(spark: SparkSession, path: String, targetBytes: Long,
+      statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val head = readSnapshot(spark, path)
+    val totalBytes: BigInt = head.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.sizeInBytes
+    }.sum
+    require(totalBytes > 0, s"compactSnapshot: could not size $path")
+    val nOutB = ((totalBytes + targetBytes - 1) / targetBytes).max(1)
+    require(nOutB <= Int.MaxValue,
+      s"compactSnapshot: $nOutB output files — beyond Int range")
+    val vs = snapshotVersions(spark, path)
+    val headManifest = manifestOf(spark, path, vs.last)
+    val isSink = headManifest.columns.contains("batch_id")
+    val carry: DataFrame => DataFrame =
+      if (!isSink) identity
+      else fresh => {
+        // preserve the sink's replay-skip memory: stamp every compacted
+        // file with the max committed batch id (set membership is all
+        // committedBatchIds needs — per-file provenance died with the
+        // rewrite, and a future batch id is always > every past one)
+        val maxId = headManifest.agg(max("batch_id")).head().getLong(0)
+        fresh.withColumn("batch_id", lit(maxId))
+      }
+    commitSnapshot(head, path, nOutB.toInt, carry, statsCols, clusterBy)
+  }
+
   // ───── streaming micro-batches as snapshot versions ──────────────────
 
   /** Batch ids already committed to the streaming-sink table at `path`
     * (read off the LATEST manifest — each version's manifest carries
-    * every file's originating batch id forward). Sink tables only:
-    * batch-op snapshot tables have no batch_id column. */
+    * every file's originating batch id forward; after a
+    * [[compactSnapshot]] the per-file provenance collapses to the high
+    * watermark). Sink tables only: batch-op snapshot tables have no
+    * batch_id column. */
   def committedBatchIds(spark: SparkSession, path: String): Set[Long] = {
     val vs = snapshotVersions(spark, path)
     if (vs.isEmpty) Set.empty
     else manifestOf(spark, path, vs.last).select("batch_id")
       .na.drop().distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** The sink's replay-skip watermark: the highest committed batch id.
+    * foreachBatch ids commit in increasing order (stream execution is
+    * sequential), so `id <= watermark` ⇔ already handled — EMPTY
+    * batches are deliberately unrecorded, and treating a replayed empty
+    * id as handled is safe because its deterministic re-execution has
+    * nothing to land either. Watermark (not set-membership) is the
+    * skip test so that compaction may collapse per-file provenance. */
+  def sinkBatchWatermark(spark: SparkSession, path: String): Option[Long] = {
+    val vs = snapshotVersions(spark, path)
+    if (vs.isEmpty) None
+    else Option(manifestOf(spark, path, vs.last).agg(max("batch_id")).head().get(0))
+      .map(_.asInstanceOf[Long])
   }
 
   /** Commit ONE streaming micro-batch as a snapshot append version —
@@ -459,7 +516,7 @@ object Maintenance {
   def snapshotSinkBatch(batch: DataFrame, path: String, id: Long,
       nFiles: Int = 1): Unit = {
     val spark = batch.sparkSession
-    if (!committedBatchIds(spark, path).contains(id)) {
+    if (!sinkBatchWatermark(spark, path).exists(_ >= id)) {
       // persist: the isEmpty probe + write would run the batch plan twice
       batch.persist()
       try if (!batch.isEmpty) {

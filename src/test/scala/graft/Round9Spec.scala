@@ -425,6 +425,45 @@ class Round9Spec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("compaction is a replace version: reads equal, history intact, replay-skip survives") {
+    import operators.Maintenance._
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_snapc_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      def batch(lo: Long, hi: Long) = (lo to hi).map(i => (i, s"v$i")).toDF("k", "v")
+      (0L to 3L).foreach(id => snapshotSinkBatch(batch(id * 10, id * 10 + 9), p, id))
+      assert(snapshotVersions(spark, p).size == 4)
+      val beforeRows = readSnapshot(spark, p).select("k").as[Long].collect().sorted
+      val beforeFiles = parquetFiles(new java.io.File(stage, "data")).size
+      val v5 = compactSnapshot(spark, p, targetBytes = 1L << 30)
+      assert(v5 == 5L)
+      // head reads identically from fewer files; history is untouched
+      val afterRows = readSnapshot(spark, p).select("k").as[Long].collect().sorted
+      assert(afterRows.sameElements(beforeRows))
+      val headFiles = manifestOf_(spark, p, 5L)
+      assert(headFiles == 1L,
+        s"compaction left $headFiles files (was $beforeFiles across batches)")
+      assert(readSnapshot(spark, p, Some(2L)).count() == 20L)
+      // the replay-skip watermark survives the provenance collapse: a
+      // re-delivered pre-compaction batch must still be skipped...
+      snapshotSinkBatch(batch(999, 999), p, id = 3)
+      assert(snapshotVersions(spark, p).size == 5, "replayed id landed post-compaction")
+      // ...while the stream continues normally with the next id
+      snapshotSinkBatch(batch(40, 49), p, id = 4)
+      assert(readSnapshot(spark, p).count() == 50L)
+      // vacuum reclaims the pre-compaction generations; head unaffected
+      val (expired, removed) = vacuumSnapshots(spark, p, keep = 1)
+      assert(expired == 5L && removed > 0L)
+      assert(readSnapshot(spark, p).count() == 50L)
+    } finally rm(stage)
+  }
+
+  // file count of a version, via its manifest
+  private def manifestOf_(spark: org.apache.spark.sql.SparkSession,
+      path: String, v: Long): Long =
+    spark.read.parquet(f"$path/versions/v$v%05d").count()
+
   test("snapshot append with an added column: old files read NULL, old versions unchanged") {
     import operators.Maintenance._
     val stage = java.nio.file.Files.createTempDirectory("graft_snapev_").toFile
