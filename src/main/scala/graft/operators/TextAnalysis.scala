@@ -707,9 +707,76 @@ object TextAnalysis {
        |FROM raw r JOIN funnel f ON r.source = f.source
        |ORDER BY r.source""".stripMargin
 
+  /** The corpus funnel run INCREMENTALLY — five "daily" crawls
+    * processed in order, each day exact-deduped first within its own
+    * batch and then against the accumulated seen-hash state, never
+    * against raw history (the O(day) ingest contract; re-crawled
+    * copies deliberately arrive one day AFTER their originals so the
+    * cross-day path does real work). The per-day readout is (raw,
+    * newly kept, dropped-as-duplicate). The oracle is the BATCH
+    * formulation — first-seen = min (day, doc_id) per content hash —
+    * so the gate hash-checks the central incremental-ingest theorem:
+    * day-by-day processing with carried state must equal the one-shot
+    * batch dedup exactly.
+    *
+    * Scale: per day, one within-batch digest aggregation + one
+    * anti-join against the seen-hash table (at 100 TB that table is a
+    * bucketed/persisted index — [[Dedup.appendToMinhashIndex]] is the
+    * near-dup sibling with real artifacts); the seen state carries
+    * (hash) only, never text, and each round persists it so lineage
+    * stays flat across days. */
+  def corpusIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // day = (doc_id mod 5 + crawl-generation) mod 5: originals spread
+    // over days 0-4, each copy lands the day after its original
+    val crawl = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .withColumn("day",
+        ((col("doc_id") % 5) + expr("doc_id div 1000000")) % 5)
+      .withColumn("h", md5(col("text")))
+    var seen: DataFrame = null
+    val days = (0L to 4L).map { d =>
+      val batch = crawl.filter(col("day") === d)
+      val inBatch = batch.groupBy("h").agg(min("doc_id").as("keep_id"))
+      val fresh =
+        if (seen == null) inBatch
+        else inBatch.join(seen, Seq("h"), "left_anti")
+      val freshP = graft.CacheScope.track(fresh.persist())
+      seen =
+        if (seen == null) freshP.select("h")
+        else graft.CacheScope.track(
+          seen.unionByName(freshP.select("h")).persist())
+      batch.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(freshP.agg(count(lit(1)).as("n_new")))
+        .select(lit(d).as("day"), col("n_raw"), col("n_new"),
+          (col("n_raw") - col("n_new")).as("n_dup_dropped"))
+    }
+    days.reduce(_ unionByName _).orderBy("day")
+  }
+
+  private val corpusIncrementalOracle =
+    """WITH crawl AS (
+      |  SELECT doc_id, text,
+      |    ((doc_id % 5) + (doc_id // 1000000)) % 5 AS day,
+      |    md5(text) AS h
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL
+      |        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)),
+      |firstday AS (SELECT h, MIN(day) AS d0 FROM crawl GROUP BY 1),
+      |raw AS (SELECT day, COUNT(*) AS n_raw FROM crawl GROUP BY 1),
+      |fresh AS (
+      |  SELECT f.d0 AS day, COUNT(*) AS n_new
+      |  FROM firstday f GROUP BY 1)
+      |SELECT r.day, r.n_raw, COALESCE(f.n_new, 0) AS n_new,
+      |  r.n_raw - COALESCE(f.n_new, 0) AS n_dup_dropped
+      |FROM raw r LEFT JOIN fresh f ON r.day = f.day
+      |ORDER BY r.day""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_corpus_pipeline", corpusPipeline, Some(corpusPipelineOracle),
       headline = true),
+    Op("q_corpus_incremental", corpusIncremental, Some(corpusIncrementalOracle)),
     Op("q_url_norm", urlNormalize, Some(urlNormalizeOracle)),
     Op("q_text_norm", textNormalize, Some(textNormalizeOracle)),
     Op("q_pack_budget", packBudget, Some(packBudgetOracle)),
