@@ -408,9 +408,19 @@ object Maintenance {
     * manifests, then every data file no surviving manifest references —
     * including orphans from crashed commits (data landed, manifest
     * rename never happened). Returns (versions expired, files deleted).
-    * Collects are manifest/file LISTINGS, not data. */
-  def vacuumSnapshots(spark: SparkSession, path: String, keep: Int): (Long, Long) = {
+    * Collects are manifest/file LISTINGS, not data.
+    *
+    * `graceMs` guards the writer race every table format's VACUUM has:
+    * a commit IN FLIGHT has landed data files its manifest does not yet
+    * reference, and a concurrent vacuum would GC them as orphans —
+    * corrupting the version about to publish. Files younger than
+    * `graceMs` are therefore never deleted; production deployments set
+    * it comfortably above the longest commit (the Delta/Iceberg
+    * retention-window discipline). 0 only when no writer can be live. */
+  def vacuumSnapshots(spark: SparkSession, path: String, keep: Int,
+      graceMs: Long = 0L): (Long, Long) = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
     val fs = fsFor(spark, path)
     val vs = snapshotVersions(spark, path)
     require(vs.nonEmpty, s"$path has no committed versions to vacuum")
@@ -418,13 +428,16 @@ object Maintenance {
     val referenced = kept.map(v => manifestOf(spark, path, v).select("file"))
       .reduce(_ unionByName _).distinct()
       .collect().map(_.getString(0)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
     val it = fs.listFiles(dataRoot, true)
     var removed = 0L
     while (it.hasNext) {
-      val f = it.next().getPath
+      val st = it.next()
+      val f = st.getPath
       val rel = s"${f.getParent.getName}/${f.getName}"
-      if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+      if (f.getName.endsWith(".parquet") && !referenced.contains(rel)
+          && st.getModificationTime <= cutoff) {
         fs.delete(f, false); removed += 1
       }
     }

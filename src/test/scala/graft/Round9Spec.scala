@@ -274,8 +274,16 @@ class Round9Spec extends SparkSpec {
       // forward, the only DEAD data files are the orphan batch's
       val orphanFiles = parquetFiles(orphan)
       assert(orphanFiles.nonEmpty)
+      // grace window: a vacuum racing an in-flight commit must not GC
+      // its just-written (manifest-less) files — everything here is
+      // seconds old, so a 1h grace deletes nothing
+      val (e0, r0) = vacuumSnapshots(spark, p, keep = 1, graceMs = 3600000L)
+      assert(e0 == 1L && r0 == 0L,
+        s"grace window violated: removed $r0 young files")
+      // re-list versions: the graced vacuum already expired v1
+      assert(snapshotVersions(spark, p) == Seq(2L))
       val (expired, removed) = vacuumSnapshots(spark, p, keep = 1)
-      assert(expired == 1L, s"expected to expire v1 only, got $expired")
+      assert(expired == 0L, s"v1 was already expired by the graced pass, got $expired")
       assert(removed == orphanFiles.size.toLong,
         s"expected to GC the ${orphanFiles.size} orphan files, got $removed")
       assert(snapshotVersions(spark, p) == Seq(2L))
