@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Output file count for rewriting `df` into ~`targetBytes`-sized
+    * files. Sizing uses the scan's own byte estimate (relation
+    * sizeInBytes — the file index the read already built, so a
+    * 100k-fragment directory is listed exactly once); compaction of
+    * same-codec parquet is roughly size-preserving, and an estimate is
+    * all the file-count decision needs. Validated in BigInt BEFORE
+    * narrowing — the litInt lesson: a silent wrap would either crash
+    * opaquely (negative partition count) or quietly write
+    * far-oversized files. */
+  private def targetFileCount(df: DataFrame, targetBytes: Long,
+      what: String): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val totalBytes: BigInt = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.sizeInBytes
+    }.sum
+    require(totalBytes > 0, s"$what: could not size the input from its file index")
+    val nOutB = ((totalBytes + targetBytes - 1) / targetBytes).max(1)
+    require(nOutB <= Int.MaxValue,
+      s"$what: $totalBytes bytes / $targetBytes-byte target = " +
+        s"$nOutB output files — beyond Int range; compact in sections")
+    nOutB.toInt
+  }
+
   /** Compact a parquet directory into ~`targetBytes`-sized files at
     * `outPath`. With `clusterBy` set, rows are range-partitioned and
     * sorted on that key, so each output file covers a disjoint key
@@ -34,22 +58,8 @@ object Maintenance {
     * Returns the output file count. */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long, clusterBy: Option[String] = None): Long = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val df = spark.read.parquet(inPath)
-    val totalBytes: BigInt = df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        r.relation.sizeInBytes
-    }.sum
-    require(totalBytes > 0,
-      s"compactParquet: could not size $inPath from its file index")
-    // validate in BigInt BEFORE narrowing — the litInt lesson: a silent
-    // wrap would either crash opaquely (negative partition count) or
-    // quietly write far-oversized files
-    val nOutB = ((totalBytes + targetBytes - 1) / targetBytes).max(1)
-    require(nOutB <= Int.MaxValue,
-      s"compactParquet: $totalBytes bytes / $targetBytes-byte target = " +
-        s"$nOutB output files — beyond Int range; compact in sections")
-    val nOut = nOutB.toInt
+    val nOut = targetFileCount(df, targetBytes, s"compactParquet($inPath)")
     val shaped = clusterBy match {
       case Some(k) => df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
       case None => df.repartition(nOut)
@@ -133,12 +143,8 @@ object Maintenance {
     val spark = df.sparkSession
     df.repartitionByRange(nFiles, col(clusterBy)).sortWithinPartitions(clusterBy)
       .write.mode("overwrite").parquet(s"$path/data")
-    val stats = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val manifest = spark.read.parquet(s"$path/data")
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
-      .agg(count(lit(1)).as("n_rows"), stats: _*)
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    writtenFileStats(spark, s"$path/data", "", statsCols)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
   }
 
   /** Scan `path` for rows with `c` in [lo, hi]: the manifest picks the
@@ -222,11 +228,7 @@ object Maintenance {
       .repartitionByRange(nFiles, col("_z")).sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(s"$path/data")
-    val stats = Seq(cx, cy).flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(s"$path/data")
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
-      .agg(count(lit(1)).as("n_rows"), stats: _*)
+    writtenFileStats(spark, s"$path/data", "", Seq(cx, cy))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
   }
 
@@ -285,19 +287,45 @@ object Maintenance {
     val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
     if (!fs.exists(vdir)) Seq.empty
     else fs.listStatus(vdir).toIndexedSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}")).map(_.drop(1).toLong).sorted
+      // 5+ digits: %05d pads small ids and WIDENS past 99999 — a fixed
+      // {5} would make version 100000 commit successfully yet be
+      // invisible to every reader (and brick all later commits)
+      .filter(_.matches("v\\d{5,}")).map(_.drop(1).toLong).sorted
+  }
+
+  /** Per-file (n_rows, min/max per stats column) for the parquet files
+    * under `dir`, derived from the JUST-WRITTEN files (the snapshot
+    * discipline: the durable parquet is the source of truth, so a
+    * nondeterministic input cannot produce stats that disagree with the
+    * data actually stored). File names are `relPrefix` + basename. */
+  private def writtenFileStats(spark: SparkSession, dir: String,
+      relPrefix: String, statsCols: Seq[String]): DataFrame = {
+    val stats = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(concat(lit(relPrefix),
+        element_at(split(input_file_name(), "/"), -1)).as("file"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
   }
 
   /** Land `df` as a new immutable batch under `path/data/<uuid>/` and
-    * commit version `prev+1` whose manifest lists `carry` (the files of
-    * the base version — empty for a fresh write or a replace) plus the
-    * just-written files. Manifest rows are (file, n_rows) with file
+    * commit the next version, whose manifest lists `carry` (the files
+    * of the base version — empty for a fresh write or a replace) plus
+    * the just-written files. Manifest rows are (file, n_rows) with file
     * paths relative to `path/data` so the table relocates. The manifest
     * is staged under `versions/.tmp-*` and renamed into place — rename
-    * is the atomic commit point on HDFS-like stores. */
+    * is the atomic commit point on HDFS-like stores.
+    *
+    * `base` is the optimistic-concurrency token: when set, the commit
+    * lands as EXACTLY version base+1, so two writers that both derived
+    * their manifest from version N race for the same v(N+1) rename and
+    * the loser THROWS instead of silently dropping the winner's rows
+    * (the lost-update hazard of any read-modify-write commit). Only a
+    * replace — which derives nothing from the old state — may commit
+    * at whatever the listing says is next. */
   private def commitSnapshot(df: DataFrame, path: String, nFiles: Int,
       carry: DataFrame => DataFrame, statsCols: Seq[String],
-      clusterBy: Option[String]): Long = {
+      clusterBy: Option[String], base: Option[Long] = None): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
@@ -309,20 +337,16 @@ object Maintenance {
       case None => df.repartition(nFiles)
     }
     shaped.write.mode("overwrite").parquet(s"$path/data/$batch")
-    // stats derive from the JUST-WRITTEN files (the writeSkipIndexed
-    // snapshot discipline): the durable parquet is the source of truth
-    val stats = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val newFiles = spark.read.parquet(s"$path/data/$batch")
-      .groupBy(concat(lit(s"$batch/"),
-        element_at(split(input_file_name(), "/"), -1)).as("file"))
-      .agg(count(lit(1)).as("n_rows"), stats: _*)
-    val next = snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1
+    val newFiles = writtenFileStats(spark, s"$path/data/$batch", s"$batch/", statsCols)
+    val next = base.map(_ + 1).getOrElse(
+      snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1)
     val tmp = s"$path/versions/.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
     carry(newFiles).coalesce(1).write.mode("overwrite").parquet(tmp)
     val dst = new org.apache.hadoop.fs.Path(f"$path/versions/v$next%05d")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new IllegalStateException(s"snapshot commit lost the race to $dst")
+      throw new IllegalStateException(
+        s"snapshot commit lost the race to $dst — another writer committed " +
+          "on the same base version; re-derive and retry")
     next
   }
 
@@ -339,19 +363,24 @@ object Maintenance {
       statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
     require(snapshotVersions(df.sparkSession, path).isEmpty,
       s"$path already has versions — use snapshotAppend/snapshotReplace")
-    commitSnapshot(df, path, nFiles, identity, statsCols, clusterBy)
+    // base = 0: two racing creators conflict on v00001 instead of both
+    // "succeeding" with one table silently shadowed
+    commitSnapshot(df, path, nFiles, identity, statsCols, clusterBy, Some(0L))
   }
 
   /** Append-only commit: the new version sees the latest version's
     * files PLUS the new batch — no existing file is rewritten, so the
-    * commit cost is O(batch) at any accumulated table size. */
+    * commit cost is O(batch) at any accumulated table size. The commit
+    * is pinned to base = the version the manifest was derived from, so
+    * a concurrent commit in the read-modify-write window surfaces as a
+    * thrown conflict, never as silently dropped files. */
   def snapshotAppend(df: DataFrame, path: String, nFiles: Int,
       statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
     val prev = snapshotVersions(df.sparkSession, path).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$path has no versions to append to"))
     val old = manifestOf(df.sparkSession, path, prev)
     commitSnapshot(df, path, nFiles, fresh => old.unionByName(fresh),
-      statsCols, clusterBy)
+      statsCols, clusterBy, Some(prev))
   }
 
   /** Full-replace commit (WRITE_TRUNCATE as a version): the new version
@@ -443,6 +472,26 @@ object Maintenance {
     }
     expire.foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(f"$path/versions/v$v%05d"), true))
+    // housekeeping beyond the parquet GC, same grace rule:
+    //  - versions/.tmp-* — manifest staging a crashed commit never
+    //    renamed (parquet under versions/ that the data-dir scan above
+    //    can never reach)
+    //  - batch dirs left with no parquet at all (only _SUCCESS shells)
+    //    once their files were GC'd
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val children = fs.listStatus(p)
+      if (children.isEmpty) 0L
+      else children.map(_.getModificationTime).max
+    }
+    val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+    fs.listStatus(vdir).filter(_.getPath.getName.startsWith(".tmp-"))
+      .filter(st => newestMtime(st.getPath).max(st.getModificationTime) <= cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(dataRoot).filter(_.isDirectory)
+      .filter(st => !fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .filter(st => newestMtime(st.getPath).max(st.getModificationTime) <= cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     (expire.size.toLong, removed)
   }
 
@@ -456,35 +505,34 @@ object Maintenance {
     * [[vacuumSnapshots]] expires them — OPTIMIZE without a lock, the
     * reason every table format models compaction as just another
     * commit. Streaming-sink tables compact too: the replace manifest
-    * CARRIES FORWARD the head's committed batch ids (max per file
-    * count), so a replayed micro-batch arriving after a compaction is
-    * still recognized and skipped. Returns the new version id. */
+    * carries the head's batch-id high watermark forward, so a replayed
+    * micro-batch arriving after a compaction is still recognized and
+    * skipped. Returns the new version id. */
   def compactSnapshot(spark: SparkSession, path: String, targetBytes: Long,
       statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val head = readSnapshot(spark, path)
-    val totalBytes: BigInt = head.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        r.relation.sizeInBytes
-    }.sum
-    require(totalBytes > 0, s"compactSnapshot: could not size $path")
-    val nOutB = ((totalBytes + targetBytes - 1) / targetBytes).max(1)
-    require(nOutB <= Int.MaxValue,
-      s"compactSnapshot: $nOutB output files — beyond Int range")
+    // resolve the head version ONCE; the commit below is pinned to it,
+    // so a sink batch (or any writer) landing while the rewrite runs
+    // turns into a thrown conflict — a listing-time version would let
+    // this commit succeed one number later and silently DROP the
+    // concurrent batch from the head (lost update)
     val vs = snapshotVersions(spark, path)
-    val headManifest = manifestOf(spark, path, vs.last)
+    require(vs.nonEmpty, s"$path has no committed versions to compact")
+    val headV = vs.last
+    val head = readSnapshot(spark, path, Some(headV))
+    val nOut = targetFileCount(head, targetBytes, s"compactSnapshot($path)")
+    val headManifest = manifestOf(spark, path, headV)
     val isSink = headManifest.columns.contains("batch_id")
     val carry: DataFrame => DataFrame =
       if (!isSink) identity
       else fresh => {
         // preserve the sink's replay-skip memory: stamp every compacted
-        // file with the max committed batch id (set membership is all
-        // committedBatchIds needs — per-file provenance died with the
+        // file with the max committed batch id (the watermark is all
+        // sinkBatchWatermark needs — per-file provenance died with the
         // rewrite, and a future batch id is always > every past one)
         val maxId = headManifest.agg(max("batch_id")).head().getLong(0)
         fresh.withColumn("batch_id", lit(maxId))
       }
-    commitSnapshot(head, path, nOutB.toInt, carry, statsCols, clusterBy)
+    commitSnapshot(head, path, nOut, carry, statsCols, clusterBy, Some(headV))
   }
 
   // ───── streaming micro-batches as snapshot versions ──────────────────
@@ -534,11 +582,14 @@ object Maintenance {
       batch.persist()
       try if (!batch.isEmpty) {
         val prev = snapshotVersions(spark, path).lastOption
+        // pinned to the manifest's base version: a concurrent writer
+        // (a second sink instance, a racing compaction) surfaces as a
+        // thrown conflict, never as this batch shadowing its commit
         commitSnapshot(batch, path, nFiles, fresh => {
           val stamped = fresh.withColumn("batch_id", lit(id))
           prev.map(v => manifestOf(spark, path, v).unionByName(stamped))
             .getOrElse(stamped)
-        }, Nil, None): Unit
+        }, Nil, None, Some(prev.getOrElse(0L))): Unit
       } finally batch.unpersist(blocking = false): Unit
     }
   }

@@ -729,12 +729,16 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     // day = (doc_id mod 5 + crawl-generation) mod 5: originals spread
     // over days 0-4, each copy lands the day after its original
-    val crawl = docs.select(col("doc_id"), col("text"))
+    // persist once: each day's loop body reads the crawl twice (digest
+    // dedup + raw count), so an unpersisted plan would re-scan and
+    // re-hash the full corpus ~10× inside the one final job
+    val crawl = graft.CacheScope.track(docs.select(col("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .withColumn("day",
         ((col("doc_id") % 5) + expr("doc_id div 1000000")) % 5)
       .withColumn("h", md5(col("text")))
+      .persist())
     var seen: DataFrame = null
     val days = (0L to 4L).map { d =>
       val batch = crawl.filter(col("day") === d)

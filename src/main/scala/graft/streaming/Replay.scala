@@ -53,12 +53,14 @@ object Replay {
       dupFeed: Boolean = false)
       (xform: Dataset[Event] => DataFrame): DataFrame = {
     val (input, stage, name) = stageFeed(spark, dir, chunks, dupFeed)
+    // cleanup registered BEFORE the query starts: a failed replay must
+    // not leak the staged chunk files in tmp
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
     val q = xform(input).writeStream.format("memory")
       .queryName(name).outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name)
     val rows = out.collect()
-    graft.sources.Sources.deleteRecursively(stage)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -474,6 +474,10 @@ object StreamingOps {
     * batch oracle. Shares q_stream_tumbling's oracle by construction. */
   private def streamSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val (input, stage, _) = Replay.stageFeed(spark, dir)
+    // cleanup registered BEFORE the query starts: a failed stream (or a
+    // zero-version readSnapshot) must not leak the staged feed + table
+    // + checkpoint in tmp (the compactFiles discipline)
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
     val tbl = new java.io.File(stage, "table").getAbsolutePath
     val cp = new java.io.File(stage, "cp").getAbsolutePath
     val q = EventStream.snapshotSink(
@@ -482,7 +486,6 @@ object StreamingOps {
     val out = graft.operators.Maintenance.readSnapshot(spark, tbl)
       .orderBy("window_start", "event_type")
     val rows = out.collect()
-    graft.sources.Sources.deleteRecursively(stage)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
