@@ -322,10 +322,22 @@ object Maintenance {
     * the loser THROWS instead of silently dropping the winner's rows
     * (the lost-update hazard of any read-modify-write commit). Only a
     * replace — which derives nothing from the old state — may commit
-    * at whatever the listing says is next. */
-  private def commitSnapshot(df: DataFrame, path: String, nFiles: Int,
+    * at whatever the listing says is next.
+    *
+    * The rename alone is NOT a sufficient race detector: Hadoop rename
+    * onto an existing destination DIRECTORY is a move-INTO on HDFS
+    * (returns true, staged manifest lands at dst/.tmp-*), and
+    * RawLocalFileSystem's copy fallback does the same — the racing
+    * loser would believe it committed while its manifest is a hidden
+    * dot-dir invisible to readers (silent lost update). So a unique
+    * `_commit-*` marker file is staged WITH the manifest; after the
+    * rename the marker must sit DIRECTLY under dst. If it doesn't, the
+    * rename was a move-into: the stray copy is removed and the commit
+    * throws the conflict it actually lost. (Manifest readers never see
+    * the marker — parquet reads skip `_`-prefixed files.) */
+  private[graft] def commitSnapshot(df: DataFrame, path: String, nFiles: Int,
       carry: DataFrame => DataFrame, statsCols: Seq[String],
-      clusterBy: Option[String], base: Option[Long] = None): Long = {
+      clusterBy: Option[Column], base: Option[Long] = None): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
@@ -333,20 +345,34 @@ object Maintenance {
     // cluster the batch on the stats key when asked, so its per-file
     // min/max ranges are disjoint (tight) rather than full-domain
     val shaped = clusterBy match {
-      case Some(k) => df.repartitionByRange(nFiles, col(k)).sortWithinPartitions(k)
+      case Some(k) =>
+        df.withColumn("__cluster", k)
+          .repartitionByRange(nFiles, col("__cluster"))
+          .sortWithinPartitions("__cluster").drop("__cluster")
       case None => df.repartition(nFiles)
     }
     shaped.write.mode("overwrite").parquet(s"$path/data/$batch")
     val newFiles = writtenFileStats(spark, s"$path/data/$batch", s"$batch/", statsCols)
     val next = base.map(_ + 1).getOrElse(
       snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1)
-    val tmp = s"$path/versions/.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmpName = s".tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = s"$path/versions/$tmpName"
     carry(newFiles).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val marker = s"_commit-${java.util.UUID.randomUUID().toString.take(8)}"
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$marker"), false).close()
     val dst = new org.apache.hadoop.fs.Path(f"$path/versions/v$next%05d")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+    val renamed = fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (!renamed || !fs.exists(new org.apache.hadoop.fs.Path(s"$dst/$marker"))) {
+      // lost the race: either the rename failed outright, or it
+      // "succeeded" by landing the staged dir INSIDE the winner's
+      // already-committed version dir — remove the stray copy so the
+      // winner's manifest stays clean, then surface the conflict
+      if (renamed) fs.delete(new org.apache.hadoop.fs.Path(s"$dst/$tmpName"), true)
+      else fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       throw new IllegalStateException(
         s"snapshot commit lost the race to $dst — another writer committed " +
           "on the same base version; re-derive and retry")
+    }
     next
   }
 
@@ -365,7 +391,7 @@ object Maintenance {
       s"$path already has versions — use snapshotAppend/snapshotReplace")
     // base = 0: two racing creators conflict on v00001 instead of both
     // "succeeding" with one table silently shadowed
-    commitSnapshot(df, path, nFiles, identity, statsCols, clusterBy, Some(0L))
+    commitSnapshot(df, path, nFiles, identity, statsCols, clusterBy.map(col), Some(0L))
   }
 
   /** Append-only commit: the new version sees the latest version's
@@ -380,7 +406,7 @@ object Maintenance {
       throw new IllegalArgumentException(s"$path has no versions to append to"))
     val old = manifestOf(df.sparkSession, path, prev)
     commitSnapshot(df, path, nFiles, fresh => old.unionByName(fresh),
-      statsCols, clusterBy, Some(prev))
+      statsCols, clusterBy.map(col), Some(prev))
   }
 
   /** Full-replace commit (WRITE_TRUNCATE as a version): the new version
@@ -388,7 +414,7 @@ object Maintenance {
     * files until [[vacuumSnapshots]] expires them. */
   def snapshotReplace(df: DataFrame, path: String, nFiles: Int,
       statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long =
-    commitSnapshot(df, path, nFiles, identity, statsCols, clusterBy)
+    commitSnapshot(df, path, nFiles, identity, statsCols, clusterBy.map(col))
 
   /** Range scan of a snapshot version with manifest pruning — the
     * [[prunedRead]] mechanic composed with time travel, i.e. what a
@@ -507,7 +533,15 @@ object Maintenance {
     * commit. Streaming-sink tables compact too: the replace manifest
     * carries the head's batch-id high watermark forward, so a replayed
     * micro-batch arriving after a compaction is still recognized and
-    * skipped. Returns the new version id. */
+    * skipped. Returns the new version id.
+    *
+    * `statsCols` defaults to the columns the head manifest already
+    * carries (everything outside the file/n_rows/batch_id bookkeeping),
+    * so compacting a stats-carrying table cannot silently produce a
+    * head manifest that breaks [[readSnapshotRange]] or the next
+    * [[snapshotAppend]] with the original statsCols — the manifest
+    * schema is part of the table contract and compaction preserves it
+    * unless explicitly overridden. */
   def compactSnapshot(spark: SparkSession, path: String, targetBytes: Long,
       statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
     // resolve the head version ONCE; the commit below is pinned to it,
@@ -521,6 +555,9 @@ object Maintenance {
     val head = readSnapshot(spark, path, Some(headV))
     val nOut = targetFileCount(head, targetBytes, s"compactSnapshot($path)")
     val headManifest = manifestOf(spark, path, headV)
+    val effStats =
+      if (statsCols.nonEmpty) statsCols
+      else manifestStatsCols(headManifest)
     val isSink = headManifest.columns.contains("batch_id")
     val carry: DataFrame => DataFrame =
       if (!isSink) identity
@@ -532,7 +569,19 @@ object Maintenance {
         val maxId = headManifest.agg(max("batch_id")).head().getLong(0)
         fresh.withColumn("batch_id", lit(maxId))
       }
-    commitSnapshot(head, path, nOut, carry, statsCols, clusterBy, Some(headV))
+    commitSnapshot(head, path, nOut, carry, effStats, clusterBy.map(col), Some(headV))
+  }
+
+  /** The stats columns a manifest carries: every `min_X`/`max_X` pair's
+    * X. This is how compaction (and any other whole-table rewrite)
+    * re-derives the table's stats contract from the table itself
+    * instead of requiring the caller to repeat it. */
+  private def manifestStatsCols(manifest: DataFrame): Seq[String] = {
+    val cols = manifest.columns.toSet
+    manifest.columns.toIndexedSeq.collect {
+      case c if c.startsWith("min_") && cols.contains("max_" + c.drop(4)) =>
+        c.drop(4)
+    }
   }
 
   // ───── streaming micro-batches as snapshot versions ──────────────────

@@ -711,8 +711,9 @@ object TextAnalysis {
     * processed in order, each day exact-deduped first within its own
     * batch and then against the accumulated seen-hash state, never
     * against raw history (the O(day) ingest contract; re-crawled
-    * copies deliberately arrive one day AFTER their originals so the
-    * cross-day path does real work). The per-day readout is (raw,
+    * copies deliberately arrive one day AFTER their originals — capped
+    * at day 4, where the copy lands same-day — so the cross-day path
+    * does real work in the stated direction). The per-day readout is (raw,
     * newly kept, dropped-as-duplicate). The oracle is the BATCH
     * formulation — first-seen = min (day, doc_id) per content hash —
     * so the gate hash-checks the central incremental-ingest theorem:
@@ -727,8 +728,12 @@ object TextAnalysis {
     * stays flat across days. */
   def corpusIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // day = (doc_id mod 5 + crawl-generation) mod 5: originals spread
-    // over days 0-4, each copy lands the day after its original
+    // day = least(doc_id mod 5 + crawl-generation, 4): originals spread
+    // over days 0-4, each copy lands the day AFTER its original (capped
+    // at day 4, so a copy of a day-4 original arrives the same day and
+    // exercises the within-batch path instead; a mod-5 wrap would land
+    // those copies on day 0 BEFORE their originals, inverting the
+    // cross-day direction the comment promises).
     // persist once: each day's loop body reads the crawl twice (digest
     // dedup + raw count), so an unpersisted plan would re-scan and
     // re-hash the full corpus ~10× inside the one final job
@@ -736,7 +741,7 @@ object TextAnalysis {
       .unionAll(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .withColumn("day",
-        ((col("doc_id") % 5) + expr("doc_id div 1000000")) % 5)
+        least((col("doc_id") % 5) + expr("doc_id div 1000000"), lit(4L)))
       .withColumn("h", md5(col("text")))
       .persist())
     var seen: DataFrame = null
@@ -762,7 +767,7 @@ object TextAnalysis {
   private val corpusIncrementalOracle =
     """WITH crawl AS (
       |  SELECT doc_id, text,
-      |    ((doc_id % 5) + (doc_id // 1000000)) % 5 AS day,
+      |    least((doc_id % 5) + (doc_id // 1000000), 4) AS day,
       |    md5(text) AS h
       |  FROM (SELECT doc_id, text FROM documents
       |        UNION ALL

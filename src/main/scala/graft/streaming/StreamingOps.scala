@@ -478,8 +478,15 @@ object StreamingOps {
     // zero-version readSnapshot) must not leak the staged feed + table
     // + checkpoint in tmp (the compactFiles discipline)
     graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
-    val tbl = new java.io.File(stage, "table").getAbsolutePath
-    val cp = new java.io.File(stage, "cp").getAbsolutePath
+    // the sink table and checkpoint live in a SIBLING dir, never inside
+    // the feed dir the FileStreamSource watches: nesting them there only
+    // works while the source's listing ignores subdirectories, and any
+    // listing change (recursiveFileLookup, altered semantics) would feed
+    // the sink's own output back into the source as input
+    val sinkDir = new java.io.File(stage.getParentFile, stage.getName + "-sink")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(sinkDir))
+    val tbl = new java.io.File(sinkDir, "table").getAbsolutePath
+    val cp = new java.io.File(sinkDir, "cp").getAbsolutePath
     val q = EventStream.snapshotSink(
       EventStream.tumblingCounts(input.toDF()), tbl, cp)
     try q.processAllAvailable() finally q.stop()

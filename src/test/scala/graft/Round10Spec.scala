@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import operators.Maintenance
+import operators.Maintenance._
+
+/** Round-10 guarantees: the snapshot layer's commit protocol under a
+  * genuine lost-the-race interleave (two writers on one base version),
+  * compaction's stats-contract preservation, and the round's new
+  * surfaces (merge, partition overwrite, SQL reads, spherical geo) as
+  * they land. */
+class Round10Spec extends SparkSpec {
+
+  private def rm(f: java.io.File): Unit = sources.Sources.deleteRecursively(f)
+
+  private def parquetFiles(dir: java.io.File): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.toSeq.flatMap(walk)
+      else Seq(f)
+    walk(dir).map(_.getAbsolutePath).filter(_.endsWith(".parquet")).toSet
+  }
+
+  test("commit race: the losing writer throws and leaves the winner's manifest untouched") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_race_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      assert(snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 2) == 1L)
+      // two writers that both derived their state from v1 race for
+      // v00002: the first (the winner) commits normally; the second is
+      // replayed with the SAME pinned base — the exact read-modify-write
+      // interleave. Hadoop rename onto the winner's existing version
+      // DIRECTORY is a move-into (returns true on HDFS; local-fs copy
+      // fallback also returns true), so a rename-result-only detector
+      // would let the loser believe it committed while its manifest is
+      // an invisible dot-dir — a silent lost update.
+      val winnerRows = ev.filter(col("event_id") % 2 === 1)
+      val v2 = Maintenance.commitSnapshot(winnerRows, p, 2,
+        fresh => spark.read.parquet(s"$p/versions/v00001").unionByName(fresh),
+        Nil, None, Some(1L))
+      assert(v2 == 2L)
+      val winnerManifest = parquetFiles(new java.io.File(stage, "versions/v00002"))
+      val loserRows = ev.filter(col("event_id") % 3 === 0)
+      val err = intercept[IllegalStateException] {
+        Maintenance.commitSnapshot(loserRows, p, 2,
+          fresh => spark.read.parquet(s"$p/versions/v00001").unionByName(fresh),
+          Nil, None, Some(1L))
+      }
+      assert(err.getMessage.contains("lost the race"))
+      // the winner's manifest dir holds exactly its own files — the
+      // loser's staged dir must not have been copied/moved inside it
+      val v2dir = new java.io.File(stage, "versions/v00002")
+      assert(parquetFiles(v2dir) == winnerManifest,
+        "the losing commit polluted the winner's manifest dir")
+      assert(Option(v2dir.listFiles()).toSeq.flatten.forall(!_.isDirectory),
+        "a stray staged dir survived inside the winner's version dir")
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L))
+      // the table still answers exactly the winner's commit
+      assert(readSnapshot(spark, p).count() == ev.count())
+      // the loser's orphaned data batch is GC-able like any crashed commit
+      val (_, removed) = vacuumSnapshots(spark, p, keep = 2)
+      assert(removed > 0L, "the loser's orphan data files were not GC'd")
+      assert(readSnapshot(spark, p).count() == ev.count())
+    } finally rm(stage)
+  }
+
+  test("compaction preserves the manifest stats contract by default") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_cstats_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      // default statsCols: derived from the head manifest, NOT dropped —
+      // the r9 behavior (statsCols=Nil verbatim) broke every subsequent
+      // readSnapshotRange and same-statsCols append on the compacted head
+      val v3 = compactSnapshot(spark, p, targetBytes = 1L << 30,
+        clusterBy = Some("event_id"))
+      assert(v3 == 3L)
+      val mf = spark.read.parquet(f"$p/versions/v$v3%05d")
+      assert(mf.columns.contains("min_event_id") && mf.columns.contains("max_event_id"),
+        s"compaction dropped the stats columns: ${mf.columns.mkString(",")}")
+      val expect = ev.filter(col("event_id").between(100L, 199L)).count()
+      assert(readSnapshotRange(spark, p, "event_id", 100L, 199L).count() == expect)
+      // the original stats contract still appends cleanly post-compaction
+      val v4 = snapshotAppend(ev.limit(0), p, nFiles = 1,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      assert(v4 == 4L)
+    } finally rm(stage)
+  }
+}
