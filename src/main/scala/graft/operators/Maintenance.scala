@@ -584,6 +584,98 @@ object Maintenance {
     }
   }
 
+  // ───── copy-on-write MERGE INTO ──────────────────────────────────────
+
+  /** Row-level MERGE into a versioned snapshot table — the one write
+    * mechanic every real table format has beyond append/replace, and
+    * the reference's nightly WRITE_TRUNCATE upload done right: apply a
+    * changeset without rewriting the table.
+    *
+    * Copy-on-write with manifest pruning: ONLY the files whose
+    * [min_key, max_key] range contains at least one changeset key are
+    * read and rewritten through the [[Relational.applyMerge]] kernel
+    * (full-outer join + CASE resolution — insert keys that match no
+    * file surface on the changeset side of the same join); every
+    * untouched file's manifest row is carried VERBATIM into the new
+    * version. At 100 TB a key-clustered table turns a day's changeset
+    * into a rewrite of the few files its keys actually live in — the
+    * commit is O(touched + changeset), never O(table).
+    *
+    * The file-selection join broadcasts the MANIFEST (one row per
+    * file — planner-scale) against the changeset's distinct keys, so
+    * an arbitrarily large changeset never collects to the driver; only
+    * the matched FILE NAMES do.
+    *
+    * Pinned to the version the merge derived from (`asOf`, default
+    * head): a concurrent commit in the read-rewrite window surfaces as
+    * a thrown conflict, never as a silent lost update. Changeset
+    * contract is [[Relational.applyMerge]]'s: unique keys, full row
+    * images, op ∈ {D, U, I}. The table must have been written with
+    * manifest stats on `key` (statsCols) — merge refuses to run
+    * without them, because "no stats" would force a whole-table
+    * rewrite that should be an explicit [[snapshotReplace]] instead.
+    * Returns the new version id. */
+  def snapshotMerge(spark: SparkSession, path: String, changes: DataFrame,
+      key: String, nFiles: Int, asOf: Option[Long] = None): Long = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions to merge into")
+    val baseV = asOf.getOrElse(vs.last)
+    require(vs.contains(baseV), s"version $baseV not in $vs")
+    val mf = manifestOf(spark, path, baseV)
+    require(mf.columns.contains(s"min_$key") && mf.columns.contains(s"max_$key"),
+      s"$path carries no manifest stats on '$key' — merge needs them to " +
+        "prune; write the table with statsCols (or use snapshotReplace)")
+    val statsCols = manifestStatsCols(mf)
+    val touched = changes.select(col(key).as("__k")).distinct()
+      .join(broadcast(mf.select(col("file"), col(s"min_$key"), col(s"max_$key"))),
+        col("__k") >= col(s"min_$key") && col("__k") <= col(s"max_$key"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val base =
+      if (touched.isEmpty) readSnapshot(spark, path, Some(baseV)).filter(lit(false))
+      else spark.read.parquet(touched.toIndexedSeq.map(f => s"$path/data/$f"): _*)
+    val merged = Relational.applyMerge(base, changes, key)
+    val carry: DataFrame => DataFrame = fresh =>
+      mf.filter(!col("file").isin(touched.toSeq: _*)).unionByName(fresh)
+    commitSnapshot(merged, path, nFiles, carry, statsCols, Some(col(key)),
+      Some(baseV))
+  }
+
+  /** MERGE INTO as a driver-visible query: stage orders as a versioned
+    * table key-clustered into 8 stats-carrying files, apply the shared
+    * deterministic CDC changeset ([[Relational.ordersChangeset]] — the
+    * q_merge_upsert semantics) through [[snapshotMerge]], and aggregate
+    * the POST-MERGE table read back through the snapshot reader. The
+    * oracle is q_merge_upsert's anti-join + UNION ALL formulation, so
+    * the gate hash-checks the whole stage → prune → rewrite → commit →
+    * read path against an implementation-free statement of MERGE.
+    * Round10Spec pins the cost side this query can't see: untouched
+    * files are carried byte-identical, and a stale base version throws
+    * instead of dropping the interleaved commit. */
+  def mergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Compat._
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_merge_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    val p = stage.getAbsolutePath
+    val orders = Tables.orders(spark, dir)
+    snapshotWrite(orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      p, nFiles = 8, statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+    snapshotMerge(spark, p, Relational.ordersChangeset(orders),
+      "o_orderkey", nFiles = 4)
+    val out = readSnapshot(spark, p)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy("status")
+    // the staged table is consumed before release: snapshot the tiny
+    // rollup so the returned frame outlives the deferred cleanup
+    val snap = {
+      import graft.CacheScope.CheckpointOps
+      out.graftCheckpoint()
+    }
+    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
+    snap
+  }
+
   // ───── streaming micro-batches as snapshot versions ──────────────────
 
   /** Batch ids already committed to the streaming-sink table at `path`
@@ -687,5 +779,8 @@ object Maintenance {
     Op("q_prune_scan", pruneScan, Some(pruneScanOracle)),
     Op("q_zorder", zorderStats, Some(zorderStatsOracle)),
     Op("q_time_travel", timeTravel, Some(timeTravelOracle)),
+    // same oracle text as q_merge_upsert BY DESIGN: the snapshot merge
+    // must be semantically indistinguishable from the plain-plan MERGE
+    Op("q_merge_snapshot", mergeSnapshot, Some(Relational.mergeUpsertOracle)),
   )
 }

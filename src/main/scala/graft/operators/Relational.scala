@@ -718,14 +718,26 @@ object Relational {
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val src = Tables.orders(spark, dir)
+    val merged = applyMerge(base, ordersChangeset(Tables.orders(spark, dir)),
+      "o_orderkey")
+    merged.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy("status")
+  }
+
+  /** The deterministic CDC changeset over orders both merge operators
+    * (q_merge_upsert, q_merge_snapshot) and both engines bind: %25 keys
+    * delete, else %10 update (+100.00, status 'U'), %50 keys also
+    * insert a sibling above every real key. Full-row images in the
+    * base's own column names — the [[applyMerge]] contract. */
+  private[operators] def ordersChangeset(src: DataFrame): DataFrame = {
     val dels = src.filter(col("o_orderkey") % 25 === 0)
       .select(col("o_orderkey"), lit("D").as("op"),
-        lit(null).cast("string").as("new_status"),
-        lit(null).cast("double").as("new_price"))
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"))
     val upds = src.filter(col("o_orderkey") % 25 =!= 0 && col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), lit("U").as("op"),
-        lit("U").as("new_status"), (col("o_totalprice") + 100.0).as("new_price"))
+        lit("U").as("o_orderstatus"), (col("o_totalprice") + 100.0).as("o_totalprice"))
     // one-row max-key frame, broadcast: inserts land strictly above
     // every existing key. Offset is max+1, NOT max — keys start at 0,
     // and key 0 + max would collide with the real max-key row.
@@ -734,22 +746,36 @@ object Relational {
       .crossJoin(broadcast(maxKey))
       .select((col("o_orderkey") + col("key_offset")).as("o_orderkey"),
         lit("I").as("op"),
-        lit("N").as("new_status"), col("o_totalprice").as("new_price"))
-    val changes = dels.unionAll(upds).unionAll(ins)
-    val merged = base.join(changes, Seq("o_orderkey"), "full_outer")
-      .filter(col("op").isNull || col("op") =!= "D")
-      .select(
-        col("o_orderkey"),
-        when(col("op").isNotNull, col("new_status")).otherwise(col("o_orderstatus"))
-          .as("status"),
-        when(col("op").isNotNull, col("new_price")).otherwise(col("o_totalprice"))
-          .as("price"))
-    merged.groupBy("status")
-      .agg(count(lit(1)).as("n"), sumMoney(col("price")).as("revenue"))
-      .orderBy("status")
+        lit("N").as("o_orderstatus"), col("o_totalprice").as("o_totalprice"))
+    dels.unionAll(upds).unionAll(ins)
   }
 
-  private val mergeUpsertOracle =
+  /** The row-level MERGE kernel: resolve a full-row-image changeset
+    * against `base` — one full-outer join on `key`, CASE logic per row.
+    * `changes` carries `key`, an `op` column ('D' delete; 'U'/'I'
+    * upsert — with full row images the two are the same resolution:
+    * matched → replace, unmatched → insert; 'D' on an unmatched key is
+    * a no-op), and every non-key base column as the new image. Both
+    * sides must be unique on `key` (the standard MERGE precondition —
+    * a duplicate would multiply through the join). One shuffle on the
+    * key; bucketed or key-clustered layouts make the base side
+    * co-located, and [[Maintenance.snapshotMerge]] bounds the base side
+    * to manifest-pruned files only. */
+  def applyMerge(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val nonKey = base.columns.toIndexedSeq.filterNot(_ == key)
+    require(changes.columns.contains("op"),
+      "changeset must carry an 'op' column (D/U/I)")
+    nonKey.foreach(c => require(changes.columns.contains(c),
+      s"changeset must carry a full row image; missing column '$c'"))
+    val ch = changes.select(
+      col(key) +: col("op") +: nonKey.map(c => col(c).as(s"__new_$c")): _*)
+    base.join(ch, Seq(key), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col(key) +: nonKey.map(c =>
+        when(col("op").isNotNull, col(s"__new_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  private[operators] val mergeUpsertOracle =
     """WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 25 = 0),
       |upds AS (
       |  SELECT o_orderkey, 'U' AS status, o_totalprice + 100.0 AS price

@@ -64,6 +64,64 @@ class Round10Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("snapshot merge rewrites only the files the changeset's keys live in") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_merge_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val orders = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      snapshotWrite(orders, p, nFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+      val before = parquetFiles(new java.io.File(stage, "data"))
+        .map(f => (f, new java.io.File(f).lastModified, new java.io.File(f).length))
+      val mf1 = spark.read.parquet(s"$p/versions/v00001")
+      // a changeset confined to a narrow key range: updates on keys
+      // [32, 64), one insert far above every real key
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val changes = orders
+        .filter(col("o_orderkey") >= 32 && col("o_orderkey") < 64)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          lit("X").as("o_orderstatus"), (col("o_totalprice") + 1.0).as("o_totalprice"))
+        .unionAll(Seq((maxKey + 100, "I", "N", 42.0))
+          .toDF("o_orderkey", "op", "o_orderstatus", "o_totalprice"))
+      val v2 = Maintenance.snapshotMerge(spark, p, changes, "o_orderkey", nFiles = 2)
+      assert(v2 == 2L)
+      // cost: only the files whose [min,max] covers [32,64) were
+      // rewritten — every other v1 file survives byte-for-byte AND is
+      // carried into v2's manifest
+      val mf2 = spark.read.parquet(s"$p/versions/v00002")
+      val files1 = mf1.select("file").collect().map(_.getString(0)).toSet
+      val files2 = mf2.select("file").collect().map(_.getString(0)).toSet
+      val carried = files1.intersect(files2)
+      assert(carried.nonEmpty, "merge rewrote every file — pruning did nothing")
+      assert(files1.diff(files2).nonEmpty, "merge rewrote no file")
+      val after = parquetFiles(new java.io.File(stage, "data"))
+        .map(f => (f, new java.io.File(f).lastModified, new java.io.File(f).length))
+      assert(before.filter { case (f, _, _) =>
+        carried.exists(c => f.endsWith(c)) }.subsetOf(after),
+        "a carried file was rewritten in place")
+      // correctness: the merged table equals the kernel applied whole
+      val expect = operators.Relational.applyMerge(orders, changes, "o_orderkey")
+      val got = readSnapshot(spark, p)
+      assert(got.count() == expect.count())
+      assert(got.unionAll(expect).distinct().count() == expect.distinct().count(),
+        "merged table content diverged from the whole-table kernel")
+      // updated rows landed, untouched rows didn't change
+      assert(got.filter(col("o_orderstatus") === "X").count() ==
+        orders.filter(col("o_orderkey") >= 32 && col("o_orderkey") < 64).count())
+      assert(got.filter(col("o_orderkey") === maxKey + 100).count() == 1L)
+      // stale base: a merge derived from v1 AFTER v2 exists must throw,
+      // not silently drop v2 (the read-modify-write conflict)
+      val err = intercept[IllegalStateException] {
+        Maintenance.snapshotMerge(spark, p, changes, "o_orderkey",
+          nFiles = 2, asOf = Some(1L))
+      }
+      assert(err.getMessage.contains("lost the race"))
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L))
+    } finally rm(stage)
+  }
+
   test("compaction preserves the manifest stats contract by default") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cstats_").toFile
     try {
