@@ -55,15 +55,25 @@ object DailyPipeline {
         sum(col("revenue_local").cast(d)).cast(DoubleType).as("sum_revenue"))
   }
 
-  /** Land one day: compute the delta and overwrite the day's partition
-    * directory — the idempotent MERGE for day-keyed results. */
+  /** Land one day: compute the delta and commit it as an atomic
+    * partition-overwrite VERSION of the versioned results table
+    * ([[Maintenance.snapshotOverwritePartition]]) — the idempotent
+    * MERGE for day-keyed results, now with snapshot isolation (readers
+    * never see a half-landed day), time travel over the run history
+    * (yesterday's accumulated table is version N−1), and a thrown
+    * conflict if two schedulers land concurrently. The commit carries
+    * every other day's files verbatim: a year of dailies is 365
+    * O(one-day) commits, exactly as the bare directory-overwrite was,
+    * plus the version manifest. */
   def landDay(spark: SparkSession, dir: String, base: String,
       day: java.time.LocalDate): Unit =
-    dayDelta(spark, dir, day).write.mode("overwrite").parquet(s"$base/day=$day")
+    Maintenance.snapshotOverwritePartition(
+      dayDelta(spark, dir, day).withColumn("day", lit(java.sql.Date.valueOf(day))),
+      base, partCol = "day", partValue = day.toString, nFiles = 1): Unit
 
-  /** The accumulated results table (hive-partitioned on day). */
+  /** The accumulated results table (a day-partitioned snapshot table). */
   def resultsTable(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(base)
+    Maintenance.readSnapshot(spark, base)
 
   /** Driver-visible query: run the daily schedule over both tests' full
     * window (2024-01-03..2024-01-28, the union of the config spans),

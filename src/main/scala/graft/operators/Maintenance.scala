@@ -555,6 +555,11 @@ object Maintenance {
     val head = readSnapshot(spark, path, Some(headV))
     val nOut = targetFileCount(head, targetBytes, s"compactSnapshot($path)")
     val headManifest = manifestOf(spark, path, headV)
+    require(!headManifest.columns.contains("part"),
+      s"$path is a partitioned snapshot table — whole-table compaction " +
+        "would collapse its partition-pure file layout; compact one " +
+        "partition at a time by re-landing it through " +
+        "snapshotOverwritePartition(readSnapshotPartitions(...), ...)")
     val effStats =
       if (statsCols.nonEmpty) statsCols
       else manifestStatsCols(headManifest)
@@ -582,6 +587,80 @@ object Maintenance {
       case c if c.startsWith("min_") && cols.contains("max_" + c.drop(4)) =>
         c.drop(4)
     }
+  }
+
+  // ───── partition spec: atomic partition-overwrite versions ──────────
+  //
+  // The Iceberg-partition-spec half of what statsCols pruning already
+  // does: a DECLARED partition column, recorded per file in the
+  // manifest, makes "re-land day N" an atomic VERSION that carries
+  // every other partition's files verbatim — the day-keyed MERGE
+  // degenerate case (DailyPipeline's run-shape) with snapshot isolation,
+  // time travel, and conflict detection on top. Files are partition-PURE
+  // (one partition value per file), verified from the just-written
+  // stats, so an overwrite can always carry-or-drop whole files.
+
+  /** Atomically overwrite ONE partition of a versioned table: land `df`
+    * (which must contain only `partCol == partValue` rows — verified
+    * against the just-written file stats, not trusted) as a new batch,
+    * and commit a version whose manifest carries every file of every
+    * OTHER partition verbatim plus the new files stamped
+    * `part = partValue`. First commit creates the table. Re-landing the
+    * same partition is idempotent at the table level: the new version
+    * reads identically, the old partition's files become GC-able
+    * history. Commit cost is O(partition), table size irrelevant; the
+    * commit is pinned to the base version, so concurrent landers
+    * conflict instead of silently shadowing each other (coarser than a
+    * per-partition lock — the safe default for a daily cadence).
+    * `partValue` is the partition's STRING form (dates as yyyy-MM-dd);
+    * the stats check compares through a string cast, so use the
+    * column's canonical rendering. Returns the new version id. */
+  def snapshotOverwritePartition(df: DataFrame, path: String, partCol: String,
+      partValue: String, nFiles: Int, statsCols: Seq[String] = Nil,
+      clusterBy: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    // partCol always carries stats: they are the purity proof
+    val effStats =
+      if (statsCols.contains(partCol)) statsCols else statsCols :+ partCol
+    val prev = snapshotVersions(spark, path).lastOption
+    val carry: DataFrame => DataFrame = fresh => {
+      val impure = fresh.filter(
+        col(s"min_$partCol").cast("string") =!= partValue ||
+          col(s"max_$partCol").cast("string") =!= partValue).count()
+      if (impure > 0)
+        throw new IllegalArgumentException(
+          s"$impure written file(s) carry rows outside partition " +
+            s"$partCol=$partValue — a partition overwrite must land only " +
+            "its own partition's rows")
+      val stamped = fresh.withColumn("part", lit(partValue))
+      prev.map { v =>
+        val old = manifestOf(spark, path, v)
+        require(old.columns.contains("part"),
+          s"$path is not a partitioned snapshot table (no 'part' column " +
+            "in its manifest) — it was created by a non-partition writer")
+        old.filter(col("part") =!= partValue).unionByName(stamped)
+      }.getOrElse(stamped)
+    }
+    commitSnapshot(df, path, nFiles, carry, effStats, clusterBy.map(col),
+      Some(prev.getOrElse(0L)))
+  }
+
+  /** Read only the named partitions of a partitioned snapshot table —
+    * file selection straight off the manifest's `part` column (planner
+    * metadata), so the scan cost is O(requested partitions). */
+  def readSnapshotPartitions(spark: SparkSession, path: String,
+      values: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs (expired or never committed)")
+    val mf = manifestOf(spark, path, v)
+    require(mf.columns.contains("part"),
+      s"$path is not a partitioned snapshot table")
+    val files = mf.filter(col("part").isin(values: _*))
+      .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
+    if (files.isEmpty) readSnapshot(spark, path, Some(v)).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   // ───── copy-on-write MERGE INTO ──────────────────────────────────────

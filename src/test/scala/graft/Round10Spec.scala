@@ -122,6 +122,60 @@ class Round10Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("daily partition overwrite: re-landing a day touches only that day's files") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_daily_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      def land(d: String): Unit =
+        operators.DailyPipeline.landDay(spark, sfDir, p, java.time.LocalDate.parse(d))
+      land("2024-01-03") // before any test's start: an EMPTY day delta
+      land("2024-01-06")
+      land("2024-01-12")
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L, 3L))
+      val before = parquetFiles(new java.io.File(stage, "data"))
+        .map(f => (f, new java.io.File(f).lastModified, new java.io.File(f).length))
+      val mf3 = spark.read.parquet(s"$p/versions/v00003")
+      val day12Files = mf3.filter(col("part") === "2024-01-12")
+        .select("file").collect().map(_.getString(0)).toSet
+      val tableAt3 = readSnapshot(spark, p).collect().toSet
+      // re-land a day: a new version, same table content, every OTHER
+      // day's file carried byte-identical
+      land("2024-01-06")
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L, 3L, 4L))
+      assert(readSnapshot(spark, p).collect().toSet == tableAt3,
+        "re-landing a day changed the table")
+      val mf4 = spark.read.parquet(s"$p/versions/v00004")
+      assert(mf4.filter(col("part") === "2024-01-12")
+        .select("file").collect().map(_.getString(0)).toSet == day12Files,
+        "re-landing day 06 replaced day 12's files")
+      val after = parquetFiles(new java.io.File(stage, "data"))
+        .map(f => (f, new java.io.File(f).lastModified, new java.io.File(f).length))
+      assert(before.filter { case (f, _, _) =>
+        day12Files.exists(c => f.endsWith(c)) }.subsetOf(after),
+        "a carried day's file was rewritten in place")
+      // time travel: v3 (pre-re-land) still reads exactly as it did
+      assert(readSnapshot(spark, p, Some(3L)).collect().toSet == tableAt3)
+      // partition-pruned read: only day 12's rows, from its files alone
+      val d12 = Maintenance.readSnapshotPartitions(spark, p, Seq("2024-01-12"))
+      assert(d12.count() ==
+        readSnapshot(spark, p).filter(col("day") === "2024-01-12").count())
+      // purity is enforced, not trusted: a frame carrying two days must
+      // be rejected before any manifest lands
+      val twoDay = operators.DailyPipeline
+        .dayDelta(spark, sfDir, java.time.LocalDate.parse("2024-01-06"))
+        .withColumn("day", lit(java.sql.Date.valueOf("2024-01-06")))
+        .unionByName(operators.DailyPipeline
+          .dayDelta(spark, sfDir, java.time.LocalDate.parse("2024-01-07"))
+          .withColumn("day", lit(java.sql.Date.valueOf("2024-01-07"))))
+      intercept[IllegalArgumentException] {
+        Maintenance.snapshotOverwritePartition(twoDay, p, "day",
+          "2024-01-06", nFiles = 1)
+      }
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L, 3L, 4L),
+        "a rejected impure overwrite still committed a version")
+    } finally rm(stage)
+  }
+
   test("compaction preserves the manifest stats contract by default") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cstats_").toFile
     try {
