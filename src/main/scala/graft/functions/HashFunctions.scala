@@ -213,7 +213,8 @@ object HashFunctions {
   /** [[sketch]] over PRECOMPUTED distinct shingle hashes (the
     * [[shingleHashes]] output) — identical permutation arithmetic, so
     * a sketch rebuilt from a persisted minhash-index `shingles` table
-    * equals the one built from text (Dedup.repairMinhashIndex). The
+    * equals the one built from text (Dedup.appendToMinhashIndex derives
+    * each batch's bands from its committed shingles this way). The
     * input carries distinct hashes by contract; no dedup table here. */
   def sketchFromHashes(hs: ArrayData): ArrayData = {
     val n = hs.numElements()

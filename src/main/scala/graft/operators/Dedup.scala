@@ -333,137 +333,72 @@ object Dedup {
   /** Persist the minhash dedup index for a document set: `bands`
     * (doc_id, sz, bucket — the LSH candidate side) and `shingles`
     * (doc_id, distinct shingle-hash array — the exact-verify side) as
-    * two parquet tables under `path`. This is the accumulated-corpus
-    * artifact a daily pipeline builds ONCE and appends each day's slice
-    * to; [[dedupAgainstIndex]] then dedups any new shard against it
-    * with ZERO recompute of historical text — the historical documents
-    * are not even an input to the serve call. At 100 TB, land `bands`
-    * bucketed on `bucket` through the catalog
-    * ([[graft.sources.Sources.writeBucketed]]) and the daily candidate
-    * join runs shuffle-free on the index side.
+    * two VERSIONED snapshot tables under `path`
+    * ([[Maintenance.snapshotSinkBatch]] commits, batch id 0). This is
+    * the accumulated-corpus artifact a daily pipeline builds ONCE and
+    * appends each day's slice to; [[dedupAgainstIndex]] then dedups any
+    * new shard against it with ZERO recompute of historical text — the
+    * historical documents are not even an input to the serve call. At
+    * 100 TB, additionally land `bands` bucketed on `bucket` through the
+    * catalog ([[graft.sources.Sources.writeBucketed]]) and the daily
+    * candidate join runs shuffle-free on the index side.
     *
-    * Failure semantics match the append path: shingles land FIRST, so a
-    * crash between the two writes leaves only shingle rows with no band
-    * rows — docs invisible to candidate generation, recoverable by
-    * [[repairMinhashIndex]]. (The opposite order would leave band rows
-    * whose candidates silently vanish at the verify join.) Bands are
-    * then derived FROM the just-written shingles, not from the source:
-    * the durable parquet is the snapshot, so even a nondeterministic
-    * source cannot produce bands that disagree with the shingles the
-    * index actually stores. */
-  def writeMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    * Consistency discipline (shared with [[appendToMinhashIndex]]):
+    * shingles commit FIRST, bands derive FROM the just-committed
+    * shingle rows (the durable parquet is the snapshot, so even a
+    * nondeterministic source cannot produce bands that disagree with
+    * the shingles the index stores), and serves cut BOTH tables at the
+    * bands watermark — a crash between the two commits reads exactly
+    * as if the write never ran, and the recovery is simply re-running
+    * it (the committed half skips itself by batch id). */
+  def writeMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    appendToMinhashIndex(spark, path, docs, batchId = 0L)
+
+  /** Append one batch (day) of documents to the minhash index — the
+    * close of the daily loop: dedup today's shard with
+    * [[dedupAgainstIndex]], then append the kept docs under today's
+    * `batchId` so tomorrow's run sees them as history. Each table
+    * commit is a snapshot append version: O(new docs), the accumulated
+    * index is never rewritten, readers get snapshot isolation, and
+    * [[Maintenance.compactSnapshot]] / [[Maintenance.vacuumSnapshots]]
+    * manage the accumulating fragments like any other table.
+    *
+    * Exactly-once by batch id, per table: `batchId` must be strictly
+    * increasing across the daily loop (day number, epoch day — anything
+    * monotonic), and a re-delivered id is skipped BEFORE any write on
+    * whichever table already committed it. That makes the two-table
+    * write crash-safe without a cross-table transaction:
+    *
+    *  - crash after shingles committed, before bands: the bands
+    *    watermark still reads yesterday, and every serve cuts shingles
+    *    AT the bands watermark — today's shingle files are planned out,
+    *    the index serves exactly as if the append never ran (no
+    *    invisible docs, no phantom candidates);
+    *  - recovery is re-running the SAME append: shingles skip
+    *    (committed id), bands derive from the shingle table's own
+    *    batch-`batchId` files and commit — no repair tool, no anti-join
+    *    probe, no special-cased write order beyond "shingles first".
+    *
+    * CONTRACT: each doc_id is appended at most once across all batches
+    * (the daily loop appends only new survivors, whose ids are new by
+    * construction) — a re-appended id would double its shingle rows and
+    * inflate that doc's match counts in later serves. */
+  def appendToMinhashIndex(spark: SparkSession, path: String, docs: DataFrame,
+      batchId: Long): Unit = {
     import graft.functions.HashFunctions
-    graft.sources.Sources.writeTruncate(
+    import graft.operators.Maintenance
+    Maintenance.snapshotSinkBatch(
       docs.select(col("doc_id"),
         HashFunctions.shingleHashes(split(col("text"), " ")).as("shs")),
-      s"$path/shingles")
-    graft.sources.Sources.writeTruncate(
-      bandsFromSig(spark.read.parquet(s"$path/shingles").select(col("doc_id"),
-        HashFunctions.minhashSketchFromHashes(col("shs")).as("sk"))),
-      s"$path/bands")
-  }
-
-  /** Append a document set's bands + shingles to an existing
-    * [[writeMinhashIndex]] index — the close of the daily loop: dedup
-    * today's shard with [[dedupAgainstIndex]], then append the kept
-    * docs so tomorrow's run sees them as history. Parquet append on
-    * both tables: O(new docs), the accumulated index is never
-    * rewritten. CONTRACT: each doc_id is appended at most once (the
-    * daily loop appends only new survivors, whose ids are new by
-    * construction) — a re-appended id would double its shingle rows
-    * and inflate that doc's match counts in later serves.
-    *
-    * Failure semantics: the two appends are not one transaction, so the
-    * write ORDER is chosen to fail safe — shingles land first. A crash
-    * between the writes leaves shingle rows with no band rows, and a
-    * band-less doc is simply invisible to candidate generation: the
-    * index serves exactly as if the append never ran. (The opposite
-    * order would leave band rows whose candidates silently vanish at
-    * the verify join — missed duplicates with no error.) Recovery from
-    * a partial append is an anti-join repair (append the bands of
-    * shingle-docs missing from bands), NOT a blind re-run, which would
-    * violate the append-once contract.
-    *
-    * The batch's shingle hashes are snapshotted DURABLY (a staging
-    * parquet, one action over the source) and both index appends derive
-    * from that snapshot — so bands and shingles cannot disagree even
-    * under a nondeterministic source. (A persist() would be best-effort
-    * only: cached blocks lost to eviction or executor failure are
-    * recomputed from the source lineage between the two writes.) The
-    * staging dir's cleanup is registered BEFORE any write, so a
-    * mid-write throw cannot leak it. */
-  def appendToMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
-    import graft.functions.HashFunctions
-    val stage = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_mh_append_${java.util.UUID.randomUUID().toString.take(8)}")
-    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
-    graft.sources.Sources.writeTruncate(
-      docs.select(col("doc_id"),
-        HashFunctions.shingleHashes(split(col("text"), " ")).as("shs")),
-      stage.getAbsolutePath)
-    val snap = spark.read.parquet(stage.getAbsolutePath)
-    snap.write.mode("append").parquet(s"$path/shingles")
-    bandsFromSig(snap.select(col("doc_id"),
-      HashFunctions.minhashSketchFromHashes(col("shs")).as("sk")))
-      .write.mode("append").parquet(s"$path/bands")
-  }
-
-  /** Repair a partially-appended index: [[appendToMinhashIndex]] lands
-    * shingles before bands, so a crash BETWEEN the two writes leaves
-    * shingle rows whose doc has no band rows (invisible docs). This
-    * derives and appends the missing bands FROM THE INDEX'S OWN shingle
-    * hashes — historical text is not needed, because minhash
-    * permutations and the band fold operate on shingle hashes, which is
-    * exactly what `shingles` stores — and through the SAME
-    * [[bandsFromSig]] definition the writer uses, so repaired rows
-    * cannot drift from the on-disk format. Returns how many docs were
-    * repaired. Idempotent — a clean index repairs zero (zero-shingle
-    * docs legitimately have no bands and are not orphans).
-    *
-    * Cost: finding orphans is one scan of the index (an anti-join on
-    * the band table's distinct doc ids); only the REBUILD side is
-    * O(missing docs). After a crashed daily append, pass the day's id
-    * range as `idFilter` — it pushes into both parquet scans and bounds
-    * the probe to the suspect slice. Atomicity precondition: each
-    * parquet append commits all-or-nothing at job commit
-    * (FileOutputCommitter v1, the default); under a v2 committer a
-    * crash MID-write can leave a partial shard that repair would make
-    * visible as-is — recovery there is re-landing the day from source,
-    * not repair.
-    *
-    * The REVERSE partial state — band docs with no shingle rows — is
-    * unreachable from this library's shingles-first writers, and it is
-    * NOT repairable from the index (the shingle hashes are gone): those
-    * docs' candidates silently vanish at the verify join, i.e. the index
-    * quietly misses duplicates. Repair therefore DETECTS it and throws
-    * before touching the index; recovery is re-landing those docs from
-    * source (or restoring a backup), never a silent continue. */
-  def repairMinhashIndex(spark: SparkSession, path: String,
-      idFilter: org.apache.spark.sql.Column = lit(true)): Long = {
-    import graft.functions.HashFunctions
-    val bandIds = spark.read.parquet(s"$path/bands")
-      .filter(idFilter).select("doc_id").distinct()
-    val shingleIds = spark.read.parquet(s"$path/shingles")
-      .filter(idFilter).select("doc_id").distinct()
-    val corrupt = bandIds.join(shingleIds, Seq("doc_id"), "left_anti").count()
-    if (corrupt > 0)
-      throw new IllegalStateException(
-        s"minhash index at $path has $corrupt band doc(s) with no shingle rows — " +
-          "not repairable from the index (verify-side hashes are missing); " +
-          "re-land those docs from source")
-    val orphans = spark.read.parquet(s"$path/shingles")
-      .filter(idFilter)
-      .filter(size(col("shs")) > 0) // banding skips empty sketches by design
-      .join(bandIds, Seq("doc_id"), "left_anti")
-      .persist()
-    try {
-      val n = orphans.count()
-      if (n > 0)
-        bandsFromSig(orphans.select(col("doc_id"),
-          HashFunctions.minhashSketchFromHashes(col("shs")).as("sk")))
-          .write.mode("append").parquet(s"$path/bands")
-      n
-    } finally orphans.unpersist(blocking = false): Unit
+      s"$path/shingles", batchId)
+    // an all-empty batch commits no shingle version at all (sink
+    // semantics) — then there is nothing to band either
+    if (Maintenance.snapshotVersions(spark, s"$path/shingles").nonEmpty)
+      Maintenance.snapshotSinkBatch(
+        bandsFromSig(Maintenance.readSnapshotBatch(spark, s"$path/shingles", batchId)
+          .select(col("doc_id"),
+            HashFunctions.minhashSketchFromHashes(col("shs")).as("sk"))),
+        s"$path/bands", batchId)
   }
 
   /** Dedup a NEW document shard against a persisted [[writeMinhashIndex]]
@@ -480,11 +415,26 @@ object Dedup {
     * Verify loads shingle arrays ONLY for matched candidates on both
     * sides (semi-joins before any array materializes), then one
     * codegen'd array_intersect per pair. Output: per new doc, how many
-    * historical near-dups it has and the strongest one. */
+    * historical near-dups it has and the strongest one.
+    *
+    * Consistency: both index tables are read as a CUT at the bands
+    * watermark ([[Maintenance.readSnapshotUpToBatch]]) — shingle files
+    * from a batch whose bands never committed (a crashed append) are
+    * planned out, so a half-appended day is invisible rather than
+    * half-visible. */
   def dedupAgainstIndex(spark: SparkSession, indexPath: String,
       newDocs: DataFrame): DataFrame = {
     import graft.functions.HashFunctions
-    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    import graft.operators.Maintenance
+    val watermark = Maintenance.sinkBatchWatermark(spark, s"$indexPath/bands")
+      .getOrElse(
+        // an index with no banded batch at all (empty or all-shingle-less
+        // corpus) matches nothing, by the empty-sketch semantics
+        return newDocs.select(col("doc_id").as("new_id"),
+          lit(0L).as("n_hist_matches"), lit(0.0).as("max_jaccard"))
+          .filter(lit(false)))
+    val idxBands = Maintenance.readSnapshotUpToBatch(spark, s"$indexPath/bands",
+      watermark)
     val cand = graft.CacheScope.track(bandBuckets(newDocs).as("n")
       .join(idxBands.as("h"), col("n.bucket") === col("h.bucket"))
       .select(col("n.doc_id").as("new_id"), col("n.sz").as("sz_n"),
@@ -497,7 +447,8 @@ object Dedup {
       .join(cand.select(col("new_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
-    val histSh = spark.read.parquet(s"$indexPath/shingles")
+    val histSh = Maintenance.readSnapshotUpToBatch(spark, s"$indexPath/shingles",
+        watermark)
       .join(cand.select(col("hist_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     cand
       .join(newSh.as("sn"), col("new_id") === col("sn.doc_id"))

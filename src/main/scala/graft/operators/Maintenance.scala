@@ -784,6 +784,44 @@ object Maintenance {
       .map(_.asInstanceOf[Long])
   }
 
+  /** Read a batch-stamped snapshot table CUT at `maxId`: only the head
+    * version's files whose manifest batch_id ≤ maxId enter the scan.
+    * This is how a multi-table artifact (e.g. the minhash index's
+    * bands + shingles pair) serves a CONSISTENT view without cross-table
+    * transactions: each table commits its batch independently in a
+    * fixed order, and readers cut every table at the LAST table's
+    * watermark — files from a batch that crashed mid-way (committed to
+    * the early tables, never to the last) are planned out, so the
+    * artifact reads exactly as if that batch never ran. */
+  def readSnapshotUpToBatch(spark: SparkSession, path: String,
+      maxId: Long): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val mf = manifestOf(spark, path, vs.last)
+    require(mf.columns.contains("batch_id"),
+      s"$path is not a batch-stamped snapshot table")
+    val files = mf.filter(col("batch_id") <= maxId)
+      .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
+    if (files.isEmpty) readSnapshot(spark, path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** The head-version files of a batch-stamped table belonging to
+    * EXACTLY batch `id` — how a derived table (minhash bands) rebuilds
+    * one batch's slice from its primary (shingles) without re-reading
+    * any source. */
+  def readSnapshotBatch(spark: SparkSession, path: String, id: Long): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val mf = manifestOf(spark, path, vs.last)
+    require(mf.columns.contains("batch_id"),
+      s"$path is not a batch-stamped snapshot table")
+    val files = mf.filter(col("batch_id") === id)
+      .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
+    if (files.isEmpty) readSnapshot(spark, path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Commit ONE streaming micro-batch as a snapshot append version —
     * the lakehouse sink kernel. foreachBatch is at-least-once (a crash
     * after the write but before the checkpoint commit re-delivers the

@@ -264,7 +264,7 @@ class Round8Spec extends SparkSpec {
       // close the daily loop: append the clean survivor to the index —
       // tomorrow's shard must now see it as history
       operators.Dedup.appendToMinhashIndex(spark, stage.getAbsolutePath,
-        fresh.filter($"doc_id" === 101L))
+        fresh.filter($"doc_id" === 101L), batchId = 1L)
       val out2 = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath,
         Seq((200L, "zig zag zip zap zoom")).toDF("doc_id", "text"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -272,62 +272,53 @@ class Round8Spec extends SparkSpec {
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
-  test("index repair rebuilds missing bands from persisted shingle hashes") {
+  test("a crashed index append is invisible to serves and recovers by re-running the batch") {
     import spark.implicits._
-    val stage = java.nio.file.Files.createTempDirectory("graft_mh_repair_").toFile
+    val stage = java.nio.file.Files.createTempDirectory("graft_mh_crash_").toFile
     try {
-      // doc 9 has one token → zero shingles → legitimately no band rows;
-      // it must never be classified as an orphan
+      // doc 9 has one token → zero shingles → legitimately never banded
       val hist = Seq((1L, "alpha beta gamma delta epsilon"), (9L, "solo"))
         .toDF("doc_id", "text")
       operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath, hist)
-      assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath) === 0L)
-      // simulate a writer crashing between its two writes: shingles
-      // landed, bands did not — the only reachable partial state now
-      // that BOTH writers (writeMinhashIndex and appendToMinhashIndex)
-      // land shingles first
-      val orphan = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
-      orphan.select($"doc_id",
-        graft.functions.HashFunctions.shingleHashes(split($"text", " ")).as("shs"))
-        .write.mode("append").parquet(s"${stage.getAbsolutePath}/shingles")
-      // the orphan is invisible: its dup is not found
+      // simulate a writer crashing between its two table commits:
+      // batch 1's shingles committed, its bands did not — replay the
+      // append's FIRST half exactly as appendToMinhashIndex performs it
+      val day1 = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
+      operators.Maintenance.snapshotSinkBatch(
+        day1.select($"doc_id",
+          graft.functions.HashFunctions.shingleHashes(split($"text", " ")).as("shs")),
+        s"${stage.getAbsolutePath}/shingles", id = 1L)
+      // the half-appended day is INVISIBLE: serves cut both tables at
+      // the bands watermark, so neither candidates nor shingles of
+      // batch 1 enter the plan
       val dup = Seq((200L, "one two three four five six")).toDF("doc_id", "text")
       val before = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath, dup)
         .collect()
       CacheScope.releaseAll()
-      assert(before.isEmpty)
-      // repair derives the bands from the index's own shingle hashes
-      assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath) === 1L)
+      assert(before.isEmpty, "a half-appended batch leaked into a serve")
+      // recovery is re-running the SAME append: the shingle commit
+      // skips itself by batch id (no doubled rows), the band commit
+      // derives from the shingle table's own batch-1 files and lands
+      operators.Dedup.appendToMinhashIndex(spark, stage.getAbsolutePath,
+        day1, batchId = 1L)
+      val shingleRows = operators.Maintenance.readSnapshot(
+        spark, s"${stage.getAbsolutePath}/shingles")
+        .filter($"doc_id" === 2L).count()
+      assert(shingleRows == 1L, s"re-run doubled the shingle rows: $shingleRows")
       val after = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath, dup)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(after.toSeq === Seq((200L, 1L, 1.0)))
-      // idempotent: a consistent index repairs nothing
+      // a full re-delivery of the whole batch is also a no-op
       CacheScope.releaseAll()
-      assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath) === 0L)
-    } finally { CacheScope.releaseAll(); rm(stage) }
-  }
-
-  test("index repair refuses the unrepairable state: bands with no shingles") {
-    import spark.implicits._
-    val stage = java.nio.file.Files.createTempDirectory("graft_mh_corrupt_").toFile
-    try {
-      operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath,
-        Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
-      // band rows whose doc has no shingle rows cannot come from this
-      // library's shingles-first writers (external corruption / a lost
-      // shingle shard); the verify-side hashes are gone, so the doc's
-      // candidates silently vanish — repair must REFUSE, not continue
-      Seq((666L, 5L, 12345L)).toDF("doc_id", "sz", "bucket")
-        .write.mode("append").parquet(s"${stage.getAbsolutePath}/bands")
-      val e = intercept[IllegalStateException] {
-        operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath)
-      }
-      assert(e.getMessage.contains("no shingle rows"))
-      // bounded probe: an idFilter excluding the corrupt slice still
-      // lets the healthy slice repair (report 0 here — it is consistent)
-      CacheScope.releaseAll()
-      assert(operators.Dedup.repairMinhashIndex(spark, stage.getAbsolutePath,
-        col("doc_id") < 100L) === 0L)
+      val versionsBefore =
+        (operators.Maintenance.snapshotVersions(spark, s"${stage.getAbsolutePath}/shingles"),
+          operators.Maintenance.snapshotVersions(spark, s"${stage.getAbsolutePath}/bands"))
+      operators.Dedup.appendToMinhashIndex(spark, stage.getAbsolutePath,
+        day1, batchId = 1L)
+      assert(versionsBefore ==
+        (operators.Maintenance.snapshotVersions(spark, s"${stage.getAbsolutePath}/shingles"),
+          operators.Maintenance.snapshotVersions(spark, s"${stage.getAbsolutePath}/bands")),
+        "a re-delivered batch id committed new versions")
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
