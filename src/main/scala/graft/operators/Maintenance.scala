@@ -47,6 +47,12 @@ object Maintenance {
     * predicates (the OPTIMIZE ... ZORDER-lite single-key shape).
     * Without it, a plain round-robin repartition only bin-packs.
     *
+    * This is the EXPLICITLY-UNVERSIONED fast path: plain dir in, plain
+    * dir out, no manifest, no history — for one-shot re-layouts of
+    * tables that live outside the snapshot layer. Tables WITH versions
+    * compact through [[compactSnapshot]], which commits the rewrite
+    * atomically and keeps history readable.
+    *
     * Sizing uses the INPUT byte sum as the estimate — compaction of
     * same-codec parquet is roughly size-preserving, and an estimate is
     * all the file-count decision needs. The sum is read off the file
@@ -120,53 +126,37 @@ object Maintenance {
   // handles the coarse key (date); the manifest handles everything the
   // directory key doesn't.
 
-  /** Write `df` under `path/data` clustered on `clusterBy` (range
-    * partition + in-file sort into `nFiles` files, so each file covers
-    * a disjoint key range) and a `path/manifest` table of per-file
-    * row counts and min/max for each of `statsCols`.
+  /** Write `df` as a skip-indexed table at `path`: clustered on
+    * `clusterBy` (range partition + in-file sort into `nFiles` files,
+    * so each file covers a disjoint key range) with per-file min/max
+    * manifest stats on `statsCols`. Since round 10 this IS a snapshot
+    * table ([[snapshotWrite]], version 1) — the file-stats mechanics
+    * exist exactly once, and a skip-indexed table gets appends,
+    * replaces, time travel, and vacuum for free. [[prunedRead]] /
+    * [[readSnapshotRange]] serve it.
     *
-    * The manifest derives from the JUST-WRITTEN files, not from `df`
-    * (the writeMinhashIndex snapshot discipline): the durable parquet is
-    * the source of truth, so a nondeterministic input cannot produce
-    * stats that disagree with the data actually stored. One pass over
-    * the written data; the per-file aggregation's partial state is one
-    * (count, mins, maxes) row per file per task — negligible. File
-    * names are stored relative to `path/data`, so the table relocates.
-    *
-    * NULL semantics: min/max ignore NULLs, so an all-NULL file carries
-    * NULL stats and is pruned — correct, because a range predicate on
-    * that column never selects NULL rows. */
+    * The manifest derives from the JUST-WRITTEN files, not from `df`:
+    * the durable parquet is the source of truth, so a nondeterministic
+    * input cannot produce stats that disagree with the data actually
+    * stored. NULL semantics: min/max ignore NULLs, so an all-NULL file
+    * carries NULL stats and is pruned — correct, because a range
+    * predicate on that column never selects NULL rows. */
   def writeSkipIndexed(df: DataFrame, path: String, statsCols: Seq[String],
       nFiles: Int, clusterBy: String): Unit = {
-    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     require(statsCols.nonEmpty, "statsCols must name at least one column")
-    val spark = df.sparkSession
-    df.repartitionByRange(nFiles, col(clusterBy)).sortWithinPartitions(clusterBy)
-      .write.mode("overwrite").parquet(s"$path/data")
-    writtenFileStats(spark, s"$path/data", "", statsCols)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    snapshotWrite(df, path, nFiles, statsCols, Some(clusterBy)): Unit
   }
 
-  /** Scan `path` for rows with `c` in [lo, hi]: the manifest picks the
-    * files whose [min_c, max_c] intersects the range, ONLY those files
-    * enter the scan, and the predicate is re-applied as the residual
-    * filter (results are exact whatever the layout — pruning is purely
-    * a cost lever). The manifest read + file-list collect is
-    * driver-side PLANNING metadata — one row per data file, the same
-    * cardinality every table format's planner holds on the driver —
-    * never the data itself. */
+  /** Scan `path` for rows with `c` in [lo, hi]: the head version's
+    * manifest picks the files whose [min_c, max_c] intersects the
+    * range, ONLY those files enter the scan, and the predicate is
+    * re-applied as the residual filter (results are exact whatever the
+    * layout — pruning is purely a cost lever). Alias of
+    * [[readSnapshotRange]] at the head version, kept as the
+    * skip-indexed table's natural read verb. */
   def prunedRead(spark: SparkSession, path: String, c: String,
-      lo: Long, hi: Long): DataFrame = {
-    val files = spark.read.parquet(s"$path/manifest")
-      .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
-      .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
-    val data =
-      if (files.isEmpty)
-        // no file can match: keep the data schema, scan nothing
-        spark.read.parquet(s"$path/data").filter(lit(false))
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    data.filter(col(c) >= lo && col(c) <= hi)
-  }
+      lo: Long, hi: Long): DataFrame =
+    readSnapshotRange(spark, path, c, lo, hi)
 
   /** Manifest-pruned range scan as a driver-visible query: stage the
     * events table as 16 skip-indexed files clustered on event_id, then
@@ -216,20 +206,17 @@ object Maintenance {
     }.reduce(_ + _)
   }
 
-  /** Write `df` under `path/data` clustered on the z-value of
-    * (`cx`, `cy`) with min/max manifest stats on both columns. The
-    * z column is layout-only — it shapes the range partition and the
+  /** Write `df` as a snapshot table clustered on the z-value of
+    * (`cx`, `cy`) with min/max manifest stats on both columns — the
+    * multi-column [[writeSkipIndexed]], on the same snapshot layer.
+    * The z column is layout-only: it shapes the range partition and the
     * in-file sort, then drops out of the stored schema. */
   def writeZordered(df: DataFrame, path: String, cx: String, cy: String,
       bits: Int, nFiles: Int): Unit = {
-    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
-    val spark = df.sparkSession
-    df.withColumn("_z", zvalue(col(cx), col(cy), bits))
-      .repartitionByRange(nFiles, col("_z")).sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(s"$path/data")
-    writtenFileStats(spark, s"$path/data", "", Seq(cx, cy))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    require(snapshotVersions(df.sparkSession, path).isEmpty,
+      s"$path already has versions — use snapshotAppend/snapshotReplace")
+    commitSnapshot(df, path, nFiles, identity, Seq(cx, cy),
+      Some(zvalue(col(cx), col(cy), bits)), Some(0L)): Unit
   }
 
   /** Z-order locality as a driver-visible query: Morton-code lineitem's
@@ -378,6 +365,20 @@ object Maintenance {
 
   private def manifestOf(spark: SparkSession, path: String, v: Long): DataFrame =
     spark.read.parquet(f"$path/versions/v$v%05d")
+
+  /** A version's manifest as data — (file, n_rows, min/max stats,
+    * batch_id/part where applicable), one row per live data file. The
+    * planner-facing diagnostic surface: file-count/fragmentation checks,
+    * stats-tightness audits, layout comparisons. Latest version when
+    * `asOf` is None. */
+  def snapshotManifest(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs (expired or never committed)")
+    manifestOf(spark, path, v)
+  }
 
   /** Create the table: version 1 contains exactly `df`. `statsCols`
     * adds per-file min/max columns to every manifest (enabling

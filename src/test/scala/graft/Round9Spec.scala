@@ -154,7 +154,7 @@ class Round9Spec extends SparkSpec {
       assert(scanned.nonEmpty && scanned.size < nData,
         s"no file-level pruning: ${scanned.size} of $nData files scanned")
       // exactness: identical to the unpruned filter over the same data
-      val expected = spark.read.parquet(s"${stage.getAbsolutePath}/data")
+      val expected = Maintenance.readSnapshot(spark, stage.getAbsolutePath)
         .filter(col("event_id").between(100, 299))
         .collect().map(_.toString).sorted.toSeq
       val got = pruned.collect().map(_.toString).sorted.toSeq
@@ -180,7 +180,7 @@ class Round9Spec extends SparkSpec {
         statsCols = Seq("x", "y"), nFiles = 16, clusterBy = "x")
       // y-only range predicate: an eighth of the plane
       def overlapping(path: String): Int =
-        spark.read.parquet(s"$path/manifest")
+        Maintenance.snapshotManifest(spark, path)
           .filter(col("min_y") <= 7 && col("max_y") >= 0)
           .count().toInt
       val zFiles = overlapping(s"${stage.getAbsolutePath}/z")
