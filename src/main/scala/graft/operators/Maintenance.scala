@@ -892,6 +892,63 @@ object Maintenance {
        |ORDER BY version""".stripMargin
   }
 
+  /** The snapshot layer through its SQL face: stage the [[timeTravel]]
+    * table (even event_ids at v1, full table at v2), register BOTH
+    * versions as temp views through the DataSourceV2 provider
+    * ([[graft.sources.SnapshotSource]]), and answer a pure-SQL
+    * time-travel union with a range predicate — the WHERE pushes
+    * through the DSv2 scan into manifest file pruning AND the parquet
+    * reader (Round10Spec audits the file list; this gate hash-checks
+    * the answers). This is the migration surface for the reference's
+    * SQL-scripting users: versioned tables reachable from `spark.sql`
+    * alone. */
+  def snapshotSql(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_snapsql_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    val p = stage.getAbsolutePath
+    val ev = Tables.events(spark, dir)
+    snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 8,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 8,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    def view(v: Long, name: String): Unit =
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("asOf", v).load(p).createOrReplaceTempView(name)
+    view(1L, "snap_v1")
+    view(2L, "snap_v2")
+    val out = spark.sql(
+      """SELECT version, event_type, n, sum_value FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM snap_v1 WHERE event_id BETWEEN 100 AND 499 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM snap_v2 WHERE event_id BETWEEN 100 AND 499 GROUP BY event_type)
+        |ORDER BY version, event_type""".stripMargin)
+    val snap = {
+      import graft.CacheScope.CheckpointOps
+      out.graftCheckpoint()
+    }
+    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
+    snap
+  }
+
+  private val snapshotSqlOracle =
+    """SELECT CAST(1 AS BIGINT) AS version, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_id % 2 = 0 AND event_id BETWEEN 100 AND 499
+      |GROUP BY event_type
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM events WHERE event_id BETWEEN 100 AND 499
+      |GROUP BY event_type
+      |ORDER BY version, event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_compact_files", compactFiles, Some(compactFilesOracle)),
     Op("q_prune_scan", pruneScan, Some(pruneScanOracle)),
@@ -900,5 +957,6 @@ object Maintenance {
     // same oracle text as q_merge_upsert BY DESIGN: the snapshot merge
     // must be semantically indistinguishable from the plain-plan MERGE
     Op("q_merge_snapshot", mergeSnapshot, Some(Relational.mergeUpsertOracle)),
+    Op("q_snapshot_sql", snapshotSql, Some(snapshotSqlOracle)),
   )
 }

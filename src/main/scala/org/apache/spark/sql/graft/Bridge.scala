@@ -45,6 +45,13 @@ object Bridge {
       rdd.unpersist(blocking = false)
     }
 
+  /** Catalyst predicate → v1 source Filter (DataSourceStrategy
+    * .translateFilter is protected[sql]) — the shape the snapshot
+    * source's manifest pruner pattern-matches on. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Register a native function on a live session (the extensions path
     * only works at session build time). */
   def registerFunction(

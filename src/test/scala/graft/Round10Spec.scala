@@ -176,6 +176,53 @@ class Round10Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("DSv2 snapshot source: SQL range predicates prune files through the manifest") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_dsv2_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 8,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 8,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      def load(asOf: Long) = spark.read
+        .format("graft.sources.SnapshotSource").option("asOf", asOf).load(p)
+      load(2L).createOrReplaceTempView("r10_dsv2")
+      val q = spark.sql(
+        "SELECT count(*) AS n FROM r10_dsv2 WHERE event_id BETWEEN 100 AND 199")
+      // plan audit: the built scan's file list is a strict subset of the
+      // 16 clustered files — the WHERE reached the manifest pruner
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan match {
+              case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                ps.fileIndex.inputFiles.toSeq
+              case other => fail(s"expected a ParquetScan, got $other")
+            }
+        }.flatten
+      val prunedFiles = scanFiles(q)
+      val allFiles = parquetFiles(new java.io.File(stage, "data"))
+      assert(allFiles.size == 16)
+      assert(prunedFiles.nonEmpty && prunedFiles.size < allFiles.size,
+        s"DSv2 scan planned ${prunedFiles.size} of ${allFiles.size} files — no pruning")
+      // exactness: the pruned SQL answer equals the raw-table filter
+      assert(q.head().getLong(0) ==
+        ev.filter(col("event_id").between(100L, 199L)).count())
+      // an unfiltered read plans every live file and answers everything
+      val full = load(2L)
+      assert(scanFiles(full.select(col("event_id"))).size == allFiles.size)
+      assert(full.count() == ev.count())
+      // time travel through SQL: v1 is the even half, pruned from v1's
+      // own manifest
+      val v1 = load(1L).filter(col("event_id").between(100L, 199L))
+      assert(v1.count() ==
+        ev.filter(col("event_id") % 2 === 0 &&
+          col("event_id").between(100L, 199L)).count())
+      assert(scanFiles(v1).size < 8, "v1 read did not prune")
+    } finally rm(stage)
+  }
+
   test("compaction preserves the manifest stats contract by default") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cstats_").toFile
     try {
