@@ -147,9 +147,66 @@ object Geo {
        |GROUP BY 1 ORDER BY zone""".stripMargin
   }
 
+  /** (zone, lon0, lon1, lat0, lat1) for the SPHERICAL tagger. Bounds
+    * are chosen so planar and geodesic containment agree EXACTLY on the
+    * data: longitudes are meridian edges (great circles — identical in
+    * both models), and latitude bounds sit 0.4° off the data's 0.8°
+    * lat grid while the N/S edges' great-circle bulge stays under 0.14°
+    * (tan φmax = tan φ / cos(Δλ/2)) — no data point can fall in a
+    * planar-vs-spherical disagreement sliver, so the planar range
+    * oracle replays the geodesic result. The spec proves the kernel is
+    * genuinely geodesic on polygons where the two models DISAGREE. */
+  private val sphereZones: Seq[(String, Double, Double, Double, Double)] = Seq(
+    ("s_west", 0.013, 4.027, -20.4, 28.4),
+    ("s_mid", 4.027, 9.013, -36.4, 36.4),
+    ("s_east", 9.013, 29.507, -8.4, 8.4),
+  )
+
+  /** Zone tagging under GEOGRAPHY semantics: events as (lon, lat)
+    * points — lon = value, lat = 0.8·k − 40 (a [−40, 39.2] grid) —
+    * against great-circle polygon zones via the geodesic
+    * [[graft.functions.SphericalPointInPolygon]] kernel. Same broadcast
+    * + codegen'd filter + rollup shape as [[geoContains]]; only the
+    * crossing predicate is spherical. */
+  def geoSphere(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zoneDf = sphereZones.map { case (z, l0, l1, b0, b1) =>
+      (z, Seq(l0, l1, l1, l0), Seq(b0, b0, b1, b1))
+    }.toDF("zone", "lons", "lats")
+    val pts = Tables.events(spark, dir)
+      .select(col("event_id"), col("value").as("lon"),
+        (when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) =!= "",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)).cast("double")
+          * 0.8 - 40.0).as("lat"))
+    pts.join(broadcast(zoneDf),
+        graft.functions.SphericalPointInPolygon(
+          col("lon"), col("lat"), col("lons"), col("lats")))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_points"), sumMoney(col("lon")).as("sum_lon"))
+      .orderBy("zone")
+  }
+
+  private val geoSphereOracle = {
+    val zoneRows = sphereZones.map { case (z, l0, l1, b0, b1) =>
+      s"('$z', $l0, $l1, $b0, $b1)"
+    }.mkString(", ")
+    s"""WITH zones(zone, l0, l1, b0, b1) AS (VALUES $zoneRows),
+       |pts AS (
+       |  SELECT event_id, "value" AS lon,
+       |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS DOUBLE)
+       |      * 0.8 - 40.0 AS lat
+       |  FROM events)
+       |SELECT zone, COUNT(*) AS n_points,
+       |  CAST(SUM(CAST(lon AS DECIMAL(18,4))) AS DOUBLE) AS sum_lon
+       |FROM pts JOIN zones
+       |  ON lon >= l0 AND lon < l1 AND lat > b0 AND lat < b1
+       |GROUP BY 1 ORDER BY zone""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q_geo_contains", geoContains, Some(geoContainsOracle)),
     Op("q_geo_filter", geoFilter, Some(geoFilterOracle)),
     Op("q_geo_wkt", geoWkt, Some(geoWktOracle)),
+    Op("q_geo_sphere", geoSphere, Some(geoSphereOracle)),
   )
 }

@@ -223,6 +223,58 @@ class Round10Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("spherical kernel is genuinely geodesic: bulge and antimeridian disagree with planar; meridian boxes agree") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import functions.{PointInPolygon, SphericalPointInPolygon}
+    def arr(xs: Double*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    // 1) poleward bulge: a thin lon-[0°,90°] band at lat [40°,41°]. Its
+    // great-circle edges arc up to ~49.9°/50.9° at mid-longitude, so
+    // (45°, 50.3°) sits INSIDE the geodesic polygon while the planar
+    // ray-cast (lat 50.3 ∉ [40,41]) says outside — the defining
+    // GEOGRAPHY-vs-planar divergence.
+    val bandLons = arr(0, 90, 90, 0); val bandLats = arr(40, 40, 41, 41)
+    assert(SphericalPointInPolygon.contains(45.0, 50.3, bandLons, bandLats))
+    assert(!PointInPolygon.contains(45.0, 50.3, bandLons, bandLats))
+    // interior of neither: below both arcs at mid-longitude
+    assert(!SphericalPointInPolygon.contains(45.0, 44.0, bandLons, bandLats))
+    // 2) antimeridian: a box written continuously across ±180 (190° IS
+    // −170° on the sphere). The spherical kernel contains −175°; the
+    // planar ray-cast on raw coordinates cannot.
+    val amLons = arr(170, 190, 190, 170); val amLats = arr(-10, -10, 10, 10)
+    assert(SphericalPointInPolygon.contains(-175.0, 0.0, amLons, amLats))
+    assert(SphericalPointInPolygon.contains(185.0, 0.0, amLons, amLats))
+    assert(!PointInPolygon.contains(-175.0, 0.0, amLons, amLats))
+    assert(!SphericalPointInPolygon.contains(150.0, 0.0, amLons, amLats))
+    // 3) agreement on the q_geo_sphere zone shapes: meridian lon edges
+    // are great circles in both models, and the data's lat grid sits
+    // 0.4° off the bounds while the bulge stays under 0.14° — every
+    // grid point classifies identically
+    val zones = Seq(
+      (Seq(0.013, 4.027, 4.027, 0.013), Seq(-20.4, -20.4, 28.4, 28.4)),
+      (Seq(4.027, 9.013, 9.013, 4.027), Seq(-36.4, -36.4, 36.4, 36.4)),
+      (Seq(9.013, 29.507, 29.507, 9.013), Seq(-8.4, -8.4, 8.4, 8.4)))
+    for {
+      (lons, lats) <- zones
+      lon <- 0 to 29; k <- 0 to 99 by 7
+    } {
+      val lat = 0.8 * k - 40.0
+      val (la, lb) = (arr(lons: _*), arr(lats: _*))
+      val sph = SphericalPointInPolygon.contains(lon + 0.5, lat, la, lb)
+      val pla = PointInPolygon.contains(lon + 0.5, lat, la, lb)
+      assert(sph == pla, s"divergence at (${lon + 0.5}, $lat) in $lons/$lats")
+    }
+    // 4) the codegen path produces the same answer as the static eval
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    val got = Seq((45.0, 50.3), (45.0, 44.0), (-175.0, 0.0))
+      .toDF("lon", "lat")
+      .select(SphericalPointInPolygon(col("lon"), col("lat"),
+        typedLit(Seq(0.0, 90.0, 90.0, 0.0)),
+        typedLit(Seq(40.0, 40.0, 41.0, 41.0))).as("in"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false, false))
+  }
+
   test("compaction preserves the manifest stats contract by default") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cstats_").toFile
     try {
