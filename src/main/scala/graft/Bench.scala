@@ -99,11 +99,10 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
     catch { case _: Throwable => None }
 
-  /** Per-query times as a bare JSON object (one untimed warmup + one
-    * timed run each) — the cheap probe behind the three-point scale
-    * readout. */
-  private def timesAt(spark: SparkSession, sfDir: String, ops: Seq[Op]): String =
-    run(spark, sfDir, ops, timedRuns = 1).queries
+  /** Per-query times (one untimed warmup + one timed run each) — the
+    * cheap probe behind the scale readout. */
+  private def timesAt(spark: SparkSession, sfDir: String, ops: Seq[Op]): Report =
+    run(spark, sfDir, ops, timedRuns = 1)
 
   /** The expected WARN flood classes (checkpoint-generation retirement,
     * large-broadcast notices) drown a real error in the artifact tail —
@@ -137,10 +136,10 @@ object Bench {
     val rep = run(spark, sfDir, heads)
     val loadAfter = loadAvg()
 
-    // three-point scale evidence: per-query times at the sibling scale
-    // factors (single timed run each — the scaling EXPONENT is the
-    // signal; best-of-2 stays reserved for the primary point). A
-    // super-linear operator is visible in the artifact alone.
+    // scale evidence: per-query times at the sibling scale factors
+    // (single timed run each — the scaling EXPONENT is the signal;
+    // best-of-2 stays reserved for the primary point). A super-linear
+    // operator is visible in the artifact alone.
     val parent = new java.io.File(sfDir).getParentFile
     val siblings = Seq("sf0.001", "sf0.01", "sf0.1")
       .map(n => new java.io.File(parent, n))
@@ -150,9 +149,23 @@ object Bench {
     // paths — the stdout report must stay compact (see fmt3); the
     // primary point reuses the best-of-2 numbers already measured
     def sfKey(d: String) = Json.str(new java.io.File(d).getName)
-    val sibScaling = siblings.map(d => sfKey(d) + ":" + timesAt(spark, d, heads))
-    val scalingFull = (sibScaling :+ (sfKey(sfDir) + ":" + rep.queries))
-      .mkString("{", ",", "}")
+    val sibScaling = siblings.map(d => sfKey(d) + ":" + timesAt(spark, d, heads).queries)
+    // a fourth decade, when present: GenScale's sf1 under the checkout
+    // (or any dirs in SPARK_GRAFT_EXTRA_SF_DIRS). Per-query numbers go
+    // to the FILE artifact only; stdout carries just the totals — the
+    // compact line must stay inside the driver's ~2,000-char log-tail
+    // window (the r06..r08 lesson)
+    val extraDirs = (sys.env.get("SPARK_GRAFT_EXTRA_SF_DIRS").toSeq
+        .flatMap(_.split(',').toSeq.filter(_.nonEmpty)) :+
+        new java.io.File(sys.props("user.dir"), "testdata/sf1").getAbsolutePath)
+      .map(new java.io.File(_)).filter(_.isDirectory).map(_.getAbsolutePath)
+      .distinct
+    val extraReps = extraDirs.map(d => d -> timesAt(spark, d, heads))
+    val extraScaling = extraReps.map { case (d, r) => sfKey(d) + ":" + r.queries }
+    val extraTotals = extraReps.map { case (d, r) =>
+      sfKey(d).dropRight(1) + "_total\":" + r.total }
+    val scalingFull = ((sibScaling :+ (sfKey(sfDir) + ":" + rep.queries)) ++
+      extraScaling).mkString("{", ",", "}")
     val loads = (loadBefore.map(l => s""""load_before":$l""") ++
       loadAfter.map(l => s""""load_after":$l""")).mkString(",")
     // default next to the checkout, not a hardcoded machine path: the
@@ -173,8 +186,11 @@ object Bench {
     // `queries`), ms-rounded values. ~1.5 KB at 18 headline queries.
     val stdoutLine =
       s"""{"metric":"total","value":${rep.total},"unit":"sec","queries":${rep.queries},"retimed":${rep.retimed},"errors":${rep.errs},"sf":${Json.str(sfDir)},"scaling":${sibScaling.mkString("{", ",", "}")}""" +
+        (if (extraTotals.nonEmpty) extraTotals.mkString(",", ",", "") else "") +
         (if (loads.nonEmpty) s",$loads" else "") +
-        s""","detail":${Json.str(outFile)}}"""
+        // r10 A/B root-cause pointer: load-sensitivity analysis of the
+        // r8→r9 drift lives in PERF_r10.md (+ tools/ab_*.json)
+        s""","perf_note":"PERF_r10.md","detail":${Json.str(outFile)}}"""
     println(stdoutLine)
     spark.stop()
     if (rep.errs > 0) sys.exit(1)

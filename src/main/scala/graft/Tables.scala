@@ -34,7 +34,7 @@ object Tables {
       .withColumn("ts",
         expr("timestamp_micros(CASE WHEN ts > 50000000000000000 THEN ts div 1000 ELSE ts END)"))
 
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     // Scoped nanos handling: an explicit schema (ts as LONG) skips the
     // inference path, which would consult the SESSION conf; the reader

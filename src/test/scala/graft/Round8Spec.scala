@@ -322,6 +322,22 @@ class Round8Spec extends SparkSpec {
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
+  test("an index with no banded batch serves the empty match set") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_mh_empty_").toFile
+    try {
+      // only zero-shingle docs: shingles commit, bands never do (empty
+      // sketches are similar to nothing, by design) — the serve must
+      // return the empty match set with the right schema, not throw
+      operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath,
+        Seq((9L, "solo")).toDF("doc_id", "text"))
+      val out = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath,
+        Seq((200L, "one two three")).toDF("doc_id", "text"))
+      assert(out.columns.toSeq == Seq("new_id", "n_hist_matches", "max_jaccard"))
+      assert(out.count() == 0L)
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
+
   test("sketch rebuilt from persisted shingle hashes equals the from-text sketch") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
