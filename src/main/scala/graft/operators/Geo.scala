@@ -163,11 +163,12 @@ object Geo {
   )
 
   /** Zone tagging under GEOGRAPHY semantics: events as (lon, lat)
-    * points — lon = value, lat = 0.8·k − 40 (a [−40, 39.2] grid) —
-    * against great-circle polygon zones via the geodesic
-    * [[graft.functions.SphericalPointInPolygon]] kernel. Same broadcast
-    * + codegen'd filter + rollup shape as [[geoContains]]; only the
-    * crossing predicate is spherical. */
+    * points — lon = value (wrapping mod 360 on the sphere, as plain
+    * trigonometry does — the data's tail reaches 560°), lat = 0.8·k −
+    * 40 (a [−40, 39.2] grid) — against great-circle polygon zones via
+    * the geodesic [[graft.functions.SphericalPointInPolygon]] kernel.
+    * Same broadcast + codegen'd filter + rollup shape as
+    * [[geoContains]]; only the crossing predicate is spherical. */
   def geoSphere(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val zoneDf = sphereZones.map { case (z, l0, l1, b0, b1) =>
@@ -186,20 +187,27 @@ object Geo {
       .orderBy("zone")
   }
 
+  /** The oracle's range test runs on lon MOD 360: longitudes wrap on
+    * the sphere (562° IS 202°, and a 362° point IS a 2° point inside a
+    * [0°, 4°] zone), and the geodesic kernel inherits that from plain
+    * trigonometry — so the replay must state it too. The data's values
+    * are non-negative, so a single `%` is the full wrap. sum_lon stays
+    * over the RAW value (both engines aggregate the stored column; only
+    * membership wraps). */
   private val geoSphereOracle = {
     val zoneRows = sphereZones.map { case (z, l0, l1, b0, b1) =>
       s"('$z', $l0, $l1, $b0, $b1)"
     }.mkString(", ")
     s"""WITH zones(zone, l0, l1, b0, b1) AS (VALUES $zoneRows),
        |pts AS (
-       |  SELECT event_id, "value" AS lon,
+       |  SELECT event_id, "value" AS lon, "value" % 360 AS wlon,
        |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS DOUBLE)
        |      * 0.8 - 40.0 AS lat
        |  FROM events)
        |SELECT zone, COUNT(*) AS n_points,
        |  CAST(SUM(CAST(lon AS DECIMAL(18,4))) AS DOUBLE) AS sum_lon
        |FROM pts JOIN zones
-       |  ON lon >= l0 AND lon < l1 AND lat > b0 AND lat < b1
+       |  ON wlon >= l0 AND wlon < l1 AND lat > b0 AND lat < b1
        |GROUP BY 1 ORDER BY zone""".stripMargin
   }
 

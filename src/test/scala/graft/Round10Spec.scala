@@ -245,6 +245,14 @@ class Round10Spec extends SparkSpec {
     assert(SphericalPointInPolygon.contains(185.0, 0.0, amLons, amLats))
     assert(!PointInPolygon.contains(-175.0, 0.0, amLons, amLats))
     assert(!SphericalPointInPolygon.contains(150.0, 0.0, amLons, amLats))
+    // 2b) longitude wrap: trigonometry is periodic, so a 365° point IS
+    // a 5° point — inside a [4°, 9°] zone (the q_geo_sphere oracle
+    // replays this with lon % 360; the sf0.1 value tail reaches 560°)
+    val midLons = arr(4.027, 9.013, 9.013, 4.027)
+    val midLats = arr(-36.4, -36.4, 36.4, 36.4)
+    assert(SphericalPointInPolygon.contains(365.0, 0.0, midLons, midLats))
+    assert(SphericalPointInPolygon.contains(5.0, 0.0, midLons, midLats))
+    assert(!SphericalPointInPolygon.contains(365.0 + 180.0, 0.0, midLons, midLats))
     // 3) agreement on the q_geo_sphere zone shapes: meridian lon edges
     // are great circles in both models, and the data's lat grid sits
     // 0.4° off the bounds while the bulge stays under 0.14° — every
