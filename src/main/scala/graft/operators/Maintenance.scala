@@ -646,6 +646,35 @@ object Maintenance {
       Some(prev.getOrElse(0L)))
   }
 
+  /** Compact ONE partition of a partitioned snapshot table: read its
+    * files, rewrite them as ~`targetBytes`-sized files, and commit the
+    * result as a partition-overwrite version — OPTIMIZE scoped to a
+    * partition, which is the only compaction a partitioned table needs
+    * (whole-table compaction would collapse the partition-pure file
+    * layout — [[compactSnapshot]] refuses and points here). Every other
+    * partition's files carry verbatim; concurrent commits conflict via
+    * the usual base pinning; history stays readable until vacuum.
+    * statsCols defaults to the head manifest's stats contract. At
+    * 100 TB this runs day-by-day behind the daily lander, each commit
+    * O(one partition). Returns the new version id. */
+  def compactSnapshotPartition(spark: SparkSession, path: String,
+      partCol: String, partValue: String, targetBytes: Long,
+      statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
+    val mf = snapshotManifest(spark, path)
+    require(mf.columns.contains("part"),
+      s"$path is not a partitioned snapshot table")
+    require(mf.filter(col("part") === partValue).limit(1).count() > 0,
+      s"$path has no files in partition $partCol=$partValue")
+    val slice = readSnapshotPartitions(spark, path, Seq(partValue))
+    val nOut = targetFileCount(slice, targetBytes,
+      s"compactSnapshotPartition($path, $partValue)")
+    val effStats =
+      if (statsCols.nonEmpty) statsCols
+      else manifestStatsCols(mf).filterNot(_ == partCol)
+    snapshotOverwritePartition(slice, path, partCol, partValue, nOut,
+      effStats, clusterBy)
+  }
+
   /** Read only the named partitions of a partitioned snapshot table —
     * file selection straight off the manifest's `part` column (planner
     * metadata), so the scan cost is O(requested partitions). */
@@ -663,6 +692,81 @@ object Maintenance {
     if (files.isEmpty) readSnapshot(spark, path, Some(v)).filter(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
+
+  // ───── incremental consumption: version-diff (CDC) reads ────────────
+
+  /** The rows ADDED to a snapshot table between two versions — read
+    * from exactly the files `toV`'s manifest lists that `fromV`'s does
+    * not (file diff is driver-side planner metadata; the scan is
+    * O(delta), never O(table)). This is what makes a downstream job
+    * INCREMENTAL at 100 TB: consume `snapshotChanges(last-seen, head)`
+    * instead of re-reading the table, then record the new head — with
+    * version pinning the read is a consistent cut, and vacuum's `keep`
+    * window bounds how far behind a consumer may fall.
+    *
+    * Granularity contract: files are immutable, so for APPEND-shaped
+    * commits (snapshotAppend, snapshotSinkBatch, a partition-overwrite
+    * landing a new partition) this is row-exact — the delta files hold
+    * precisely the new rows. For REWRITE commits (snapshotMerge,
+    * compaction, re-landing an existing partition) the delta files are
+    * a SUPERSET of the changed rows (carried rows were rewritten into
+    * them); key-exact diffs under merges anti-join the delta on the
+    * base version by key, which is still O(delta) on the scan side.
+    * Deletes do not surface (a vanished file is absence, not rows);
+    * merge consumers needing deletions read the changeset, not the
+    * table. */
+  def snapshotChanges(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.contains(fromV) && vs.contains(toV),
+      s"versions ($fromV, $toV) must both exist in $vs")
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    val before = manifestOf(spark, path, fromV)
+      .select("file").collect().map(_.getString(0)).toSet
+    val added = manifestOf(spark, path, toV)
+      .select("file").collect().map(_.getString(0))
+      .filterNot(before).map(f => s"$path/data/$f")
+    if (added.isEmpty) readSnapshot(spark, path, Some(toV)).filter(lit(false))
+    else spark.read.parquet(added.toIndexedSeq: _*)
+  }
+
+  /** CDC as a driver-visible query: commit the even-event_id half as
+    * v1, append the odds as v2, and aggregate ONLY
+    * [[snapshotChanges]](v1 → v2) — which for an append commit is
+    * row-exactly the odd half, so the oracle is the plain odd-half
+    * aggregate over the raw table. Any delta leak (a carried file in
+    * the diff, a new file missed) changes counts and hash-fails.
+    * Round10Spec pins the mechanics: the changes scan plans only the
+    * delta files, same-version diff is empty, and a merge's delta is
+    * the rewritten superset. */
+  def snapshotCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Compat._
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cdc_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    val p = stage.getAbsolutePath
+    val ev = Tables.events(spark, dir)
+    val v1 = snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    val v2 = snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    val out = snapshotChanges(spark, p, v1, v2)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+    val snap = {
+      import graft.CacheScope.CheckpointOps
+      out.graftCheckpoint()
+    }
+    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
+    snap
+  }
+
+  private val snapshotCdcOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 2 = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ───── copy-on-write MERGE INTO ──────────────────────────────────────
 
@@ -958,5 +1062,6 @@ object Maintenance {
     // must be semantically indistinguishable from the plain-plan MERGE
     Op("q_merge_snapshot", mergeSnapshot, Some(Relational.mergeUpsertOracle)),
     Op("q_snapshot_sql", snapshotSql, Some(snapshotSqlOracle)),
+    Op("q_snapshot_cdc", snapshotCdc, Some(snapshotCdcOracle)),
   )
 }

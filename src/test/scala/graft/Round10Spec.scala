@@ -283,6 +283,79 @@ class Round10Spec extends SparkSpec {
     assert(got == Seq(true, false, false))
   }
 
+  test("CDC version-diff reads plan only the delta files; merges surface the rewritten superset") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_cdc_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val orders = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v1 = snapshotWrite(orders, p, nFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+      val extra = orders.limit(50)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      val v2 = snapshotAppend(extra, p, nFiles = 2,
+        statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+      // append delta: row-exact, and the scan plans ONLY the new files
+      val delta = Maintenance.snapshotChanges(spark, p, v1, v2)
+      assert(delta.count() == 50L)
+      assert(delta.filter(col("o_orderkey") < 1000000L).count() == 0L,
+        "an append delta leaked carried rows")
+      val scanned = delta.select(input_file_name()).distinct().count()
+      assert(scanned <= 2, s"append delta scanned $scanned files, expected <= 2")
+      // same-version diff is empty with the table schema intact
+      val none = Maintenance.snapshotChanges(spark, p, v2, v2)
+      assert(none.count() == 0L && none.schema == delta.schema)
+      // a merge's delta is the rewritten superset: it contains every
+      // updated row (and may carry untouched neighbors — documented)
+      import spark.implicits._
+      val changes = orders.filter(col("o_orderkey") >= 32 && col("o_orderkey") < 64)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          lit("X").as("o_orderstatus"), col("o_totalprice"))
+      val v3 = Maintenance.snapshotMerge(spark, p, changes, "o_orderkey", nFiles = 1)
+      val mergeDelta = Maintenance.snapshotChanges(spark, p, v2, v3)
+      assert(mergeDelta.filter(col("o_orderstatus") === "X").count() ==
+        changes.count(), "merge delta missed updated rows")
+      // a consumer that read (v1→v2) then (v2→v3) has seen every row
+      // change without ever re-reading the table
+      assert(Maintenance.snapshotChanges(spark, p, v1, v3).count() >=
+        50L + changes.count())
+    } finally rm(stage)
+  }
+
+  test("partition compaction bin-packs one day and carries the rest verbatim") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_pcompact_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      def slice(m: Int) = ev.filter(col("event_id") % 3 === m)
+        .withColumn("day", lit(s"d$m"))
+      // land day d0 FRAGMENTED (8 files), d1 compact
+      snapshotOverwritePartition(slice(0), p, "day", "d0", nFiles = 8)
+      snapshotOverwritePartition(slice(1), p, "day", "d1", nFiles = 1)
+      val mf2 = Maintenance.snapshotManifest(spark, p)
+      assert(mf2.filter(col("part") === "d0").count() == 8L)
+      val d1Files = mf2.filter(col("part") === "d1")
+        .select("file").collect().map(_.getString(0)).toSet
+      val before = readSnapshot(spark, p).collect().toSet
+      val v3 = Maintenance.compactSnapshotPartition(spark, p, "day", "d0",
+        targetBytes = 1L << 30)
+      assert(v3 == 3L)
+      val mf3 = Maintenance.snapshotManifest(spark, p)
+      assert(mf3.filter(col("part") === "d0").count() < 8L,
+        "compaction did not reduce the day's file count")
+      assert(mf3.filter(col("part") === "d1")
+        .select("file").collect().map(_.getString(0)).toSet == d1Files,
+        "compacting d0 replaced d1's files")
+      assert(readSnapshot(spark, p).collect().toSet == before,
+        "partition compaction changed the table")
+      // whole-table compaction refuses the partitioned layout
+      val e = intercept[IllegalArgumentException] {
+        Maintenance.compactSnapshot(spark, p, targetBytes = 1L << 30)
+      }
+      assert(e.getMessage.contains("partition"))
+    } finally rm(stage)
+  }
+
   test("compaction preserves the manifest stats contract by default") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cstats_").toFile
     try {
