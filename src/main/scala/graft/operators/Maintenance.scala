@@ -693,6 +693,39 @@ object Maintenance {
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** The table's commit history as data: one row per live version —
+    * (version, committed_at, n_files, n_rows, n_added_files,
+    * max_batch_id) — the operational DESCRIBE HISTORY surface: what
+    * landed when, how fragmented the table is getting (the compaction
+    * trigger), how far the sink watermark advanced. Driver-side over
+    * the manifests (planner metadata, one row per file per version);
+    * committed_at is the manifest dir's mtime — the rename instant,
+    * i.e. the commit point itself. */
+  def snapshotHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, path)
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    var prev = Set.empty[String]
+    vs.map { v =>
+      val mf = manifestOf(spark, path, v)
+      val hasBatch = mf.columns.contains("batch_id")
+      val agg = mf.agg(count(lit(1)), sum("n_rows"),
+        if (hasBatch) max("batch_id") else lit(null).cast("long")).head()
+      val files = mf.select("file").collect().map(_.getString(0)).toSet
+      val mtime = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(f"$path/versions/v$v%05d"))
+        .getModificationTime
+      val row = (v, new java.sql.Timestamp(mtime), agg.getLong(0),
+        if (agg.isNullAt(1)) 0L else agg.getLong(1),
+        files.diff(prev).size.toLong,
+        if (agg.isNullAt(2)) None else Some(agg.getLong(2)))
+      prev = files
+      row
+    }.toDF("version", "committed_at", "n_files", "n_rows",
+      "n_added_files", "max_batch_id")
+  }
+
   // ───── incremental consumption: version-diff (CDC) reads ────────────
 
   /** The rows ADDED to a snapshot table between two versions — read

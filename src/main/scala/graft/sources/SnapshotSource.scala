@@ -60,20 +60,27 @@ class SnapshotSource extends TableProvider {
   private def asOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("asOf")).map(_.toLong)
 
+  private def mergeSchema(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("mergeSchema", false)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotTable(path(options), asOf(options)).schema()
+    SnapshotTable(path(options), asOf(options), mergeSchema(options)).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    SnapshotTable(path(opts), asOf(opts))
+    SnapshotTable(path(opts), asOf(opts), mergeSchema(opts))
   }
 }
 
 /** One snapshot table pinned to one version (head when `asOf` empty —
   * resolved ONCE at table creation, so a concurrent commit mid-query
-  * cannot shear the file list). */
-case class SnapshotTable(path: String, asOf: Option[Long]) extends Table
+  * cannot shear the file list). `mergeSchema = true` enables the
+  * schema-evolution read ([[Maintenance.readSnapshot]]'s contract):
+  * the table schema is the union of every batch's footer schema, and
+  * files missing an added column surface NULL for it. */
+case class SnapshotTable(path: String, asOf: Option[Long],
+    mergeSchema: Boolean = false) extends Table
     with SupportsRead {
   private def spark = SparkSession.active
 
@@ -87,7 +94,7 @@ case class SnapshotTable(path: String, asOf: Option[Long]) extends Table
   }
 
   private lazy val dataSchema: StructType =
-    Maintenance.readSnapshot(spark, path, Some(pinnedVersion)).schema
+    Maintenance.readSnapshot(spark, path, Some(pinnedVersion), mergeSchema).schema
 
   override def name(): String = s"graft_snapshot($path@v$pinnedVersion)"
   override def schema(): StructType = dataSchema

@@ -356,6 +356,66 @@ class Round10Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("DSv2 reads evolve schema on request and prune z-ordered tables on either column") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_dsv2b_").toFile
+    try {
+      // schema evolution through SQL: v2 appends an added column; the
+      // mergeSchema read surfaces it with NULL backfill on v1's files
+      val p = new java.io.File(stage, "evolve").getAbsolutePath
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+      snapshotWrite(docs.filter(col("doc_id") % 2 === 0), p, nFiles = 2)
+      snapshotAppend(docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("added", col("n_chars") * 2), p, nFiles = 2)
+      val evolved = spark.read.format("graft.sources.SnapshotSource")
+        .option("mergeSchema", true).load(p)
+      assert(evolved.columns.contains("added"))
+      assert(evolved.filter(col("added").isNull).count() ==
+        docs.filter(col("doc_id") % 2 === 0).count())
+      val plain = spark.read.format("graft.sources.SnapshotSource").load(p)
+      assert(!plain.columns.contains("added"),
+        "schema evolution must be opt-in (footer-merge planning costs)")
+      // z-order + DSv2 compose: the z-clustered table's manifest carries
+      // stats on BOTH columns, so a SQL predicate on EITHER prunes files
+      val zp = new java.io.File(stage, "z").getAbsolutePath
+      val grid = spark.range(64L * 64L)
+        .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      Maintenance.writeZordered(grid, zp, "x", "y", bits = 6, nFiles = 16)
+      def zScanFiles(pred: String): Int = {
+        val df = spark.read.format("graft.sources.SnapshotSource").load(zp)
+          .filter(expr(pred))
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+              .fileIndex.inputFiles.length
+        }.sum
+      }
+      assert(zScanFiles("y BETWEEN 0 AND 7") <= 8,
+        "DSv2 did not prune the z table on y")
+      assert(zScanFiles("x BETWEEN 0 AND 7") <= 8,
+        "DSv2 did not prune the z table on x")
+      assert(zScanFiles("true") == 16)
+    } finally rm(stage)
+  }
+
+  test("snapshotHistory reports the commit ledger") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_hist_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 3)
+      snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 2)
+      val h = Maintenance.snapshotHistory(spark, p)
+        .orderBy("version").collect()
+      assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(h(0).getLong(3) == ev.filter(col("event_id") % 2 === 0).count())
+      assert(h(1).getLong(3) == ev.count())
+      assert(h(1).getLong(4) == 2L, "v2 added exactly its 2 new files")
+      assert(!h(0).getTimestamp(1).after(h(1).getTimestamp(1)),
+        "commit timestamps must be monotone")
+    } finally rm(stage)
+  }
+
   test("compaction preserves the manifest stats contract by default") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cstats_").toFile
     try {
