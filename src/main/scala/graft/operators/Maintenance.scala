@@ -726,6 +726,53 @@ object Maintenance {
       "n_added_files", "max_batch_id")
   }
 
+  /** The DSv2 WRITE path as a driver-visible query — the reference's
+    * CREATE-OR-REPLACE/WRITE_TRUNCATE DAG shape driven entirely through
+    * `df.write.format(...)`: mode("overwrite") creates the table (v1 =
+    * the even event_ids), mode("append") lands the odds (v2), a second
+    * mode("overwrite") is WRITE_TRUNCATE-as-a-version (v3 = the %5
+    * slice) — then the result aggregates v2 AND v3 through the DSv2
+    * reader, so the gate hash-checks that the SQL-side truncate kept
+    * history readable (v2 must still answer the full table after v3
+    * replaced it). */
+  def snapshotWriteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_snapw_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    val p = stage.getAbsolutePath
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format("graft.sources.SnapshotSource")
+        .option("nFiles", 4).option("statsCols", "event_id")
+        .option("clusterBy", "event_id").mode(mode).save(p)
+    write(ev.filter(col("event_id") % 2 === 0), "overwrite") // creates v1
+    write(ev.filter(col("event_id") % 2 === 1), "append")    // v2 = full
+    write(ev.filter(col("event_id") % 5 === 0), "overwrite") // v3 = truncate
+    def agg(asOf: Long) = spark.read.format("graft.sources.SnapshotSource")
+      .option("asOf", asOf).load(p)
+      .groupBy(lit(asOf).as("version"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    val out = agg(2L).unionByName(agg(3L)).orderBy("version", "event_type")
+    val snap = {
+      import graft.CacheScope.CheckpointOps
+      out.graftCheckpoint()
+    }
+    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
+    snap
+  }
+
+  private val snapshotWriteOracle =
+    """SELECT CAST(2 AS BIGINT) AS version, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), event_type, COUNT(*),
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+      |ORDER BY version, event_type""".stripMargin
+
   // ───── incremental consumption: version-diff (CDC) reads ────────────
 
   /** The rows ADDED to a snapshot table between two versions — read
@@ -1096,5 +1143,6 @@ object Maintenance {
     Op("q_merge_snapshot", mergeSnapshot, Some(Relational.mergeUpsertOracle)),
     Op("q_snapshot_sql", snapshotSql, Some(snapshotSqlOracle)),
     Op("q_snapshot_cdc", snapshotCdc, Some(snapshotCdcOracle)),
+    Op("q_snapshot_write", snapshotWriteQuery, Some(snapshotWriteOracle)),
   )
 }

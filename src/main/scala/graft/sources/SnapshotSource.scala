@@ -66,26 +66,37 @@ class SnapshotSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapshotTable(path(options), asOf(options), mergeSchema(options)).schema()
 
+  // writes hand us the DataFrame's schema instead of calling
+  // inferSchema — which is what lets the FIRST write create the table
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    SnapshotTable(path(opts), asOf(opts), mergeSchema(opts))
+    SnapshotTable(path(opts), asOf(opts), mergeSchema(opts),
+      Option(schema).filter(_.nonEmpty))
   }
 }
 
 /** One snapshot table pinned to one version (head when `asOf` empty —
-  * resolved ONCE at table creation, so a concurrent commit mid-query
+  * resolved ONCE per table instance, so a concurrent commit mid-query
   * cannot shear the file list). `mergeSchema = true` enables the
   * schema-evolution read ([[Maintenance.readSnapshot]]'s contract):
   * the table schema is the union of every batch's footer schema, and
-  * files missing an added column surface NULL for it. */
+  * files missing an added column surface NULL for it. `declaredSchema`
+  * carries a write's DataFrame schema (or a user-specified read
+  * schema), which is also what lets the first write land on a
+  * version-less path. */
 case class SnapshotTable(path: String, asOf: Option[Long],
-    mergeSchema: Boolean = false) extends Table
-    with SupportsRead {
+    mergeSchema: Boolean = false,
+    declaredSchema: Option[StructType] = None) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private def spark = SparkSession.active
 
-  /** The pinned snapshot version id. */
-  val pinnedVersion: Long = {
+  /** The pinned snapshot version id — resolved lazily so a pure write
+    * to a not-yet-created table never asks for one. */
+  lazy val pinnedVersion: Long = {
     val vs = Maintenance.snapshotVersions(spark, path)
     require(vs.nonEmpty, s"$path has no committed versions")
     val v = asOf.getOrElse(vs.last)
@@ -93,16 +104,74 @@ case class SnapshotTable(path: String, asOf: Option[Long],
     v
   }
 
-  private lazy val dataSchema: StructType =
-    Maintenance.readSnapshot(spark, path, Some(pinnedVersion), mergeSchema).schema
+  private lazy val dataSchema: StructType = declaredSchema.getOrElse(
+    Maintenance.readSnapshot(spark, path, Some(pinnedVersion), mergeSchema).schema)
 
-  override def name(): String = s"graft_snapshot($path@v$pinnedVersion)"
+  override def name(): String = s"graft_snapshot($path)"
   override def schema(): StructType = dataSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    // BATCH_WRITE routes DataFrameWriter onto the V2 path at all;
+    // V1_BATCH_WRITE then tells the strategy the produced Write is a
+    // V1Write (InsertableRelation) rather than a DataWriterFactory
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(spark, path, pinnedVersion, dataSchema, options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(path, info.options)
+}
+
+/** The write half of the DSv2 face — `df.write.format(...)` with the
+  * standard modes mapped onto snapshot commits:
+  *
+  *  - mode("append")    → [[Maintenance.snapshotAppend]] (creates the
+  *    table when none exists);
+  *  - mode("overwrite") → [[Maintenance.snapshotReplace]] —
+  *    WRITE_TRUNCATE as a version, the reference DAG's own upload
+  *    discipline (automated_switchback_test_analysis_script.py:173)
+  *    with history kept until vacuum.
+  *
+  * Writer options: `nFiles` (default 4), `statsCols` (comma-separated
+  * — enables readSnapshotRange/DSv2 pruning on those columns),
+  * `clusterBy`. The rows are produced by Spark's own parquet writer
+  * through the snapshot layer's commit path, so every guarantee the
+  * Scala API has (atomic marker-verified rename, base-version pinning,
+  * GC-able history) holds verbatim for SQL-side users. */
+class SnapshotWriteBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              overwrite: Boolean): Unit = {
+            val nFiles = Option(options.get("nFiles")).map(_.toInt).getOrElse(4)
+            val statsCols = Option(options.get("statsCols")).toSeq
+              .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            val clusterBy = Option(options.get("clusterBy")).map(_.trim)
+              .filter(_.nonEmpty)
+            val exists = Maintenance
+              .snapshotVersions(data.sparkSession, path).nonEmpty
+            if (!exists)
+              Maintenance.snapshotWrite(data, path, nFiles, statsCols, clusterBy): Unit
+            else if (doTruncate || overwrite)
+              Maintenance.snapshotReplace(data, path, nFiles, statsCols, clusterBy): Unit
+            else
+              Maintenance.snapshotAppend(data, path, nFiles, statsCols, clusterBy): Unit
+          }
+        }
+    }
 }
 
 /** Scan builder: collects the pushed catalyst filters and required

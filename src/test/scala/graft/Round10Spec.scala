@@ -398,6 +398,42 @@ class Round10Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("DSv2 writer maps modes onto snapshot commits with stats intact") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_dsv2w_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "value")
+      def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        df.write.format("graft.sources.SnapshotSource")
+          .option("nFiles", 3).option("statsCols", "event_id")
+          .option("clusterBy", "event_id").mode(mode).save(p)
+      write(ev.filter(col("event_id") % 2 === 0), "overwrite")
+      assert(snapshotVersions(spark, p) == Seq(1L), "first write must create v1")
+      val v1Files = parquetFiles(new java.io.File(stage, "data"))
+        .map(f => (f, new java.io.File(f).lastModified, new java.io.File(f).length))
+      write(ev.filter(col("event_id") % 2 === 1), "append")
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L))
+      // append through the writer rewrote nothing
+      val after = parquetFiles(new java.io.File(stage, "data"))
+        .map(f => (f, new java.io.File(f).lastModified, new java.io.File(f).length))
+      assert(v1Files.subsetOf(after), "DSv2 append rewrote a v1 file")
+      assert(readSnapshot(spark, p).count() == ev.count())
+      // writer-declared statsCols feed the same pruning as the Scala API
+      val pruned = Maintenance.prunedRead(spark, p, "event_id", 100L, 199L)
+      assert(pruned.count() ==
+        ev.filter(col("event_id").between(100L, 199L)).count())
+      assert(pruned.select(input_file_name()).distinct().count() < 6,
+        "writer statsCols did not enable pruning")
+      // overwrite = WRITE_TRUNCATE as a version; history stays readable
+      write(ev.limit(100), "overwrite")
+      assert(snapshotVersions(spark, p) == Seq(1L, 2L, 3L))
+      assert(readSnapshot(spark, p).count() == 100L)
+      assert(readSnapshot(spark, p, Some(2L)).count() == ev.count(),
+        "SQL-side truncate must leave prior versions readable")
+    } finally rm(stage)
+  }
+
   test("snapshotHistory reports the commit ledger") {
     val stage = java.nio.file.Files.createTempDirectory("graft_hist_").toFile
     try {
