@@ -625,8 +625,12 @@ object Maintenance {
       if (statsCols.contains(partCol)) statsCols else statsCols :+ partCol
     val prev = snapshotVersions(spark, path).lastOption
     val carry: DataFrame => DataFrame = fresh => {
+      // isNull arms: a file whose partition column is all-NULL has NULL
+      // stats — that's rows OUTSIDE the declared partition too, not a
+      // pass (min/max comparisons alone would go NULL and slip it)
       val impure = fresh.filter(
-        col(s"min_$partCol").cast("string") =!= partValue ||
+        col(s"min_$partCol").isNull || col(s"max_$partCol").isNull ||
+          col(s"min_$partCol").cast("string") =!= partValue ||
           col(s"max_$partCol").cast("string") =!= partValue).count()
       if (impure > 0)
         throw new IllegalArgumentException(
@@ -985,7 +989,10 @@ object Maintenance {
     val mf = manifestOf(spark, path, vs.last)
     require(mf.columns.contains("batch_id"),
       s"$path is not a batch-stamped snapshot table")
-    val files = mf.filter(col("batch_id") <= maxId)
+    // NULL batch_id = a file that predates batch stamping (a plain
+    // snapshotWrite base under later sink batches) — always committed,
+    // so always inside the cut
+    val files = mf.filter(col("batch_id").isNull || col("batch_id") <= maxId)
       .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
     if (files.isEmpty) readSnapshot(spark, path).filter(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*)
