@@ -155,11 +155,19 @@ object Bench {
     // to the FILE artifact only; stdout carries just the totals — the
     // compact line must stay inside the driver's ~2,000-char log-tail
     // window (the r06..r08 lesson)
+    // dedup against the primary and siblings BY KEY (canonical name):
+    // benching AT sf1 must not re-time the whole suite as an "extra",
+    // and a colliding basename would emit duplicate JSON keys that most
+    // parsers silently collapse
+    val usedKeys = (sfDir +: siblings)
+      .map(d => new java.io.File(d).getName).toSet
     val extraDirs = (sys.env.get("SPARK_GRAFT_EXTRA_SF_DIRS").toSeq
         .flatMap(_.split(',').toSeq.filter(_.nonEmpty)) :+
         new java.io.File(sys.props("user.dir"), "testdata/sf1").getAbsolutePath)
-      .map(new java.io.File(_)).filter(_.isDirectory).map(_.getAbsolutePath)
-      .distinct
+      .map(new java.io.File(_)).filter(_.isDirectory)
+      .map(_.getCanonicalFile.getAbsolutePath).distinct
+      .filterNot(d => usedKeys.contains(new java.io.File(d).getName))
+      .distinctBy(d => new java.io.File(d).getName)
     val extraReps = extraDirs.map(d => d -> timesAt(spark, d, heads))
     val extraScaling = extraReps.map { case (d, r) => sfKey(d) + ":" + r.queries }
     val extraTotals = extraReps.map { case (d, r) =>

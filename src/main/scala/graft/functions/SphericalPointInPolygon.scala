@@ -29,8 +29,14 @@ import org.apache.spark.sql.graft.Bridge
   * Contract: polygons must not contain or touch the south pole (it is
   * the outside reference — delivery/city zones never do; for antarctic
   * work pick another reference), edges must be minor arcs (< 180°, the
-  * WKT convention), and points exactly ON an edge or vertex are
-  * undefined boundary behavior, as in every crossing-parity test.
+  * WKT convention), and points exactly ON an edge or vertex — or whose
+  * meridian COINCIDES with a meridian edge (coplanar reference arc) —
+  * are undefined boundary behavior, as in every crossing-parity test.
+  * A vertex merely lying ON the point's reference meridian is handled
+  * by the planar ray-cast's own convention (straddle test with the
+  * on-plane side grouped non-positive): a chain crossing the meridian
+  * at a vertex counts once, a chain touching it at an apex counts
+  * twice — parity preserved either way.
   *
   * Native Catalyst expression with `doGenCode` delegating to the static
   * evaluator — the predicate stays inside whole-stage codegen, same as
@@ -59,22 +65,40 @@ object SphericalPointInPolygon {
       x: Array[Double]): Boolean =
     dot(cross(a, x), n) >= 0 && dot(cross(x, b), n) >= 0
 
-  /** Do minor arcs a→b and p→r cross? The two great circles meet at an
-    * antipodal pair ±(n1×n2); the arcs cross iff ONE of the pair lies
-    * on both — testing both members kills the antipodal false positive
-    * a bare straddle test has. */
+  /** Does polygon edge a→b cross the reference arc p→r?
+    *
+    * The edge-side test is the STRADDLE of the reference great circle's
+    * plane — `(n2·a > 0) != (n2·b > 0)`, the spherical analogue of the
+    * planar ray-cast's `(yi > py) != (yj > py)` rule, with "exactly on
+    * the plane" grouped with the non-positive side. That gives vertices
+    * lying ON the reference meridian the planar convention's parity: a
+    * chain passing THROUGH the meridian at a shared vertex counts one
+    * crossing (one incident edge straddles), a chain merely TOUCHING it
+    * (apex — both edges on the same side) counts two, preserving
+    * even/odd. A straddling minor arc crosses the plane exactly once;
+    * that intersection is the member of the antipodal pair ±(n1×n2)
+    * lying on the edge arc, and the crossing is real iff it also lies
+    * within the reference SEGMENT p→r. */
   private def arcsCross(a: Array[Double], b: Array[Double],
       p: Array[Double], r: Array[Double]): Boolean = {
-    val n1 = cross(a, b); val n2 = cross(p, r)
+    val n2 = cross(p, r)
+    if ((dot(n2, a) > 0) == (dot(n2, b) > 0)) return false
+    val n1 = cross(a, b)
     val x = cross(n1, n2)
     val norm = math.sqrt(dot(x, x))
-    // coplanar arcs (point on the edge's circle, or at the reference):
+    // numerically coplanar despite the straddle (grazing geometry):
     // degenerate by contract — report no crossing
     if (norm < 1e-15) return false
     val xn = Array(x(0) / norm, x(1) / norm, x(2) / norm)
-    if (onArc(a, b, n1, xn) && onArc(p, r, n2, xn)) return true
-    val xm = Array(-xn(0), -xn(1), -xn(2))
-    onArc(a, b, n1, xm) && onArc(p, r, n2, xm)
+    // the straddle guarantees the minor arc a→b crosses the plane
+    // exactly once, so the edge-side intersection is the antipodal-pair
+    // member in the edge midpoint's hemisphere — a dot test that stays
+    // well-conditioned even when the crossing sits AT a vertex, where
+    // the onArc endpoint sign tests degenerate to ±ε
+    val mid = Array(a(0) + b(0), a(1) + b(1), a(2) + b(2))
+    val cand =
+      if (dot(xn, mid) >= 0) xn else Array(-xn(0), -xn(1), -xn(2))
+    onArc(p, r, n2, cand)
   }
 
   /** Crossing-parity containment; static so both eval and codegen call

@@ -351,8 +351,17 @@ object Dedup {
     * bands watermark — a crash between the two commits reads exactly
     * as if the write never ran, and the recovery is simply re-running
     * it (the committed half skips itself by batch id). */
-  def writeMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit =
+  def writeMinhashIndex(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    // a fresh build on an existing index would SKIP silently (batch 0
+    // is already committed) — refuse loudly instead: increments go
+    // through appendToMinhashIndex, a rebuild removes the path first
+    require(
+      graft.operators.Maintenance.snapshotVersions(spark, s"$path/shingles").isEmpty &&
+        graft.operators.Maintenance.snapshotVersions(spark, s"$path/bands").isEmpty,
+      s"a minhash index already exists at $path — append daily batches " +
+        "with appendToMinhashIndex(batchId), or remove the path to rebuild")
     appendToMinhashIndex(spark, path, docs, batchId = 0L)
+  }
 
   /** Append one batch (day) of documents to the minhash index — the
     * close of the daily loop: dedup today's shard with
@@ -360,14 +369,20 @@ object Dedup {
     * `batchId` so tomorrow's run sees them as history. Each table
     * commit is a snapshot append version: O(new docs), the accumulated
     * index is never rewritten, readers get snapshot isolation, and
-    * [[Maintenance.compactSnapshot]] / [[Maintenance.vacuumSnapshots]]
-    * manage the accumulating fragments like any other table.
+    * [[compactMinhashIndex]] / [[Maintenance.vacuumSnapshots]]
+    * manage the accumulating fragments (compaction goes through the
+    * index-aware helper — see its doc for why raw compactSnapshot on
+    * one table is unsafe mid-append).
     *
     * Exactly-once by batch id, per table: `batchId` must be strictly
     * increasing across the daily loop (day number, epoch day — anything
     * monotonic), and a re-delivered id is skipped BEFORE any write on
-    * whichever table already committed it. That makes the two-table
-    * write crash-safe without a cross-table transaction:
+    * whichever table already committed it. Compact the accumulating
+    * tables ONLY through [[compactMinhashIndex]] — raw compactSnapshot
+    * on shingles alone inside a crash window would re-stamp the
+    * half-appended batch's files above the bands watermark (see the
+    * helper's doc). That aside, the two-table write is crash-safe
+    * without a cross-table transaction:
     *
     *  - crash after shingles committed, before bands: the bands
     *    watermark still reads yesterday, and every serve cuts shingles
@@ -399,6 +414,33 @@ object Dedup {
           .select(col("doc_id"),
             HashFunctions.minhashSketchFromHashes(col("shs")).as("sk"))),
         s"$path/bands", batchId)
+  }
+
+  /** Compact BOTH index tables — the ONLY safe way to run compaction on
+    * a minhash index. Raw [[Maintenance.compactSnapshot]] on the
+    * shingles table alone is hazardous inside an append's crash window:
+    * compaction collapses per-file batch provenance to the table's own
+    * high watermark, so shingle files of a batch whose BANDS never
+    * committed would get re-stamped at that batch's id — above the
+    * bands watermark, which plans out the ENTIRE shingle history at the
+    * serve cut (silent zero-duplicate serves), and the batch's re-run
+    * would re-band the whole corpus. This helper therefore REQUIRES the
+    * two watermarks to be equal (no half-appended batch in flight —
+    * re-run the crashed append first; the skip-by-id makes that safe),
+    * then compacts both tables; with equal watermarks the provenance
+    * collapse is harmless, because the serve cut `≤ watermark` keeps
+    * every re-stamped file. Returns (shingles version, bands version). */
+  def compactMinhashIndex(spark: SparkSession, path: String,
+      targetBytes: Long): (Long, Long) = {
+    import graft.operators.Maintenance
+    val ws = Maintenance.sinkBatchWatermark(spark, s"$path/shingles")
+    val wb = Maintenance.sinkBatchWatermark(spark, s"$path/bands")
+    require(ws == wb,
+      s"minhash index at $path has a half-appended batch in flight " +
+        s"(shingles watermark $ws, bands watermark $wb) — re-run the " +
+        "crashed append (same batchId) before compacting")
+    (Maintenance.compactSnapshot(spark, s"$path/shingles", targetBytes),
+      Maintenance.compactSnapshot(spark, s"$path/bands", targetBytes))
   }
 
   /** Dedup a NEW document shard against a persisted [[writeMinhashIndex]]

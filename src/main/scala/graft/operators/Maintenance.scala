@@ -267,6 +267,25 @@ object Maintenance {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Staged-query lifecycle shared by the driver-visible lakehouse
+    * queries (merge/sql/cdc/write): a UUID tmp dir whose cleanup is
+    * registered BEFORE any write (a mid-write throw must not leak it),
+    * the body run against it, and the result snapshotted through a
+    * checkpoint so the returned frame outlives the deferred cleanup —
+    * the one lifecycle invariant, held in one place. */
+  private def stagedQuery(prefix: String)(body: String => DataFrame): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    val out = body(stage.getAbsolutePath)
+    val snap = {
+      import graft.CacheScope.CheckpointOps
+      out.graftCheckpoint()
+    }
+    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
+    snap
+  }
+
   /** Sorted version ids present at `path` (manifest listing only —
     * driver-side planning metadata, one entry per committed version). */
   def snapshotVersions(spark: SparkSession, path: String): Seq[Long] = {
@@ -284,15 +303,35 @@ object Maintenance {
     * under `dir`, derived from the JUST-WRITTEN files (the snapshot
     * discipline: the durable parquet is the source of truth, so a
     * nondeterministic input cannot produce stats that disagree with the
-    * data actually stored). File names are `relPrefix` + basename. */
+    * data actually stored). File names are `relPrefix` + basename.
+    *
+    * ZERO-ROW part files (an empty batch — e.g. a day landed before its
+    * test window opens) produce no aggregation group, but they MUST
+    * still enter the manifest: an empty version with a file-less
+    * manifest would make readSnapshot of that version (and every
+    * empty-fallback read built on it) unable to infer a schema. They
+    * are appended from the FS listing with n_rows = 0 and NULL stats —
+    * NULL stats prune them from every range read, which is exactly
+    * right for a file with no rows. */
   private def writtenFileStats(spark: SparkSession, dir: String,
       relPrefix: String, statsCols: Seq[String]): DataFrame = {
+    import spark.implicits._
     val stats = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(dir)
+    val agg = spark.read.parquet(dir)
       .groupBy(concat(lit(relPrefix),
         element_at(split(input_file_name(), "/"), -1)).as("file"))
       .agg(count(lit(1)).as("n_rows"), stats: _*)
+    val allFiles = fsFor(spark, dir)
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(relPrefix + _).toIndexedSeq
+    val emptyOnes = allFiles.toDF("file")
+      .join(agg.select("file"), Seq("file"), "left_anti")
+      .withColumn("n_rows", lit(0L))
+    agg.unionByName(
+      agg.schema.fields.drop(2).foldLeft(emptyOnes)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))))
   }
 
   /** Land `df` as a new immutable batch under `path/data/<uuid>/` and
@@ -625,13 +664,15 @@ object Maintenance {
       if (statsCols.contains(partCol)) statsCols else statsCols :+ partCol
     val prev = snapshotVersions(spark, path).lastOption
     val carry: DataFrame => DataFrame = fresh => {
-      // isNull arms: a file whose partition column is all-NULL has NULL
-      // stats — that's rows OUTSIDE the declared partition too, not a
-      // pass (min/max comparisons alone would go NULL and slip it)
-      val impure = fresh.filter(
-        col(s"min_$partCol").isNull || col(s"max_$partCol").isNull ||
+      // isNull arms: a file holding rows whose partition column is NULL
+      // has NULL stats — that's rows OUTSIDE the declared partition,
+      // not a pass (min/max comparisons alone would go NULL and slip
+      // it). Zero-row files are exempt: no rows, nothing impure — they
+      // legitimately carry NULL stats (see writtenFileStats).
+      val impure = fresh.filter(col("n_rows") > 0 &&
+        (col(s"min_$partCol").isNull || col(s"max_$partCol").isNull ||
           col(s"min_$partCol").cast("string") =!= partValue ||
-          col(s"max_$partCol").cast("string") =!= partValue).count()
+          col(s"max_$partCol").cast("string") =!= partValue)).count()
       if (impure > 0)
         throw new IllegalArgumentException(
           s"$impure written file(s) carry rows outside partition " +
@@ -739,33 +780,24 @@ object Maintenance {
     * reader, so the gate hash-checks that the SQL-side truncate kept
     * history readable (v2 must still answer the full table after v3
     * replaced it). */
-  def snapshotWriteQuery(spark: SparkSession, dir: String): DataFrame = {
-    val stage = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_snapw_${java.util.UUID.randomUUID().toString.take(8)}")
-    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
-    val p = stage.getAbsolutePath
-    val ev = Tables.events(spark, dir)
-      .select("event_id", "user_id", "event_type", "value")
-    def write(df: DataFrame, mode: String): Unit =
-      df.write.format("graft.sources.SnapshotSource")
-        .option("nFiles", 4).option("statsCols", "event_id")
-        .option("clusterBy", "event_id").mode(mode).save(p)
-    write(ev.filter(col("event_id") % 2 === 0), "overwrite") // creates v1
-    write(ev.filter(col("event_id") % 2 === 1), "append")    // v2 = full
-    write(ev.filter(col("event_id") % 5 === 0), "overwrite") // v3 = truncate
-    def agg(asOf: Long) = spark.read.format("graft.sources.SnapshotSource")
-      .option("asOf", asOf).load(p)
-      .groupBy(lit(asOf).as("version"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
-    val out = agg(2L).unionByName(agg(3L)).orderBy("version", "event_type")
-    val snap = {
-      import graft.CacheScope.CheckpointOps
-      out.graftCheckpoint()
+  def snapshotWriteQuery(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("snapw") { p =>
+      val ev = Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      def write(df: DataFrame, mode: String): Unit =
+        df.write.format("graft.sources.SnapshotSource")
+          .option("nFiles", 4).option("statsCols", "event_id")
+          .option("clusterBy", "event_id").mode(mode).save(p)
+      write(ev.filter(col("event_id") % 2 === 0), "overwrite") // creates v1
+      write(ev.filter(col("event_id") % 2 === 1), "append")    // v2 = full
+      write(ev.filter(col("event_id") % 5 === 0), "overwrite") // v3 = truncate
+      def agg(asOf: Long) = spark.read.format("graft.sources.SnapshotSource")
+        .option("asOf", asOf).load(p)
+        .groupBy(lit(asOf).as("version"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      agg(2L).unionByName(agg(3L)).orderBy("version", "event_type")
     }
-    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
-    snap
-  }
 
   private val snapshotWriteOracle =
     """SELECT CAST(2 AS BIGINT) AS version, event_type, COUNT(*) AS n,
@@ -823,28 +855,19 @@ object Maintenance {
     * Round10Spec pins the mechanics: the changes scan plans only the
     * delta files, same-version diff is empty, and a merge's delta is
     * the rewritten superset. */
-  def snapshotCdc(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Compat._
-    val stage = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_cdc_${java.util.UUID.randomUUID().toString.take(8)}")
-    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
-    val p = stage.getAbsolutePath
-    val ev = Tables.events(spark, dir)
-    val v1 = snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4,
-      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
-    val v2 = snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4,
-      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
-    val out = snapshotChanges(spark, p, v1, v2)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
-      .orderBy("event_type")
-    val snap = {
-      import graft.CacheScope.CheckpointOps
-      out.graftCheckpoint()
+  def snapshotCdc(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("cdc") { p =>
+      import graft.functions.Compat._
+      val ev = Tables.events(spark, dir)
+      val v1 = snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      val v2 = snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      snapshotChanges(spark, p, v1, v2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+        .orderBy("event_type")
     }
-    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
-    snap
-  }
 
   private val snapshotCdcOracle =
     """SELECT event_type, COUNT(*) AS n,
@@ -919,30 +942,19 @@ object Maintenance {
     * Round10Spec pins the cost side this query can't see: untouched
     * files are carried byte-identical, and a stale base version throws
     * instead of dropping the interleaved commit. */
-  def mergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Compat._
-    val stage = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_merge_${java.util.UUID.randomUUID().toString.take(8)}")
-    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
-    val p = stage.getAbsolutePath
-    val orders = Tables.orders(spark, dir)
-    snapshotWrite(orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
-      p, nFiles = 8, statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
-    snapshotMerge(spark, p, Relational.ordersChangeset(orders),
-      "o_orderkey", nFiles = 4)
-    val out = readSnapshot(spark, p)
-      .groupBy(col("o_orderstatus").as("status"))
-      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"))
-      .orderBy("status")
-    // the staged table is consumed before release: snapshot the tiny
-    // rollup so the returned frame outlives the deferred cleanup
-    val snap = {
-      import graft.CacheScope.CheckpointOps
-      out.graftCheckpoint()
+  def mergeSnapshot(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("merge") { p =>
+      import graft.functions.Compat._
+      val orders = Tables.orders(spark, dir)
+      snapshotWrite(orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        p, nFiles = 8, statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+      snapshotMerge(spark, p, Relational.ordersChangeset(orders),
+        "o_orderkey", nFiles = 4)
+      readSnapshot(spark, p)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy("status")
     }
-    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
-    snap
-  }
 
   // ───── streaming micro-batches as snapshot versions ──────────────────
 
@@ -1093,39 +1105,30 @@ object Maintenance {
     * the answers). This is the migration surface for the reference's
     * SQL-scripting users: versioned tables reachable from `spark.sql`
     * alone. */
-  def snapshotSql(spark: SparkSession, dir: String): DataFrame = {
-    val stage = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_snapsql_${java.util.UUID.randomUUID().toString.take(8)}")
-    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
-    val p = stage.getAbsolutePath
-    val ev = Tables.events(spark, dir)
-    snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 8,
-      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
-    snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 8,
-      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
-    def view(v: Long, name: String): Unit =
-      spark.read.format("graft.sources.SnapshotSource")
-        .option("asOf", v).load(p).createOrReplaceTempView(name)
-    view(1L, "snap_v1")
-    view(2L, "snap_v2")
-    val out = spark.sql(
-      """SELECT version, event_type, n, sum_value FROM (
-        |  SELECT CAST(1 AS BIGINT) AS version, event_type,
-        |    COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |  FROM snap_v1 WHERE event_id BETWEEN 100 AND 499 GROUP BY event_type
-        |  UNION ALL
-        |  SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
-        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-        |  FROM snap_v2 WHERE event_id BETWEEN 100 AND 499 GROUP BY event_type)
-        |ORDER BY version, event_type""".stripMargin)
-    val snap = {
-      import graft.CacheScope.CheckpointOps
-      out.graftCheckpoint()
+  def snapshotSql(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("snapsql") { p =>
+      val ev = Tables.events(spark, dir)
+      snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 8,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 8,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      def view(v: Long, name: String): Unit =
+        spark.read.format("graft.sources.SnapshotSource")
+          .option("asOf", v).load(p).createOrReplaceTempView(name)
+      view(1L, "snap_v1")
+      view(2L, "snap_v2")
+      spark.sql(
+        """SELECT version, event_type, n, sum_value FROM (
+          |  SELECT CAST(1 AS BIGINT) AS version, event_type,
+          |    COUNT(*) AS n,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |  FROM snap_v1 WHERE event_id BETWEEN 100 AND 499 GROUP BY event_type
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+          |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |  FROM snap_v2 WHERE event_id BETWEEN 100 AND 499 GROUP BY event_type)
+          |ORDER BY version, event_type""".stripMargin)
     }
-    graft.CacheScope.defer(() => graft.CacheScope.freeCheckpoint(snap))
-    snap
-  }
 
   private val snapshotSqlOracle =
     """SELECT CAST(1 AS BIGINT) AS version, event_type, COUNT(*) AS n,

@@ -253,6 +253,24 @@ class Round10Spec extends SparkSpec {
     assert(SphericalPointInPolygon.contains(365.0, 0.0, midLons, midLats))
     assert(SphericalPointInPolygon.contains(5.0, 0.0, midLons, midLats))
     assert(!SphericalPointInPolygon.contains(365.0 + 180.0, 0.0, midLons, midLats))
+    // 2c) vertex-on-reference-meridian parity: a southern chain running
+    // THROUGH (45, 40) must count one crossing for the interior point
+    // directly above it (the naive both-endpoints-closed arc test
+    // counted the shared vertex once per incident edge = outside), and
+    // an apex TOUCHING the meridian must count two (still outside)
+    val chainLons = arr(40, 45, 50, 50, 40)
+    val chainLats = arr(40, 40, 40, 41, 41)
+    assert(SphericalPointInPolygon.contains(45.0, 40.5, chainLons, chainLats),
+      "interior point above a collinear boundary vertex misclassified")
+    // apex: boundary dips to (45, 30) and rises again — the meridian of
+    // (45, 35) touches the apex from above but never enters the polygon
+    // interior below it
+    val apexLons = arr(40, 45, 50, 50, 40)
+    val apexLats = arr(20, 30, 20, 10, 10)
+    assert(!SphericalPointInPolygon.contains(45.0, 35.0, apexLons, apexLats),
+      "point above a tangent apex vertex misclassified")
+    assert(SphericalPointInPolygon.contains(45.0, 15.0, apexLons, apexLats),
+      "genuinely interior point under the apex lost")
     // 3) agreement on the q_geo_sphere zone shapes: meridian lon edges
     // are great circles in both models, and the data's lat grid sits
     // 0.4° off the bounds while the bulge stays under 0.14° — every
@@ -371,9 +389,13 @@ class Round10Spec extends SparkSpec {
       assert(evolved.columns.contains("added"))
       assert(evolved.filter(col("added").isNull).count() ==
         docs.filter(col("doc_id") % 2 === 0).count())
+      // without mergeSchema the schema is a SINGLE arbitrary footer's
+      // (parquet's normal non-merged inference — which batch's footer
+      // wins is listing-order-dependent, so only the shared columns are
+      // asserted); the rows still read
       val plain = spark.read.format("graft.sources.SnapshotSource").load(p)
-      assert(!plain.columns.contains("added"),
-        "schema evolution must be opt-in (footer-merge planning costs)")
+      assert(Set("doc_id", "n_chars").subsetOf(plain.columns.toSet))
+      assert(plain.count() == docs.count())
       // z-order + DSv2 compose: the z-clustered table's manifest carries
       // stats on BOTH columns, so a SQL predicate on EITHER prunes files
       val zp = new java.io.File(stage, "z").getAbsolutePath
