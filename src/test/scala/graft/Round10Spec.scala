@@ -474,6 +474,86 @@ class Round10Spec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("geodesic kernel property: random meridian-edged boxes agree with planar away from the bulge") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import functions.{PointInPolygon, SphericalPointInPolygon}
+    def arr(xs: Double*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    val rnd = new scala.util.Random(10101)
+    var checked = 0
+    for (_ <- 0 until 400) {
+      // a lat/lon box with meridian E/W edges (great circles in both
+      // models); lon span <= 20°, |lat| <= 60° → N/S edge bulge
+      // tan(phiMax) = tan(phi)/cos(dLon/2) stays under ~0.5°
+      val l0 = rnd.nextDouble() * 340 - 170
+      val l1 = l0 + 1 + rnd.nextDouble() * 19
+      val b0 = rnd.nextDouble() * 110 - 55
+      val b1 = b0 + 1 + rnd.nextDouble() * (59 - b0).max(1.0)
+      val lons = arr(l0, l1, l1, l0); val lats = arr(b0, b0, b1, b1)
+      val bulge = math.toDegrees(math.atan(
+        math.tan(math.toRadians(b0.abs.max(b1.abs))) /
+          math.cos(math.toRadians((l1 - l0) / 2)))) - b0.abs.max(b1.abs)
+      for (_ <- 0 until 8) {
+        val lon = rnd.nextDouble() * 360 - 180
+        val lat = rnd.nextDouble() * 160 - 80
+        // skip points inside the disagreement slivers: within 2× the
+        // bulge (+ a floating floor) of a lat edge, or hugging a lon
+        // edge (meridians agree exactly, but stay off the boundary)
+        val margin = 2 * bulge + 1e-3
+        val nearLat = (lat - b0).abs < margin || (lat - b1).abs < margin
+        val nearLon = (lon - l0).abs < 1e-6 || (lon - l1).abs < 1e-6
+        if (!nearLat && !nearLon) {
+          checked += 1
+          val sph = SphericalPointInPolygon.contains(lon, lat, lons, lats)
+          val pla = PointInPolygon.contains(lon, lat, lons, lats)
+          assert(sph == pla,
+            s"divergence at ($lon, $lat) in box [$l0,$l1]x[$b0,$b1] (bulge $bulge)")
+        }
+      }
+    }
+    assert(checked > 2000, s"property exercised only $checked points")
+  }
+
+  test("concurrent appenders: every commit either lands completely or throws — rows never lost") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_race2_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      snapshotWrite(ev.limit(100), p, nFiles = 1)
+      val base = readSnapshot(spark, p).count()
+      // 6 threads race append commits released by one barrier; losers
+      // must THROW the conflict (never silently drop a winner), winners
+      // must compose — the invariant is exact row accounting
+      val barrier = new java.util.concurrent.CyclicBarrier(6)
+      val results = (1 to 6).map { i =>
+        val t = new java.util.concurrent.FutureTask(
+          new java.util.concurrent.Callable[Either[Throwable, Long]] {
+            override def call(): Either[Throwable, Long] = {
+              val rows = ev.filter(col("event_id") % 6 === i % 6).limit(10 * i)
+              barrier.await()
+              try Right {
+                snapshotAppend(rows, p, nFiles = 1): Unit
+                rows.count()
+              } catch { case e: Throwable => Left(e) }
+            }
+          })
+        new Thread(t).start(); t
+      }.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val landed = results.collect { case Right(n) => n }
+      val failed = results.collect { case Left(e) => e }
+      assert(landed.nonEmpty, "every appender lost the race — nothing committed")
+      failed.foreach(e => assert(
+        e.isInstanceOf[IllegalStateException] &&
+          e.getMessage.contains("lost the race"),
+        s"a losing appender threw the wrong error: $e"))
+      // exact accounting: the head holds the base plus precisely the
+      // rows of the appends that REPORTED success
+      assert(readSnapshot(spark, p).count() == base + landed.sum,
+        s"row accounting broken: base $base + landed ${landed.sum}")
+      assert(snapshotVersions(spark, p).size.toLong == 1L + landed.size,
+        "version count disagrees with successful commits")
+    } finally rm(stage)
+  }
+
   test("compaction preserves the manifest stats contract by default") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cstats_").toFile
     try {
