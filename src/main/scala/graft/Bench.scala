@@ -149,7 +149,9 @@ object Bench {
     // paths — the stdout report must stay compact (see fmt3); the
     // primary point reuses the best-of-2 numbers already measured
     def sfKey(d: String) = Json.str(new java.io.File(d).getName)
-    val sibScaling = siblings.map(d => sfKey(d) + ":" + timesAt(spark, d, heads).queries)
+    val sibReps = siblings.map(d => d -> timesAt(spark, d, heads))
+    val sibScaling = sibReps.map { case (d, r) => sfKey(d) + ":" + r.queries }
+    val sibErrs = sibReps.map(_._2.errs).sum
     // a fourth decade, when present: GenScale's sf1 under the checkout
     // (or any dirs in SPARK_GRAFT_EXTRA_SF_DIRS). Per-query numbers go
     // to the FILE artifact only; stdout carries just the totals — the
@@ -170,8 +172,15 @@ object Bench {
       .distinctBy(d => new java.io.File(d).getName)
     val extraReps = extraDirs.map(d => d -> timesAt(spark, d, heads))
     val extraScaling = extraReps.map { case (d, r) => sfKey(d) + ":" + r.queries }
-    val extraTotals = extraReps.map { case (d, r) =>
-      sfKey(d).dropRight(1) + "_total\":" + r.total }
+    // totals AND error counts: a query that crashes only at the extra
+    // scale is a real regression signal — it must be visible in the
+    // compact line and fail the run, not silently shrink the total
+    val extraTotals = extraReps.flatMap { case (d, r) =>
+      (sfKey(d).dropRight(1) + "_total\":" + r.total) +:
+        (if (r.errs > 0) Seq(sfKey(d).dropRight(1) + s"""_errors":${r.errs}""")
+         else Nil)
+    }
+    val extraErrs = extraReps.map(_._2.errs).sum
     val scalingFull = ((sibScaling :+ (sfKey(sfDir) + ":" + rep.queries)) ++
       extraScaling).mkString("{", ",", "}")
     val loads = (loadBefore.map(l => s""""load_before":$l""") ++
@@ -201,6 +210,6 @@ object Bench {
         s""","perf_note":"PERF_r10.md","detail":${Json.str(outFile)}}"""
     println(stdoutLine)
     spark.stop()
-    if (rep.errs > 0) sys.exit(1)
+    if (rep.errs + sibErrs + extraErrs > 0) sys.exit(1)
   }
 }

@@ -102,20 +102,22 @@ object SphericalPointInPolygon {
   }
 
   /** Crossing-parity containment; static so both eval and codegen call
-    * it. */
+    * it. Each vertex's 3-vector is computed ONCE (carried from edge to
+    * edge) — this runs per row on the broadcast zone join, and the
+    * toRadians+trig conversion is its dominant cost. */
   def contains(pLon: Double, pLat: Double, lons: ArrayData,
       lats: ArrayData): Boolean = {
     val p = vec(pLon, pLat)
     val r = Array(0.0, 0.0, -1.0)
     var crossings = 0
     val n = lons.numElements()
+    if (n == 0) return false
+    var a = vec(lons.getDouble(n - 1), lats.getDouble(n - 1))
     var i = 0
-    var j = n - 1
     while (i < n) {
-      val a = vec(lons.getDouble(j), lats.getDouble(j))
       val b = vec(lons.getDouble(i), lats.getDouble(i))
       if (arcsCross(a, b, p, r)) crossings += 1
-      j = i
+      a = b
       i += 1
     }
     (crossings & 1) == 1

@@ -402,18 +402,53 @@ object Dedup {
       batchId: Long): Unit = {
     import graft.functions.HashFunctions
     import graft.operators.Maintenance
+    // SELF-HEAL before landing anything new: a previous append that
+    // crashed between its two commits left shingle batches with no
+    // bands version. They must be completed FIRST — landing batchId on
+    // top would advance the bands watermark past them, putting their
+    // shingle files inside every serve cut while their docs stay
+    // band-invisible (silently missed duplicates), with nothing left to
+    // detect it. The bands derive from the shingle table's own files,
+    // so healing needs no source data.
+    commitMissingBands(spark, path)
     Maintenance.snapshotSinkBatch(
       docs.select(col("doc_id"),
         HashFunctions.shingleHashes(split(col("text"), " ")).as("shs")),
       s"$path/shingles", batchId)
     // an all-empty batch commits no shingle version at all (sink
     // semantics) — then there is nothing to band either
-    if (Maintenance.snapshotVersions(spark, s"$path/shingles").nonEmpty)
-      Maintenance.snapshotSinkBatch(
-        bandsFromSig(Maintenance.readSnapshotBatch(spark, s"$path/shingles", batchId)
-          .select(col("doc_id"),
-            HashFunctions.minhashSketchFromHashes(col("shs")).as("sk"))),
-        s"$path/bands", batchId)
+    if (Maintenance.committedBatchIds(spark, s"$path/shingles").contains(batchId))
+      commitBandsFor(spark, path, batchId)
+  }
+
+  /** Derive and commit the bands version for one committed shingle
+    * batch. `allowEmpty`: a batch of shingle-less docs has no band rows
+    * but MUST still advance the bands watermark — it is the serve cut
+    * for BOTH tables, so a healthy index always converges to equal
+    * watermarks (a skipped empty commit would leave them apart
+    * forever, indistinguishable from a crash). */
+  private def commitBandsFor(spark: SparkSession, path: String, id: Long): Unit = {
+    import graft.functions.HashFunctions
+    import graft.operators.Maintenance
+    Maintenance.snapshotSinkBatch(
+      bandsFromSig(Maintenance.readSnapshotBatch(spark, s"$path/shingles", id)
+        .select(col("doc_id"),
+          HashFunctions.minhashSketchFromHashes(col("shs")).as("sk"))),
+      s"$path/bands", id, allowEmpty = true)
+  }
+
+  /** Complete every shingle batch whose bands never committed (in id
+    * order — the watermark skip demands monotone commits). Returns how
+    * many batches were healed. Idempotent; a consistent index heals
+    * zero. */
+  def commitMissingBands(spark: SparkSession, path: String): Long = {
+    import graft.operators.Maintenance
+    if (Maintenance.snapshotVersions(spark, s"$path/shingles").isEmpty) return 0L
+    val wb = Maintenance.sinkBatchWatermark(spark, s"$path/bands")
+    val pending = Maintenance.committedBatchIds(spark, s"$path/shingles")
+      .filter(id => wb.forall(_ < id)).toSeq.sorted
+    pending.foreach(commitBandsFor(spark, path, _))
+    pending.size.toLong
   }
 
   /** Compact BOTH index tables — the ONLY safe way to run compaction on
@@ -433,12 +468,17 @@ object Dedup {
   def compactMinhashIndex(spark: SparkSession, path: String,
       targetBytes: Long): (Long, Long) = {
     import graft.operators.Maintenance
+    // complete any crashed append first — with the missing bands
+    // committed (empty batches included, via allowEmpty) the watermarks
+    // of a healthy index are ALWAYS equal, so the invariant below is a
+    // genuine in-flight-writer detector, not a livelock
+    commitMissingBands(spark, path): Unit
     val ws = Maintenance.sinkBatchWatermark(spark, s"$path/shingles")
     val wb = Maintenance.sinkBatchWatermark(spark, s"$path/bands")
     require(ws == wb,
-      s"minhash index at $path has a half-appended batch in flight " +
-        s"(shingles watermark $ws, bands watermark $wb) — re-run the " +
-        "crashed append (same batchId) before compacting")
+      s"minhash index at $path has an append in flight (shingles " +
+        s"watermark $ws, bands watermark $wb even after healing) — " +
+        "wait for the writer, then compact")
     (Maintenance.compactSnapshot(spark, s"$path/shingles", targetBytes),
       Maintenance.compactSnapshot(spark, s"$path/bands", targetBytes))
   }
@@ -468,10 +508,17 @@ object Dedup {
       newDocs: DataFrame): DataFrame = {
     import graft.functions.HashFunctions
     import graft.operators.Maintenance
+    // a mistyped / nonexistent / pre-snapshot-era path must THROW, not
+    // serve the empty match set — a silent zero-duplicate serve is the
+    // worst failure this index has. Only a genuinely band-less index
+    // (bands committed but before any bandable batch — the crash
+    // window before the first heal) legitimately matches nothing.
+    require(Maintenance.snapshotVersions(spark, s"$indexPath/shingles").nonEmpty,
+      s"no minhash index at $indexPath (no committed shingle versions — " +
+        "check the path; pre-r10 plain-parquet indexes must be rebuilt " +
+        "through writeMinhashIndex)")
     val watermark = Maintenance.sinkBatchWatermark(spark, s"$indexPath/bands")
       .getOrElse(
-        // an index with no banded batch at all (empty or all-shingle-less
-        // corpus) matches nothing, by the empty-sketch semantics
         return newDocs.select(col("doc_id").as("new_id"),
           lit(0L).as("n_hist_matches"), lit(0.0).as("max_jaccard"))
           .filter(lit(false)))

@@ -315,23 +315,27 @@ object Maintenance {
     * right for a file with no rows. */
   private def writtenFileStats(spark: SparkSession, dir: String,
       relPrefix: String, statsCols: Seq[String]): DataFrame = {
-    import spark.implicits._
     val stats = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val agg = spark.read.parquet(dir)
       .groupBy(concat(lit(relPrefix),
         element_at(split(input_file_name(), "/"), -1)).as("file"))
       .agg(count(lit(1)).as("n_rows"), stats: _*)
-    val allFiles = fsFor(spark, dir)
+    // collect ONCE (planner-scale: one row per written file) and fill
+    // in the zero-row complement from the FS listing in plain Scala —
+    // deriving the complement with an anti-join would embed the stats
+    // aggregation subtree twice and scan the just-written batch twice
+    // on every commit
+    val rows = agg.collect()
+    val seen = rows.map(_.getString(0)).toSet
+    val zeroRow = fsFor(spark, dir)
       .listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .map(relPrefix + _).toIndexedSeq
-    val emptyOnes = allFiles.toDF("file")
-      .join(agg.select("file"), Seq("file"), "left_anti")
-      .withColumn("n_rows", lit(0L))
-    agg.unionByName(
-      agg.schema.fields.drop(2).foldLeft(emptyOnes)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType))))
+      .map(relPrefix + _).filterNot(seen).toIndexedSeq
+      .map(f => org.apache.spark.sql.Row.fromSeq(
+        f +: 0L +: Seq.fill(statsCols.size * 2)(null)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toIndexedSeq ++ zeroRow: _*), agg.schema)
   }
 
   /** Land `df` as a new immutable batch under `path/data/<uuid>/` and
@@ -654,15 +658,21 @@ object Maintenance {
     * per-partition lock — the safe default for a daily cadence).
     * `partValue` is the partition's STRING form (dates as yyyy-MM-dd);
     * the stats check compares through a string cast, so use the
-    * column's canonical rendering. Returns the new version id. */
+    * column's canonical rendering. `base` pins the commit to an
+    * explicit base version for callers whose rewrite DERIVES from table
+    * state ([[compactSnapshotPartition]]) — a concurrent commit in
+    * their read-rewrite window then throws instead of being silently
+    * overwritten; plain landers (whose df comes from source, not from
+    * the table) leave it None and pin the call-time head. Returns the
+    * new version id. */
   def snapshotOverwritePartition(df: DataFrame, path: String, partCol: String,
       partValue: String, nFiles: Int, statsCols: Seq[String] = Nil,
-      clusterBy: Option[String] = None): Long = {
+      clusterBy: Option[String] = None, base: Option[Long] = None): Long = {
     val spark = df.sparkSession
     // partCol always carries stats: they are the purity proof
     val effStats =
       if (statsCols.contains(partCol)) statsCols else statsCols :+ partCol
-    val prev = snapshotVersions(spark, path).lastOption
+    val prev = base.orElse(snapshotVersions(spark, path).lastOption)
     val carry: DataFrame => DataFrame = fresh => {
       // isNull arms: a file holding rows whose partition column is NULL
       // has NULL stats — that's rows OUTSIDE the declared partition,
@@ -705,19 +715,26 @@ object Maintenance {
   def compactSnapshotPartition(spark: SparkSession, path: String,
       partCol: String, partValue: String, targetBytes: Long,
       statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
-    val mf = snapshotManifest(spark, path)
+    // resolve the head ONCE and pin both the read and the commit to it:
+    // the rewrite derives from table state, so a day re-landed during
+    // the rewrite window must turn into a thrown conflict — an
+    // unpinned commit would quietly overwrite it with the stale bytes
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val headV = vs.last
+    val mf = snapshotManifest(spark, path, Some(headV))
     require(mf.columns.contains("part"),
       s"$path is not a partitioned snapshot table")
     require(mf.filter(col("part") === partValue).limit(1).count() > 0,
       s"$path has no files in partition $partCol=$partValue")
-    val slice = readSnapshotPartitions(spark, path, Seq(partValue))
+    val slice = readSnapshotPartitions(spark, path, Seq(partValue), Some(headV))
     val nOut = targetFileCount(slice, targetBytes,
       s"compactSnapshotPartition($path, $partValue)")
     val effStats =
       if (statsCols.nonEmpty) statsCols
       else manifestStatsCols(mf).filterNot(_ == partCol)
     snapshotOverwritePartition(slice, path, partCol, partValue, nOut,
-      effStats, clusterBy)
+      effStats, clusterBy, base = Some(headV))
   }
 
   /** Read only the named partitions of a partitioned snapshot table —
@@ -1032,17 +1049,22 @@ object Maintenance {
     * batch), so exactly-once lands here: every manifest row records the
     * batch id that produced its file, and a re-delivered id is detected
     * and skipped BEFORE any write. A skipped replay leaves the table
-    * byte-identical; an empty batch commits nothing (no version churn).
+    * byte-identical; an empty batch commits nothing (no version churn)
+    * — UNLESS `allowEmpty` is set, which commits a zero-row version so
+    * the WATERMARK itself advances: the mode a derived table needs when
+    * its watermark is another table's consistency cut (the minhash
+    * bands — a batch of shingle-less docs must still move the cut, or
+    * the two tables' watermarks diverge forever on a healthy index).
     * While the stream runs, readers get snapshot isolation (a version
     * is visible only after its manifest rename), time travel over the
     * ingest history, and [[vacuumSnapshots]] as retention. */
   def snapshotSinkBatch(batch: DataFrame, path: String, id: Long,
-      nFiles: Int = 1): Unit = {
+      nFiles: Int = 1, allowEmpty: Boolean = false): Unit = {
     val spark = batch.sparkSession
     if (!sinkBatchWatermark(spark, path).exists(_ >= id)) {
       // persist: the isEmpty probe + write would run the batch plan twice
       batch.persist()
-      try if (!batch.isEmpty) {
+      try if (allowEmpty || !batch.isEmpty) {
         val prev = snapshotVersions(spark, path).lastOption
         // pinned to the manifest's base version: a concurrent writer
         // (a second sink instance, a racing compaction) surfaces as a

@@ -371,6 +371,17 @@ class Round10Spec extends SparkSpec {
         Maintenance.compactSnapshot(spark, p, targetBytes = 1L << 30)
       }
       assert(e.getMessage.contains("partition"))
+      // a rewrite pinned to a base that a concurrent lander superseded
+      // must THROW, not silently overwrite the lander's fresh data —
+      // the compactSnapshotPartition read-rewrite window made explicit
+      val headV = snapshotVersions(spark, p).last
+      snapshotOverwritePartition(slice(0), p, "day", "d0", nFiles = 2) // the lander
+      val stale = intercept[IllegalStateException] {
+        Maintenance.snapshotOverwritePartition(
+          Maintenance.readSnapshotPartitions(spark, p, Seq("d0"), Some(headV)),
+          p, "day", "d0", nFiles = 1, base = Some(headV))
+      }
+      assert(stale.getMessage.contains("lost the race"))
     } finally rm(stage)
   }
 

@@ -322,6 +322,60 @@ class Round8Spec extends SparkSpec {
     } finally { CacheScope.releaseAll(); rm(stage) }
   }
 
+  test("a later append heals an earlier crashed batch before landing") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_mh_heal_").toFile
+    try {
+      operators.Dedup.writeMinhashIndex(spark, stage.getAbsolutePath,
+        Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+      // day 1 crashes between its two commits: shingles landed, bands not
+      val day1 = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
+      operators.Maintenance.snapshotSinkBatch(
+        day1.select($"doc_id",
+          graft.functions.HashFunctions.shingleHashes(split($"text", " ")).as("shs")),
+        s"${stage.getAbsolutePath}/shingles", id = 1L)
+      // the orchestrator moves on to day 2 WITHOUT re-running day 1 —
+      // the append must complete day 1's bands first, or day 1's docs
+      // would fall inside every future serve cut with no candidates
+      // (permanently missed duplicates, undetectable)
+      operators.Dedup.appendToMinhashIndex(spark, stage.getAbsolutePath,
+        Seq((3L, "seven eight nine ten")).toDF("doc_id", "text"), batchId = 2L)
+      val dup1 = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath,
+        Seq((200L, "one two three four five six")).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      CacheScope.releaseAll()
+      assert(dup1.toSeq === Seq((200L, 1L, 1.0)),
+        "day 1's docs stayed invisible after day 2 landed")
+      // a batch of only shingle-less docs still advances BOTH
+      // watermarks (empty bands commit), so maintenance never reads a
+      // healthy index as crashed
+      operators.Dedup.appendToMinhashIndex(spark, stage.getAbsolutePath,
+        Seq((4L, "solo")).toDF("doc_id", "text"), batchId = 3L)
+      assert(operators.Maintenance.sinkBatchWatermark(
+        spark, s"${stage.getAbsolutePath}/shingles") ==
+        operators.Maintenance.sinkBatchWatermark(
+          spark, s"${stage.getAbsolutePath}/bands"),
+        "watermarks diverged on a healthy index")
+      val (vs, vb) = operators.Dedup.compactMinhashIndex(
+        spark, stage.getAbsolutePath, targetBytes = 1L << 30)
+      assert(vs > 0 && vb > 0)
+      // the compacted index still serves day 1's duplicate
+      val dup2 = operators.Dedup.dedupAgainstIndex(spark, stage.getAbsolutePath,
+        Seq((201L, "one two three four five six")).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(dup2.toSeq === Seq((201L, 1L, 1.0)))
+    } finally { CacheScope.releaseAll(); rm(stage) }
+  }
+
+  test("serving a nonexistent index path throws instead of matching nothing") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      operators.Dedup.dedupAgainstIndex(spark, "/tmp/graft_no_such_index_xyz",
+        Seq((1L, "a b c")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("no minhash index"))
+  }
+
   test("an index with no banded batch serves the empty match set") {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft_mh_empty_").toFile
