@@ -370,7 +370,6 @@ object Maintenance {
       clusterBy: Option[Column], base: Option[Long] = None): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val spark = df.sparkSession
-    val fs = fsFor(spark, path)
     val batch = s"b${java.util.UUID.randomUUID().toString.take(12)}"
     // cluster the batch on the stats key when asked, so its per-file
     // min/max ranges are disjoint (tight) rather than full-domain
@@ -385,9 +384,24 @@ object Maintenance {
     val newFiles = writtenFileStats(spark, s"$path/data/$batch", s"$batch/", statsCols)
     val next = base.map(_ + 1).getOrElse(
       snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1)
+    publishManifest(spark, path, carry(newFiles), next)
+    next
+  }
+
+  /** The atomic commit point, factored out of [[commitSnapshot]] so
+    * METADATA-ONLY commits ([[snapshotRestore]]) share the exact same
+    * protocol: stage the manifest + a unique `_commit-*` marker under
+    * `versions/.tmp-*`, rename to `vNNNNN`, and verify the marker sits
+    * DIRECTLY under the destination (a move-INTO of an existing version
+    * dir — Hadoop rename's behavior on HDFS and the RawLocal copy
+    * fallback — fails that check, so the racing loser throws instead of
+    * silently losing its update). */
+  private def publishManifest(spark: SparkSession, path: String,
+      manifest: DataFrame, next: Long): Unit = {
+    val fs = fsFor(spark, path)
     val tmpName = s".tmp-${java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = s"$path/versions/$tmpName"
-    carry(newFiles).coalesce(1).write.mode("overwrite").parquet(tmp)
+    manifest.coalesce(1).write.mode("overwrite").parquet(tmp)
     val marker = s"_commit-${java.util.UUID.randomUUID().toString.take(8)}"
     fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$marker"), false).close()
     val dst = new org.apache.hadoop.fs.Path(f"$path/versions/v$next%05d")
@@ -403,7 +417,6 @@ object Maintenance {
         s"snapshot commit lost the race to $dst — another writer committed " +
           "on the same base version; re-derive and retry")
     }
-    next
   }
 
   private def manifestOf(spark: SparkSession, path: String, v: Long): DataFrame =
@@ -973,6 +986,216 @@ object Maintenance {
         .orderBy("status")
     }
 
+  // ───── RESTORE: roll back to a version as a new commit ──────────────
+
+  /** Roll the table BACK to `toV` by committing a NEW head whose
+    * manifest is `toV`'s verbatim — the RESTORE/rollback verb of every
+    * table format, and the operational answer to a bad load: one
+    * metadata-only commit (zero data written or rewritten; the files
+    * are immutable and already present), after which readers see
+    * exactly the `toV` table while the rolled-back versions stay
+    * readable history until [[vacuumSnapshots]] expires them. Vacuum
+    * is restore-safe by construction: its referenced-set is computed
+    * from the KEPT manifests, and the new head references `toV`'s
+    * files, so they survive any retention window that keeps the head.
+    *
+    * History stays linear (no branch pointers to resolve): restore is
+    * just the next version. The commit runs through the same
+    * marker-verified atomic rename as every other commit, so a writer
+    * racing the restore throws instead of silently losing its update.
+    * Restoring the current head is legal and commits a no-change
+    * version — an explicit audit record that a restore ran. Returns
+    * the new version id. */
+  def snapshotRestore(spark: SparkSession, path: String, toV: Long): Long = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    require(vs.contains(toV), s"version $toV not in $vs (expired or never committed)")
+    val next = vs.last + 1
+    publishManifest(spark, path, manifestOf(spark, path, toV), next)
+    next
+  }
+
+  /** RESTORE as a driver-visible query: commit the even-event_id half
+    * as v1, append the odds as v2 (the "bad load"), roll back to v1 as
+    * v3, and aggregate v2 AND the post-restore head — v3 must answer
+    * exactly the v1 table (the rollback worked) while v2 still answers
+    * the full table (history intact). The oracle recomputes both from
+    * the raw table; a restore that rewrote data, dropped files, or
+    * failed to flip the head hash-fails. Round10bSpec pins what this
+    * query can't see: restore writes ZERO new data files, and vacuum
+    * after restore keeps every file the restored head references. */
+  def snapshotRestoreQuery(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("restore") { p =>
+      val ev = Tables.events(spark, dir)
+      snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      val restored = snapshotRestore(spark, p, 1L)
+      import graft.functions.Compat._
+      def agg(v: Long) = readSnapshot(spark, p, Some(v))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit(v).as("version"), col("n"), col("sum_value"), col("n_users"))
+      agg(2L).unionByName(agg(restored)).orderBy("version")
+    }
+
+  private val snapshotRestoreOracle = {
+    import graft.functions.Compat.rSql
+    s"""SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n,
+       |  ${rSql("SUM(value)", 4)} AS sum_value,
+       |  COUNT(DISTINCT user_id) AS n_users FROM events
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), COUNT(*), ${rSql("SUM(value)", 4)},
+       |  COUNT(DISTINCT user_id)
+       |FROM events WHERE event_id % 2 = 0
+       |ORDER BY version""".stripMargin
+  }
+
+  // ───── row-level DELETE (copy-on-write, manifest-pruned) ────────────
+
+  /** Row-level DELETE of the key range [lo, hi] from a versioned
+    * snapshot table — the GDPR/bad-partition verb beside
+    * [[snapshotMerge]]'s keyed upserts, copy-on-write with manifest
+    * pruning: ONLY the files whose [min_c, max_c] stats intersect the
+    * deleted range are read and rewritten with the complement
+    * (NULL-keyed rows are kept — NULL is not in any range); every
+    * untouched file's manifest row is carried VERBATIM. On a
+    * key-clustered table a contiguous deletion touches exactly the few
+    * files holding that range, so the commit is O(touched), never
+    * O(table). Zero-row files (NULL stats) never intersect and are
+    * always carried.
+    *
+    * A range that provably touches no file is a metadata no-op: the
+    * head version is returned unchanged (no version churn — nothing
+    * was derived from table state, so there is nothing to record).
+    * Pinned to the version the delete derived from (`asOf`, default
+    * head): a concurrent commit in the read-rewrite window throws.
+    * Partitioned tables refuse — deleting a whole partition is
+    * [[snapshotOverwritePartition]] with the empty frame, which keeps
+    * the layout's purity proof. Streaming-sink tables refuse too
+    * (they never carry the manifest stats a pruned delete needs —
+    * [[snapshotSinkBatch]] commits stat-less batches; compact the sink
+    * into a batch table first). Returns the version id the table is
+    * at after the call. */
+  def snapshotDelete(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long, nFiles: Int, asOf: Option[Long] = None): Long = {
+    require(lo <= hi, s"empty delete range [$lo, $hi]")
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions to delete from")
+    val baseV = asOf.getOrElse(vs.last)
+    require(vs.contains(baseV), s"version $baseV not in $vs")
+    val mf = manifestOf(spark, path, baseV)
+    require(!mf.columns.contains("part"),
+      s"$path is a partitioned snapshot table — delete a partition by " +
+        "re-landing it (snapshotOverwritePartition), which keeps the " +
+        "purity-proof layout")
+    require(!mf.columns.contains("batch_id"),
+      s"$path is a streaming-sink table (stat-less batches) — compact " +
+        "it into a stats-carrying batch table before range deletes")
+    require(mf.columns.contains(s"min_$c") && mf.columns.contains(s"max_$c"),
+      s"$path carries no manifest stats on '$c' — delete needs them to " +
+        "prune; write the table with statsCols")
+    val touched = mf.filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+      .select("file").collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return baseV
+    val residual = spark.read
+      .parquet(touched.toIndexedSeq.map(f => s"$path/data/$f"): _*)
+      .filter(col(c).isNull || col(c) < lo || col(c) > hi)
+    val carry: DataFrame => DataFrame = fresh =>
+      mf.filter(!col("file").isin(touched.toSeq: _*)).unionByName(fresh)
+    commitSnapshot(residual, path, nFiles, carry, manifestStatsCols(mf),
+      Some(col(c)), Some(baseV))
+  }
+
+  /** DELETE as a driver-visible query: stage events as a versioned
+    * table key-clustered into 8 stats-carrying files, delete the
+    * event_id range [100, 499], and aggregate the post-delete table
+    * read back through the snapshot reader. The oracle is the
+    * complement filter over the raw table, so the gate hash-checks the
+    * whole stage → prune → rewrite-complement → commit → read path.
+    * Round10bSpec pins the cost side: only range-intersecting files
+    * are rewritten, the rest are carried byte-identical, and a no-op
+    * range commits no version. */
+  def snapshotDeleteQuery(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("delete") { p =>
+      val ev = Tables.events(spark, dir)
+      snapshotWrite(ev, p, nFiles = 8,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      snapshotDelete(spark, p, "event_id", 100L, 499L, nFiles = 2)
+      import graft.functions.Compat._
+      readSnapshot(spark, p)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }
+
+  private val snapshotDeleteOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id < 100 OR event_id > 499
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ───── incremental view maintenance over version deltas ─────────────
+
+  /** Partial-aggregate state of one frame for incremental view
+    * maintenance: per `keys`, (n, sum_dec) with the sum carried as
+    * DECIMAL so folds are exact and order-free. This is the
+    * map-side-combine shape — states from disjoint slices of a table
+    * merge by plain addition ([[ivmMerge]]). */
+  def ivmState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("sum_dec"))
+
+  /** Fold a delta's partial state into the materialized view: union +
+    * re-add per key. Cost is O(|delta keys| + |view keys|) — the table
+    * itself is never touched, which is the whole point: at 100 TB a
+    * view refresh shuffles kilobytes of state, not the table. The sum
+    * is re-narrowed to DECIMAL(18,4) so the view's schema is a fixed
+    * point of folding (Spark widens sum(DECIMAL) by 10 digits per
+    * fold; unchecked, 3 folds would hit the 38-digit ceiling). */
+  def ivmMerge(view: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    view.unionByName(delta).groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_dec")).cast("decimal(18,4)").as("sum_dec"))
+
+  /** Incremental view maintenance as a driver-visible query — the
+    * capstone of the CDC surface: a per-event_type (count, sum)
+    * materialized view is seeded from v1 and then maintained ONLY from
+    * [[snapshotChanges]] deltas as v2 and v3 land (each refresh reads
+    * the appended files and the view state, never the table). The
+    * final view must equal the full-table aggregate — the oracle
+    * recomputes it from the raw table, so a leaked/duplicated/missed
+    * delta row anywhere in the version chain hash-fails. This is the
+    * O(delta) standing-dashboard pattern the reference's nightly
+    * WRITE_TRUNCATE recompute approximates at O(table) cost
+    * (automated_switchback_test_analysis_script.py:173). */
+  def ivmAgg(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("ivm") { p =>
+      val ev = Tables.events(spark, dir)
+      def third(r: Int) = ev.filter(col("event_id") % 3 === r)
+      val keys = Seq("event_type")
+      val v1 = snapshotWrite(third(0), p, nFiles = 4,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      var view = ivmState(readSnapshot(spark, p, Some(v1)), keys, "value")
+      var last = v1
+      for (r <- 1 to 2) {
+        val v = snapshotAppend(third(r), p, nFiles = 4,
+          statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+        view = ivmMerge(view,
+          ivmState(snapshotChanges(spark, p, last, v), keys, "value"), keys)
+        last = v
+      }
+      view.select(col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value")).orderBy("event_type")
+    }
+
+  private val ivmAggOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ───── streaming micro-batches as snapshot versions ──────────────────
 
   /** Batch ids already committed to the streaming-sink table at `path`
@@ -1176,5 +1399,8 @@ object Maintenance {
     Op("q_snapshot_sql", snapshotSql, Some(snapshotSqlOracle)),
     Op("q_snapshot_cdc", snapshotCdc, Some(snapshotCdcOracle)),
     Op("q_snapshot_write", snapshotWriteQuery, Some(snapshotWriteOracle)),
+    Op("q_snapshot_restore", snapshotRestoreQuery, Some(snapshotRestoreOracle)),
+    Op("q_snapshot_delete", snapshotDeleteQuery, Some(snapshotDeleteOracle)),
+    Op("q_ivm_agg", ivmAgg, Some(ivmAggOracle)),
   )
 }

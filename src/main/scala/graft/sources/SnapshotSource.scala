@@ -50,11 +50,45 @@ import graft.operators.Maintenance
   * layout — pruning is purely a cost lever, same contract as
   * readSnapshotRange.
   */
-class SnapshotSource extends TableProvider {
+class SnapshotSource extends TableProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   private def path(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "SnapshotSource needs a path: .load(<table path>)")
     p
+  }
+
+  // ───── streaming face: spark.readStream.format(...).load(path) ─────
+  // tails the commit log, one micro-batch per version range — see
+  // [[SnapshotStreamSource]]. SnapshotTable advertises no
+  // MICRO_BATCH_READ capability, so DataStreamReader falls back to
+  // this V1 StreamSourceProvider path (the FileStreamSource/Delta
+  // mechanic: getBatch plans a driver-side file-diff read; the scan
+  // itself is Spark's distributed parquet reader).
+
+  private def streamPath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "SnapshotSource needs a path: .load(<table path>)"))
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val p = streamPath(parameters)
+    (s"graft_snapshot_stream($p)", schema.getOrElse(
+      Maintenance.readSnapshot(sqlContext.sparkSession, p).schema))
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val p = streamPath(parameters)
+    new SnapshotStreamSource(sqlContext.sparkSession, p, metadataPath,
+      schema.getOrElse(Maintenance.readSnapshot(sqlContext.sparkSession, p).schema),
+      fromVersion = parameters.get("fromVersion").map(_.toLong).getOrElse(0L),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
   }
 
   private def asOf(options: CaseInsensitiveStringMap): Option[Long] =

@@ -496,8 +496,67 @@ object StreamingOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  // ------------------------------------------- lakehouse STREAM SOURCE
+
+  /** Tail a versioned snapshot table as a stream —
+    * [[graft.sources.SnapshotStreamSource]] end-to-end: three quarters
+    * of events land as versions BEFORE the stream starts (the
+    * backfill), the fourth is appended WHILE it runs (the tail), with
+    * `maxVersionsPerTrigger = 1` so every version arrives in its own
+    * micro-batch through the checkpointed offset machinery. The
+    * complete-mode aggregate over the tailed rows must equal the
+    * full-table aggregate — a dropped version, a double-read file, or
+    * a leaked carried file all hash-fail against the raw-table oracle.
+    * Round10bSpec pins the mechanics this gate can't see: per-version
+    * batch boundaries, restart exactly-once from the checkpoint, and
+    * the non-append-commit refusal. */
+  private def snapshotStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_snapstream_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    val p = new java.io.File(stage, "table").getAbsolutePath
+    val ev = graft.Tables.events(spark, dir)
+    def quarter(r: Int) = ev.filter(col("event_id") % 4 === r)
+    Maintenance.snapshotWrite(quarter(0), p, nFiles = 2,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    Maintenance.snapshotAppend(quarter(1), p, nFiles = 2,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    Maintenance.snapshotAppend(quarter(2), p, nFiles = 2,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    val name = s"graft_snapstream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("maxVersionsPerTrigger", 1L).load(p)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .option("checkpointLocation",
+        new java.io.File(stage, "cp").getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable() // backfill: v1..v3, one batch each
+      Maintenance.snapshotAppend(quarter(3), p, nFiles = 2,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id")): Unit
+      q.processAllAvailable() // tail: the live append arrives
+    } finally q.stop()
+    val out = spark.table(name)
+      .select(col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("event_type")
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val snapshotStreamOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q_stream_tumbling", streamTumbling, Some(streamTumblingOracle)),
+    Op("q_snapshot_stream", snapshotStream, Some(snapshotStreamOracle)),
     Op("q_stream_snapshot", streamSnapshot, Some(streamTumblingOracle)),
     Op("q_stream_sb_rollup", streamSbRollup, Some(streamSbRollupOracle)),
     Op("q_stream_srm", streamSrm, Some(streamSrmOracle)),

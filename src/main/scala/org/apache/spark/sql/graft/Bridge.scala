@@ -52,6 +52,34 @@ object Bridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** A STREAMING DataFrame over a fixed list of parquet files — the
+    * micro-batch a V1 streaming Source's getBatch returns (the
+    * FileStreamSource recipe: resolve a file-scoped relation, wrap it
+    * in a LogicalRelation with isStreaming = true so the incremental
+    * planner accepts it). The scan is Spark's own parquet batch reader;
+    * this helper only exists because Dataset.ofRows and the
+    * isStreaming flag are private[sql]. */
+  def streamingFileBatch(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark,
+      className = "parquet",
+      paths = files,
+      userSpecifiedSchema = Some(schema))
+    ofRows(spark, org.apache.spark.sql.execution.datasources.LogicalRelation(
+      ds.resolveRelation(checkFilesExist = false), isStreaming = true))
+  }
+
+  /** The zero-row streaming micro-batch (an offset range that added no
+    * files): a streaming-flagged empty LocalRelation in the source's
+    * schema. */
+  def emptyStreamingBatch(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+      Nil, isStreaming = true))
+
   /** Register a native function on a live session (the extensions path
     * only works at session build time). */
   def registerFunction(
