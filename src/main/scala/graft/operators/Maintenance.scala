@@ -801,6 +801,41 @@ object Maintenance {
       "n_added_files", "max_batch_id")
   }
 
+  /** DESCRIBE HISTORY as a driver-visible query: land evens (v1),
+    * append odds (v2), RESTORE to v1 (v3), and read the table's own
+    * commit log — per version its file count, row count, and files
+    * ADDED over the previous version. The restore row is the point:
+    * n_added_files = 0 proves the rollback was metadata-only while
+    * n_rows flipped back to the v1 table, and the deterministic file
+    * counts (round-robin nFiles) let a plain-SQL oracle state the
+    * whole history. committed_at/max_batch_id are dropped from the
+    * registered projection (wall-clock mtime is not replayable). */
+  def snapshotHistoryQuery(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("hist") { p =>
+      val ev = Tables.events(spark, dir)
+      snapshotWrite(ev.filter(col("event_id") % 2 === 0), p, nFiles = 4,
+        statsCols = Seq("event_id"))
+      snapshotAppend(ev.filter(col("event_id") % 2 === 1), p, nFiles = 4,
+        statsCols = Seq("event_id"))
+      snapshotRestore(spark, p, 1L)
+      snapshotHistory(spark, p)
+        .select("version", "n_files", "n_rows", "n_added_files")
+        .orderBy("version")
+    }
+
+  private val snapshotHistoryOracle =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(4 AS BIGINT) AS n_files,
+      |  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS n_rows,
+      |  CAST(4 AS BIGINT) AS n_added_files
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(8 AS BIGINT),
+      |  (SELECT COUNT(*) FROM events), CAST(4 AS BIGINT)
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+      |  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY version""".stripMargin
+
   /** The DSv2 WRITE path as a driver-visible query — the reference's
     * CREATE-OR-REPLACE/WRITE_TRUNCATE DAG shape driven entirely through
     * `df.write.format(...)`: mode("overwrite") creates the table (v1 =
@@ -1159,6 +1194,10 @@ object Maintenance {
     view.unionByName(delta).groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"),
         sum(col("sum_dec")).cast("decimal(18,4)").as("sum_dec"))
+      // a key whose rows all left the table (a signed [[ivmDelta]]
+      // cancelled it) must LEAVE the view — GROUP BY of zero rows is
+      // no row, not a zero row
+      .filter(col("n") =!= 0)
 
   /** Incremental view maintenance as a driver-visible query — the
     * capstone of the CDC surface: a per-event_type (count, sum)
@@ -1195,6 +1234,76 @@ object Maintenance {
     """SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** SIGNED state delta of one version step — the generalization of
+    * "aggregate the appended files" that stays exact under ANY commit
+    * shape (merge, delete, compaction, restore, partition re-land):
+    * the files `toV` removed contribute their state NEGATED (their
+    * rows left the table), the files it added contribute positively
+    * (rewritten survivors re-enter), so view ⊕ delta is exact whatever
+    * mix of the two the commit did. Cost is O(changed files) — for an
+    * append that's the batch, for a pruned delete the touched files
+    * twice (before + after image); only a full rewrite (compaction)
+    * degenerates to O(table), which is what a compaction IS. */
+  def ivmDelta(spark: SparkSession, path: String, fromV: Long, toV: Long,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.contains(fromV) && vs.contains(toV),
+      s"versions ($fromV, $toV) must both exist in $vs")
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    def files(v: Long): Set[String] = manifestOf(spark, path, v)
+      .select("file").collect().map(_.getString(0)).toSet
+    val before = files(fromV)
+    val after = files(toV)
+    def stateOf(fs: Set[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(ivmState(
+        spark.read.parquet(fs.toIndexedSeq.sorted.map(f => s"$path/data/$f"): _*),
+        keys, valueCol))
+    val pos = stateOf(after -- before)
+    val neg = stateOf(before -- after).map(_.select(
+      keys.map(col) ++ Seq((-col("n")).as("n"),
+        (-col("sum_dec")).cast("decimal(18,4)").as("sum_dec")): _*))
+    (pos, neg) match {
+      case (Some(p), Some(n)) => p.unionByName(n)
+      case (Some(p), None) => p
+      case (None, Some(n)) => n
+      case (None, None) =>
+        ivmState(readSnapshot(spark, path, Some(toV)).filter(lit(false)),
+          keys, valueCol)
+    }
+  }
+
+  /** IVM across REWRITE commits as a driver-visible query: the view is
+    * seeded from v1, folded over an append (v2) — and then over a
+    * pruned row-level DELETE (v3) through the SIGNED [[ivmDelta]], so
+    * the refresh subtracts the rewritten files' before-image and adds
+    * their survivor image without ever re-reading the table. The
+    * oracle recomputes the post-delete aggregate from the raw table;
+    * a sign error, a missed before-image, or a double-counted survivor
+    * row all hash-fail. With q_ivm_agg this closes the IVM story for
+    * every commit shape the layer can produce. */
+  def ivmRewrite(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("ivmrw") { p =>
+      val ev = Tables.events(spark, dir)
+      val keys = Seq("event_type")
+      val v1 = snapshotWrite(ev.filter(col("event_id") % 2 === 0), p,
+        nFiles = 4, statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      var view = ivmState(readSnapshot(spark, p, Some(v1)), keys, "value")
+      val v2 = snapshotAppend(ev.filter(col("event_id") % 2 === 1), p,
+        nFiles = 4, statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      view = ivmMerge(view, ivmDelta(spark, p, v1, v2, keys, "value"), keys)
+      val v3 = snapshotDelete(spark, p, "event_id", 100L, 499L, nFiles = 2)
+      view = ivmMerge(view, ivmDelta(spark, p, v2, v3, keys, "value"), keys)
+      view.select(col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value")).orderBy("event_type")
+    }
+
+  private val ivmRewriteOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id < 100 OR event_id > 499
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ───── streaming micro-batches as snapshot versions ──────────────────
 
@@ -1402,5 +1511,7 @@ object Maintenance {
     Op("q_snapshot_restore", snapshotRestoreQuery, Some(snapshotRestoreOracle)),
     Op("q_snapshot_delete", snapshotDeleteQuery, Some(snapshotDeleteOracle)),
     Op("q_ivm_agg", ivmAgg, Some(ivmAggOracle)),
+    Op("q_ivm_rewrite", ivmRewrite, Some(ivmRewriteOracle)),
+    Op("q_snapshot_history", snapshotHistoryQuery, Some(snapshotHistoryOracle)),
   )
 }

@@ -196,6 +196,54 @@ class Round10bSpec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("signed ivm deltas stay exact across merge, delete, and compaction commits") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_ivmrw_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val base = (1L to 200L).map(k => (k, s"t${k % 3}", k * 1.5)).toDF("k", "g", "v")
+      val keys = Seq("g")
+      var v = snapshotWrite(base, p, nFiles = 4,
+        statsCols = Seq("k"), clusterBy = Some("k"))
+      var view = ivmState(readSnapshot(spark, p, Some(v)), keys, "v")
+      def fold(nv: Long): Unit = {
+        view = ivmMerge(view, ivmDelta(spark, p, v, nv, keys, "v"), keys)
+        v = nv
+      }
+      // MERGE: delete %25 keys, update %10 keys, insert 5 new ones
+      val changes = (
+        (1L to 200L).filter(_ % 25 == 0).map(k => (k, "D", null.asInstanceOf[String], 0.0)) ++
+        (1L to 200L).filter(k => k % 25 != 0 && k % 10 == 0)
+          .map(k => (k, "U", "upd", k * 2.0)) ++
+        (901L to 905L).map(k => (k, "I", "ins", 1.0))
+      ).toDF("k", "op", "g", "v")
+      fold(snapshotMerge(spark, p, changes, "k", nFiles = 2))
+      // DELETE a key range
+      fold(snapshotDelete(spark, p, "k", 50L, 120L, nFiles = 1))
+      // COMPACTION (full rewrite — the degenerate O(table) delta)
+      fold(compactSnapshot(spark, p, targetBytes = 1L << 30))
+      val got = view.orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toString)).toSeq
+      val want = ivmState(readSnapshot(spark, p), keys, "v").orderBy("g")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toString)).toSeq
+      assert(got == want,
+        "incrementally maintained view diverged from the full recompute")
+    } finally rm(stage)
+  }
+
+  test("a key whose rows all leave the table leaves the view") {
+    import spark.implicits._
+    val view = ivmState(Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("k", "g", "v"),
+      Seq("g"), "v")
+    val delta = ivmState(Seq((1L, "a", 2.0)).toDF("k", "g", "v"), Seq("g"), "v")
+      .select(col("g"), (-col("n")).as("n"),
+        (-col("sum_dec")).cast("decimal(18,4)").as("sum_dec"))
+    val merged = ivmMerge(view, delta, Seq("g")).collect()
+    assert(merged.map(_.getString(0)).toSeq == Seq("b"),
+      "a cancelled key must drop out of the view, not linger at n=0")
+  }
+
   // ──────────────────────────────────────────────── snapshot STREAMING
 
   test("snapshot stream: one micro-batch per version, tail pickup, exactly-once restart") {
