@@ -634,6 +634,14 @@ object Maintenance {
     commitSnapshot(head, path, nOut, carry, effStats, clusterBy.map(col), Some(headV))
   }
 
+  /** The stats contract of the table at `path` (head version): the
+    * columns whose min/max every manifest carries. What a writer that
+    * did not create the table (SQL INSERT INTO, DataFrameWriter
+    * without options) must pass to append without breaking the
+    * manifest schema — the public face of [[manifestStatsCols]]. */
+  def tableStatsCols(spark: SparkSession, path: String): Seq[String] =
+    manifestStatsCols(snapshotManifest(spark, path))
+
   /** The stats columns a manifest carries: every `min_X`/`max_X` pair's
     * X. This is how compaction (and any other whole-table rewrite)
     * re-derives the table's stats contract from the table itself
@@ -1497,6 +1505,54 @@ object Maintenance {
       |GROUP BY event_type
       |ORDER BY version, event_type""".stripMargin
 
+  /** The snapshot layer as a NAMED SQL CATALOG
+    * ([[graft.sources.SnapshotCatalog]]): stage evens as v1, land the
+    * odds through pure-SQL `INSERT INTO <cat>.events_t` (the catalog
+    * write path must inherit the table's stats contract — an insert
+    * that broke the manifest schema would throw here), then answer
+    * Spark's own `VERSION AS OF 1` syntax against the head read — the
+    * full CREATE-by-write → INSERT → time-travel-SQL migration story
+    * with zero `.load(path)` anywhere. The catalog name is
+    * per-invocation (catalog instances cache their root at first use);
+    * the staged root dies with the run. */
+  def snapshotCatalogQuery(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("cat") { p =>
+      val ev = Tables.events(spark, dir)
+      snapshotWrite(ev.filter(col("event_id") % 2 === 0), s"$p/events_t",
+        nFiles = 8, statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val cat = s"graft_cat_$tag"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", p)
+      val view = s"graft_cat_src_$tag"
+      ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView(view)
+      try {
+        spark.sql(s"INSERT INTO $cat.events_t SELECT * FROM $view")
+        spark.sql(
+          s"""SELECT version, event_type, n, sum_value FROM (
+             |  SELECT CAST(1 AS BIGINT) AS version, event_type,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |  FROM $cat.events_t VERSION AS OF 1 GROUP BY event_type
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |  FROM $cat.events_t GROUP BY event_type)
+             |ORDER BY version, event_type""".stripMargin)
+      } finally spark.catalog.dropTempView(view): Unit
+    }
+
+  private val snapshotCatalogOracle =
+    """SELECT CAST(1 AS BIGINT) AS version, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM events GROUP BY event_type
+      |ORDER BY version, event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_compact_files", compactFiles, Some(compactFilesOracle)),
     Op("q_prune_scan", pruneScan, Some(pruneScanOracle)),
@@ -1513,5 +1569,6 @@ object Maintenance {
     Op("q_ivm_agg", ivmAgg, Some(ivmAggOracle)),
     Op("q_ivm_rewrite", ivmRewrite, Some(ivmRewriteOracle)),
     Op("q_snapshot_history", snapshotHistoryQuery, Some(snapshotHistoryOracle)),
+    Op("q_snapshot_catalog", snapshotCatalogQuery, Some(snapshotCatalogOracle)),
   )
 }

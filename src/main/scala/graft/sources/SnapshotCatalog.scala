@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Maintenance
+
+/** Versioned snapshot tables as a NAMED SQL CATALOG — the last step of
+  * the "users live in SQL" migration surface: where
+  * [[SnapshotSource]] needs a `.load(path)` per table,
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", classOf[SnapshotCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.lake.root", "/warehouse")
+  *   spark.sql("SELECT * FROM lake.events VERSION AS OF 1")
+  *   spark.sql("SELECT * FROM lake.events TIMESTAMP AS OF '2026-08-16 00:00:00'")
+  *   spark.sql("INSERT INTO lake.events SELECT ...")
+  * }}}
+  *
+  * resolves `lake.<ns...>.<name>` to the snapshot table at
+  * `root/<ns...>/<name>` — Spark's own `VERSION AS OF` / `TIMESTAMP AS
+  * OF` syntax lands on the pinned-version reader (manifest pruning
+  * intact), and INSERT INTO / INSERT OVERWRITE land on the commit path
+  * with the table's OWN stats contract inherited (an append that would
+  * break the manifest schema is not constructible through SQL).
+  *
+  * Timestamp resolution follows the commit points themselves: version
+  * v is chosen as the last one whose manifest rename (dir mtime)
+  * precedes the asked instant — the same definition every table
+  * format's timestamp travel uses. DDL is intentionally minimal:
+  * tables are CREATED by writing (INSERT INTO a new name, the
+  * DataFrameWriter, or the Scala API), DROP deletes the table
+  * directory, RENAME is a filesystem move (manifests hold relative
+  * paths, so tables relocate); ALTER is refused — schema evolution is
+  * an append-time property ([[Maintenance.readSnapshot]]'s
+  * mergeSchema), not a metadata edit. */
+class SnapshotCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null,
+      s"catalog $name needs a root: set spark.sql.catalog.$name.root")
+  }
+
+  override def name(): String = catalogName
+
+  private def pathFor(ident: Identifier): String =
+    (root +: (ident.namespace().toIndexedSeq :+ ident.name())).mkString("/")
+
+  private def exists(ident: Identifier): Boolean =
+    Maintenance.snapshotVersions(spark, pathFor(ident)).nonEmpty
+
+  override def tableExists(ident: Identifier): Boolean = exists(ident)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new org.apache.hadoop.fs.Path(
+      (root +: namespace.toIndexedSeq).mkString("/"))
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/$n/versions")))
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    SnapshotTable(pathFor(ident), asOf = None)
+  }
+
+  /** VERSION AS OF — the SQL face of readSnapshot(asOf). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    SnapshotTable(pathFor(ident), asOf = Some(version.toLong))
+  }
+
+  /** TIMESTAMP AS OF (micros since epoch): the last version committed
+    * at or before the instant — commit time IS the manifest rename,
+    * read off the version dir. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val p = pathFor(ident)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val at = Maintenance.snapshotVersions(spark, p).reverse.find { v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f"$p/versions/v$v%05d"))
+        .getModificationTime * 1000L <= timestampMicros
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$p has no version committed at or before timestamp " +
+        s"$timestampMicros — the asked instant precedes the table"))
+    SnapshotTable(p, asOf = Some(at))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    // CREATE TABLE without data has nothing to commit (a version IS a
+    // set of data files) — tables come into being by writing
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    throw new UnsupportedOperationException(
+      s"snapshot tables are created by their first write — INSERT INTO " +
+        s"$catalogName.${ident.name()} ..., df.write…save(), or the Scala API")
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "snapshot tables evolve by appending (mergeSchema reads), not ALTER")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = exists(ident)
+    if (existed) {
+      val p = new org.apache.hadoop.fs.Path(pathFor(ident))
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+    }
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!exists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (exists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // manifests hold paths relative to <table>/data, so a table is
+    // relocatable as one directory move
+    require(fs.rename(new org.apache.hadoop.fs.Path(pathFor(oldIdent)),
+      new org.apache.hadoop.fs.Path(pathFor(newIdent))),
+      s"rename ${oldIdent} -> ${newIdent} failed")
+  }
+}

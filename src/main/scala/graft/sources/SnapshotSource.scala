@@ -191,12 +191,20 @@ class SnapshotWriteBuilder(path: String, options: CaseInsensitiveStringMap)
           override def insert(data: org.apache.spark.sql.DataFrame,
               overwrite: Boolean): Unit = {
             val nFiles = Option(options.get("nFiles")).map(_.toInt).getOrElse(4)
-            val statsCols = Option(options.get("statsCols")).toSeq
+            val explicitStats = Option(options.get("statsCols")).toSeq
               .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
             val clusterBy = Option(options.get("clusterBy")).map(_.trim)
               .filter(_.nonEmpty)
             val exists = Maintenance
               .snapshotVersions(data.sparkSession, path).nonEmpty
+            // the manifest stats schema is part of the table contract:
+            // a writer that passes none (SQL INSERT INTO, a plain
+            // DataFrameWriter) inherits the TABLE's — an append with
+            // mismatched manifest columns must never be constructible
+            // through this path
+            val statsCols =
+              if (!exists || explicitStats.nonEmpty) explicitStats
+              else Maintenance.tableStatsCols(data.sparkSession, path)
             if (!exists)
               Maintenance.snapshotWrite(data, path, nFiles, statsCols, clusterBy): Unit
             else if (doTruncate || overwrite)

@@ -244,6 +244,47 @@ class Round10bSpec extends SparkSpec {
       "a cancelled key must drop out of the view, not linger at n=0")
   }
 
+  // ─────────────────────────────────────────────────── SQL catalog
+
+  test("catalog: TIMESTAMP AS OF resolves by commit instant, DSv2 insert inherits stats") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_cat_").toFile
+    try {
+      val root = stage.getAbsolutePath
+      val tbl = s"$root/t"
+      val ev = Tables.events(spark, sfDir)
+      snapshotWrite(ev.filter(col("event_id") % 2 === 0), tbl, nFiles = 2,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      val afterV1 = System.currentTimeMillis()
+      Thread.sleep(30)
+      snapshotAppend(ev.filter(col("event_id") % 2 === 1), tbl, nFiles = 2,
+        statsCols = Seq("event_id"))
+      val cat = new sources.SnapshotCatalog
+      cat.initialize("tcat", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("root", root)))
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty[String], "t")
+      // between the two commits → v1; far future → head; before v1 → throws
+      assert(cat.loadTable(ident, afterV1 * 1000L)
+        .asInstanceOf[sources.SnapshotTable].pinnedVersion == 1L)
+      assert(cat.loadTable(ident, (afterV1 + 3600000L) * 1000L)
+        .asInstanceOf[sources.SnapshotTable].pinnedVersion == 2L)
+      val e = intercept[IllegalArgumentException] {
+        cat.loadTable(ident, 1000L)
+      }
+      assert(e.getMessage.contains("precedes the table"))
+      // a DataFrameWriter append WITHOUT statsCols inherits the table's
+      // stats contract instead of committing a schema-breaking manifest
+      ev.filter(col("event_id") % 2 === 1).limit(10)
+        .withColumn("event_id", col("event_id") + 20000000L)
+        .write.format("graft.sources.SnapshotSource").mode("append").save(tbl)
+      assert(Maintenance.tableStatsCols(spark, tbl) == Seq("event_id"))
+      // the inherited stats really prune: the appended range reads only
+      // the appended batch's files
+      assert(readSnapshotRange(spark, tbl, "event_id", 20000000L, 30000000L)
+        .count() == 10L)
+    } finally rm(stage)
+  }
+
   // ──────────────────────────────────────────────── snapshot STREAMING
 
   test("snapshot stream: one micro-batch per version, tail pickup, exactly-once restart") {
