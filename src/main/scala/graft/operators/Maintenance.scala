@@ -1418,6 +1418,29 @@ object Maintenance {
     }
   }
 
+  /** REPLACE-shaped exactly-once sink commit — the VIEW-maintenance
+    * twin of [[snapshotSinkBatch]]: each micro-batch replaces the
+    * whole (small) table instead of appending, with the same
+    * batch-id-watermark replay skip, so a restarted foreachBatch that
+    * re-delivers a handled id leaves the table untouched. The shape a
+    * streaming materialized view needs: the view state is keys-sized,
+    * every batch commits its successor state as one version (the
+    * view's own time travel = the dashboard as of any batch), and
+    * replay-skip + deterministic per-batch input ranges give
+    * exactly-once maintenance across restarts. Empty batches commit
+    * too — an empty view state is a real state, and the watermark must
+    * advance. */
+  def snapshotSinkReplace(batch: DataFrame, path: String, id: Long,
+      nFiles: Int = 1): Unit = {
+    val spark = batch.sparkSession
+    if (!sinkBatchWatermark(spark, path).exists(_ >= id)) {
+      val prev = snapshotVersions(spark, path).lastOption
+      commitSnapshot(batch, path, nFiles,
+        fresh => fresh.withColumn("batch_id", lit(id)),
+        Nil, None, Some(prev.getOrElse(0L))): Unit
+    }
+  }
+
   /** Time travel as a driver-visible query: commit the even-event_id
     * half of events as v1, append the odd half as v2, then aggregate
     * BOTH versions — v1 must still answer exactly the pre-append table

@@ -554,9 +554,65 @@ object StreamingOps {
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The whole incremental pipeline in one query — snapshot STREAM
+    * source → signed-free IVM fold → versioned REPLACE sink, i.e.
+    * "keep a materialized dashboard exact over a growing table at
+    * O(delta) per refresh, exactly once, with the view's own commit
+    * history": each micro-batch (one table version, paced) folds its
+    * ivmState into the view read from the view table's head and
+    * commits the successor state as one REPLACE version keyed by the
+    * batch id ([[graft.operators.Maintenance.snapshotSinkReplace]] —
+    * a restart that re-delivers a handled batch leaves the view
+    * untouched, so the maintenance is exactly-once end to end). The
+    * final view must hash-equal the full-table aggregate; Round10bSpec
+    * pins one-version-per-batch view history and the restart path. */
+  private def streamIvm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sivm_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
+    val tbl = new java.io.File(stage, "table").getAbsolutePath
+    val viewP = new java.io.File(stage, "view").getAbsolutePath
+    val ev = graft.Tables.events(spark, dir)
+    def quarter(r: Int) = ev.filter(col("event_id") % 4 === r)
+    Maintenance.snapshotWrite(quarter(0), tbl, nFiles = 2,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    Maintenance.snapshotAppend(quarter(1), tbl, nFiles = 2,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    Maintenance.snapshotAppend(quarter(2), tbl, nFiles = 2,
+      statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+    val keys = Seq("event_type")
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("maxVersionsPerTrigger", 1L).load(tbl)
+      .writeStream
+      .option("checkpointLocation", new java.io.File(stage, "cp").getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val delta = Maintenance.ivmState(batch.toDF(), keys, "value")
+        val next =
+          if (Maintenance.snapshotVersions(spark, viewP).isEmpty) delta
+          else Maintenance.ivmMerge(
+            Maintenance.readSnapshot(spark, viewP), delta, keys)
+        Maintenance.snapshotSinkReplace(next, viewP, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // backfill: the view folds v1..v3
+      Maintenance.snapshotAppend(quarter(3), tbl, nFiles = 2,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id")): Unit
+      q.processAllAvailable() // tail: the live append folds in
+    } finally q.stop()
+    val out = Maintenance.readSnapshot(spark, viewP)
+      .select(col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("event_type")
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q_stream_tumbling", streamTumbling, Some(streamTumblingOracle)),
     Op("q_snapshot_stream", snapshotStream, Some(snapshotStreamOracle)),
+    Op("q_stream_ivm", streamIvm, Some(snapshotStreamOracle)),
     Op("q_stream_snapshot", streamSnapshot, Some(streamTumblingOracle)),
     Op("q_stream_sb_rollup", streamSbRollup, Some(streamSbRollupOracle)),
     Op("q_stream_srm", streamSrm, Some(streamSrmOracle)),

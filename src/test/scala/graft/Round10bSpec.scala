@@ -372,6 +372,55 @@ class Round10bSpec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("streaming ivm: one view version per batch, exactly-once across restart") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_sivm_").toFile
+    try {
+      val tbl = new java.io.File(stage, "table").getAbsolutePath
+      val viewP = new java.io.File(stage, "view").getAbsolutePath
+      val cp = new java.io.File(stage, "cp").getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      def third(r: Int) = ev.filter(col("event_id") % 3 === r)
+      snapshotWrite(third(0), tbl, nFiles = 1, statsCols = Seq("event_id"))
+      snapshotAppend(third(1), tbl, nFiles = 1, statsCols = Seq("event_id"))
+      val keys = Seq("event_type")
+      def startQ() = spark.readStream.format("graft.sources.SnapshotSource")
+        .option("maxVersionsPerTrigger", 1L).load(tbl)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val delta = ivmState(b.toDF(), keys, "value")
+          val next =
+            if (snapshotVersions(spark, viewP).isEmpty) delta
+            else ivmMerge(readSnapshot(spark, viewP), delta, keys)
+          snapshotSinkReplace(next, viewP, id)
+        }.start()
+      val q1 = startQ()
+      try q1.processAllAvailable() finally q1.stop()
+      // one REPLACE version per non-empty batch — the view's own history
+      val vAfterRun1 = snapshotVersions(spark, viewP)
+      assert(vAfterRun1.size == 2, s"expected 2 view versions, got $vAfterRun1")
+      // restart with nothing new: the view table must not move at all
+      val q2 = startQ()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(snapshotVersions(spark, viewP) == vAfterRun1,
+        "a restart with no new table versions re-committed the view")
+      // restart after a new table version: exactly one more view version,
+      // and the view equals the full recompute
+      snapshotAppend(third(2), tbl, nFiles = 1, statsCols = Seq("event_id"))
+      val q3 = startQ()
+      try q3.processAllAvailable() finally q3.stop()
+      assert(snapshotVersions(spark, viewP).size == vAfterRun1.size + 1)
+      val got = readSnapshot(spark, viewP).orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toString)).toSeq
+      val want = ivmState(ev, keys, "value").orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toString)).toSeq
+      assert(got == want)
+      // the per-batch view states time-travel: version 1 is the v1 fold
+      val v1 = readSnapshot(spark, viewP, Some(vAfterRun1.head))
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(v1 == third(0).count())
+    } finally rm(stage)
+  }
+
   test("snapshot stream fromVersion skips the backfill") {
     val stage = java.nio.file.Files.createTempDirectory("graft_tailfrom_").toFile
     try {
