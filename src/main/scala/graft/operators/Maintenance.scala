@@ -758,6 +758,75 @@ object Maintenance {
       effStats, clusterBy, base = Some(headV))
   }
 
+  /** DROP a whole partition as a METADATA-ONLY commit — the retention
+    * verb of a day-partitioned table (expire days older than N): the
+    * new version's manifest simply omits the partition's files, so the
+    * commit does ZERO data work at any partition size (vs
+    * [[snapshotDelete]]'s rewrite, which is for ranges that cut
+    * through files); the dropped files stay readable through older
+    * versions until [[vacuumSnapshots]] reclaims them — retention is
+    * drop-then-vacuum, in that order, with time travel in between.
+    * Partition purity (every file wholly inside its declared
+    * partition, verified at write) is what makes the manifest filter
+    * exact. Refuses to drop the LAST partition: a version must list at
+    * least one file (an empty table is an explicit
+    * [[snapshotReplace]] of an empty frame, which commits a real
+    * zero-row file to keep the schema readable). Pinned to the head it
+    * derived from; returns the new version id. */
+  def snapshotDropPartition(spark: SparkSession, path: String,
+      partValue: String): Long = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val headV = vs.last
+    val mf = manifestOf(spark, path, headV)
+    require(mf.columns.contains("part"),
+      s"$path is not a partitioned snapshot table")
+    require(mf.filter(col("part") === partValue).limit(1).count() > 0,
+      s"$path has no files in partition $partValue")
+    val rest = mf.filter(col("part") =!= partValue)
+    require(rest.limit(1).count() > 0,
+      s"dropping $partValue would empty $path — replace with an empty " +
+        "frame instead (snapshotOverwritePartition keeps layouts; a " +
+        "version must list at least one file)")
+    val next = headV + 1
+    publishManifest(spark, path, rest, next)
+    next
+  }
+
+  /** Partition DROP as a driver-visible query: land four event shards
+    * as partition-overwrite versions, DROP one, and aggregate the head
+    * beside the pre-drop version — the head must answer exactly the
+    * three surviving shards while the old version still answers all
+    * four (retention with time travel). The oracle restates both from
+    * the raw table; Round10bSpec pins the zero-data-work claim
+    * (data-file set untouched by the drop) and vacuum reclaiming
+    * exactly the dropped shard's files. */
+  def partitionDropQuery(spark: SparkSession, dir: String): DataFrame =
+    stagedQuery("pdrop") { p =>
+      val ev = Tables.events(spark, dir)
+        .withColumn("shard", (col("event_id") % 4).cast("string"))
+      for (r <- 0 to 3)
+        snapshotOverwritePartition(ev.filter(col("shard") === r.toString), p,
+          "shard", r.toString, nFiles = 2, statsCols = Seq("event_id"))
+      val preDrop = snapshotVersions(spark, p).last
+      val dropped = snapshotDropPartition(spark, p, "2")
+      import graft.functions.Compat._
+      def agg(v: Long) = readSnapshot(spark, p, Some(v))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+        .select(lit(v).as("version"), col("n"), col("sum_value"))
+      agg(preDrop).unionByName(agg(dropped)).orderBy("version")
+    }
+
+  private val partitionDropOracle = {
+    import graft.functions.Compat.rSql
+    s"""SELECT CAST(4 AS BIGINT) AS version, COUNT(*) AS n,
+       |  ${rSql("SUM(value)", 4)} AS sum_value FROM events
+       |UNION ALL
+       |SELECT CAST(5 AS BIGINT), COUNT(*), ${rSql("SUM(value)", 4)}
+       |FROM events WHERE event_id % 4 <> 2
+       |ORDER BY version""".stripMargin
+  }
+
   /** Read only the named partitions of a partitioned snapshot table —
     * file selection straight off the manifest's `part` column (planner
     * metadata), so the scan cost is O(requested partitions). */
@@ -1563,7 +1632,13 @@ object Maintenance {
              |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
              |  FROM $cat.events_t GROUP BY event_type)
              |ORDER BY version, event_type""".stripMargin)
-      } finally spark.catalog.dropTempView(view): Unit
+      } finally {
+        spark.catalog.dropTempView(view): Unit
+        // the catalog INSTANCE stays cached by name (harmless — the
+        // name is per-run), but the conf keys need not outlive the run
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      }
     }
 
   private val snapshotCatalogOracle =
@@ -1593,5 +1668,6 @@ object Maintenance {
     Op("q_ivm_rewrite", ivmRewrite, Some(ivmRewriteOracle)),
     Op("q_snapshot_history", snapshotHistoryQuery, Some(snapshotHistoryOracle)),
     Op("q_snapshot_catalog", snapshotCatalogQuery, Some(snapshotCatalogOracle)),
+    Op("q_partition_drop", partitionDropQuery, Some(partitionDropOracle)),
   )
 }

@@ -244,6 +244,46 @@ class Round10bSpec extends SparkSpec {
       "a cancelled key must drop out of the view, not linger at n=0")
   }
 
+  test("partition drop is metadata-only; vacuum reclaims exactly the dropped shard") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_pdrop_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("shard", (col("event_id") % 3).cast("string"))
+      for (r <- 0 to 2)
+        snapshotOverwritePartition(ev.filter(col("shard") === r.toString), p,
+          "shard", r.toString, nFiles = 2, statsCols = Seq("event_id"))
+      val before = dataFiles(stage)
+      val droppedFiles = snapshotManifest(spark, p)
+        .filter(col("part") === "1").select("file")
+        .collect().map(r => s"$p/data/${r.getString(0)}").toSet
+      assert(droppedFiles.size == 2)
+      val v = snapshotDropPartition(spark, p, "1")
+      assert(v == 4L)
+      assert(dataFiles(stage) == before,
+        "partition drop must write and remove NOTHING — metadata only")
+      assert(readSnapshot(spark, p).count() ==
+        ev.filter(col("shard") =!= "1").count())
+      // time travel: the pre-drop version still answers the full table
+      assert(readSnapshot(spark, p, Some(3L)).count() == ev.count())
+      // retention = drop then vacuum: exactly the shard's files go
+      val (_, removed) = vacuumSnapshots(spark, p, keep = 1)
+      assert(removed == 2L)
+      assert(droppedFiles.forall(f => !new java.io.File(f).exists()))
+      assert(readSnapshot(spark, p).count() ==
+        ev.filter(col("shard") =!= "1").count())
+      // guards: unknown partition, and the last partition
+      intercept[IllegalArgumentException] {
+        snapshotDropPartition(spark, p, "9")
+      }
+      snapshotDropPartition(spark, p, "0")
+      val e = intercept[IllegalArgumentException] {
+        snapshotDropPartition(spark, p, "2")
+      }
+      assert(e.getMessage.contains("would empty"))
+    } finally rm(stage)
+  }
+
   // ─────────────────────────────────────────────────── SQL catalog
 
   test("catalog: TIMESTAMP AS OF resolves by commit instant, DSv2 insert inherits stats") {
