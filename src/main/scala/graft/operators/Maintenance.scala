@@ -422,6 +422,17 @@ object Maintenance {
   private def manifestOf(spark: SparkSession, path: String, v: Long): DataFrame =
     spark.read.parquet(f"$path/versions/v$v%05d")
 
+  /** The file set a version's manifest lists (driver-side planner
+    * metadata, one string per file). v == 0 is the empty pre-table
+    * state — the ONE diff-base convention every consumer of version
+    * diffs shares ([[snapshotChanges]], [[ivmDelta]], the streaming
+    * source's per-batch planning). */
+  private[graft] def manifestFiles(spark: SparkSession, path: String,
+      v: Long): Set[String] =
+    if (v == 0) Set.empty
+    else manifestOf(spark, path, v)
+      .select("file").collect().map(_.getString(0)).toSet
+
   /** A version's manifest as data — (file, n_rows, min/max stats,
     * batch_id/part where applicable), one row per live data file. The
     * planner-facing diagnostic surface: file-count/fragmentation checks,
@@ -979,13 +990,11 @@ object Maintenance {
     require(vs.contains(fromV) && vs.contains(toV),
       s"versions ($fromV, $toV) must both exist in $vs")
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
-    val before = manifestOf(spark, path, fromV)
-      .select("file").collect().map(_.getString(0)).toSet
-    val added = manifestOf(spark, path, toV)
-      .select("file").collect().map(_.getString(0))
-      .filterNot(before).map(f => s"$path/data/$f")
+    val before = manifestFiles(spark, path, fromV)
+    val added = (manifestFiles(spark, path, toV) -- before)
+      .toIndexedSeq.sorted.map(f => s"$path/data/$f")
     if (added.isEmpty) readSnapshot(spark, path, Some(toV)).filter(lit(false))
-    else spark.read.parquet(added.toIndexedSeq: _*)
+    else spark.read.parquet(added: _*)
   }
 
   /** CDC as a driver-visible query: commit the even-event_id half as
@@ -1065,7 +1074,12 @@ object Maintenance {
       .select("file").distinct().collect().map(_.getString(0)).toSet
     val base =
       if (touched.isEmpty) readSnapshot(spark, path, Some(baseV)).filter(lit(false))
-      else spark.read.parquet(touched.toIndexedSeq.map(f => s"$path/data/$f"): _*)
+      // mergeSchema for the same reason as snapshotDelete: a touched
+      // set spanning schema generations must not rewrite survivors
+      // without their evolved columns (applyMerge then demands the
+      // changeset carry them too — loud, instead of silent data loss)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(touched.toIndexedSeq.sorted.map(f => s"$path/data/$f"): _*)
     val merged = Relational.applyMerge(base, changes, key)
     val carry: DataFrame => DataFrame = fresh =>
       mf.filter(!col("file").isin(touched.toSeq: _*)).unionByName(fresh)
@@ -1210,9 +1224,16 @@ object Maintenance {
         "prune; write the table with statsCols")
     val touched = mf.filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
       .select("file").collect().map(_.getString(0)).toSet
-    if (touched.isEmpty) return baseV
-    val residual = spark.read
-      .parquet(touched.toIndexedSeq.map(f => s"$path/data/$f"): _*)
+    // a range no file can contain is a metadata no-op — nothing was
+    // derived from table state, so nothing commits; the caller gets
+    // the table's CURRENT head (what "the version after the call" is)
+    if (touched.isEmpty) return vs.last
+    // mergeSchema: the touched set may span schema generations (the
+    // evolution appends support) — a single-footer read would rewrite
+    // survivors from newer files WITHOUT their added columns, silently
+    // destroying that data in the new head
+    val residual = spark.read.option("mergeSchema", "true")
+      .parquet(touched.toIndexedSeq.sorted.map(f => s"$path/data/$f"): _*)
       .filter(col(c).isNull || col(c) < lo || col(c) > hi)
     val carry: DataFrame => DataFrame = fresh =>
       mf.filter(!col("file").isin(touched.toSeq: _*)).unionByName(fresh)
@@ -1328,14 +1349,13 @@ object Maintenance {
     require(vs.contains(fromV) && vs.contains(toV),
       s"versions ($fromV, $toV) must both exist in $vs")
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
-    def files(v: Long): Set[String] = manifestOf(spark, path, v)
-      .select("file").collect().map(_.getString(0)).toSet
-    val before = files(fromV)
-    val after = files(toV)
+    val before = manifestFiles(spark, path, fromV)
+    val after = manifestFiles(spark, path, toV)
     def stateOf(fs: Set[String]): Option[DataFrame] =
       if (fs.isEmpty) None
       else Some(ivmState(
-        spark.read.parquet(fs.toIndexedSeq.sorted.map(f => s"$path/data/$f"): _*),
+        spark.read.option("mergeSchema", "true")
+          .parquet(fs.toIndexedSeq.sorted.map(f => s"$path/data/$f"): _*),
         keys, valueCol))
     val pos = stateOf(after -- before)
     val neg = stateOf(before -- after).map(_.select(

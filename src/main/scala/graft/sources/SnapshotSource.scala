@@ -197,20 +197,27 @@ class SnapshotWriteBuilder(path: String, options: CaseInsensitiveStringMap)
               .filter(_.nonEmpty)
             val exists = Maintenance
               .snapshotVersions(data.sparkSession, path).nonEmpty
-            // the manifest stats schema is part of the table contract:
-            // a writer that passes none (SQL INSERT INTO, a plain
-            // DataFrameWriter) inherits the TABLE's — an append with
-            // mismatched manifest columns must never be constructible
-            // through this path
-            val statsCols =
-              if (!exists || explicitStats.nonEmpty) explicitStats
-              else Maintenance.tableStatsCols(data.sparkSession, path)
             if (!exists)
-              Maintenance.snapshotWrite(data, path, nFiles, statsCols, clusterBy): Unit
+              Maintenance.snapshotWrite(data, path, nFiles, explicitStats,
+                clusterBy): Unit
             else if (doTruncate || overwrite)
-              Maintenance.snapshotReplace(data, path, nFiles, statsCols, clusterBy): Unit
-            else
-              Maintenance.snapshotAppend(data, path, nFiles, statsCols, clusterBy): Unit
+              // a REPLACE derives nothing from the old state (the
+              // snapshotReplace contract) — inheriting the old stats
+              // here would break a schema-changing WRITE_TRUNCATE
+              // whose new frame lacks the old stats column
+              Maintenance.snapshotReplace(data, path, nFiles, explicitStats,
+                clusterBy): Unit
+            else {
+              // APPENDS inherit the table's stats contract when the
+              // writer passes none (SQL INSERT INTO, a plain
+              // DataFrameWriter) — an append with mismatched manifest
+              // columns must never be constructible through this path
+              val statsCols =
+                if (explicitStats.nonEmpty) explicitStats
+                else Maintenance.tableStatsCols(data.sparkSession, path)
+              Maintenance.snapshotAppend(data, path, nFiles, statsCols,
+                clusterBy): Unit
+            }
           }
         }
     }

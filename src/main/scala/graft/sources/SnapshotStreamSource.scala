@@ -68,14 +68,25 @@ class SnapshotStreamSource(spark: SparkSession, path: String,
 
   private def ver(o: OffsetV1): Long = o.json.trim.toLong
 
-  override def getOffset: Option[OffsetV1] =
-    Maintenance.snapshotVersions(spark, path).lastOption.map { head =>
+  override def getOffset: Option[OffsetV1] = {
+    val vs = Maintenance.snapshotVersions(spark, path)
+    vs.lastOption.map { head =>
       val capped = maxVersionsPerTrigger match {
-        case Some(m) => math.min(head, floor.getOrElse(fromVersion) + m)
+        case Some(m) =>
+          // clamp the pacing base to just below the EARLIEST surviving
+          // version: after a vacuum, versions below vs.head no longer
+          // exist, and an unclamped fresh start (base = fromVersion =
+          // 0) would plan offset 0+m into the expired range and crash
+          // the stream forever; from vs.head-1 the first batch reads
+          // the earliest surviving manifest, which lists every visible
+          // file — the backfill, just paced
+          val base = math.max(floor.getOrElse(fromVersion), vs.head - 1)
+          math.min(head, base + m)
         case None => head
       }
       LongOffset(capped)
     }
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromV = start.map(ver).getOrElse(fromVersion)
@@ -96,12 +107,8 @@ class SnapshotStreamSource(spark: SparkSession, path: String,
         "(vacuumSnapshots keep); re-seed it with a fresh fromVersion")
     require(vs.contains(toV),
       s"planned version $toV not committed at $path")
-    def files(v: Long): Set[String] =
-      if (v == 0) Set.empty
-      else Maintenance.snapshotManifest(spark, path, Some(v))
-        .select("file").collect().map(_.getString(0)).toSet
-    val before = files(fromV)
-    val after = files(toV)
+    val before = Maintenance.manifestFiles(spark, path, fromV)
+    val after = Maintenance.manifestFiles(spark, path, toV)
     val removed = before -- after
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(

@@ -461,6 +461,83 @@ class Round10bSpec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("a paced fresh stream on a vacuumed table starts at the earliest surviving version") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_tailvac_").toFile
+    try {
+      val p = new java.io.File(stage, "table").getAbsolutePath
+      val ev = Tables.events(spark, sfDir)
+      def quarter(r: Int) = ev.filter(col("event_id") % 4 === r)
+      snapshotWrite(quarter(0), p, nFiles = 1, statsCols = Seq("event_id"))
+      for (r <- 1 to 3)
+        snapshotAppend(quarter(r), p, nFiles = 1, statsCols = Seq("event_id"))
+      vacuumSnapshots(spark, p, keep = 2) // versions 1,2 expire
+      assert(snapshotVersions(spark, p) == Seq(3L, 4L))
+      // pre-fix this crashed forever: the pacing base 0+1 planned the
+      // expired version 1
+      val name = s"graft_tailvac_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = spark.readStream.format("graft.sources.SnapshotSource")
+        .option("maxVersionsPerTrigger", 1L).load(p)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.table(name).count() == ev.count(),
+        "the paced backfill must read the earliest surviving manifest")
+    } finally rm(stage)
+  }
+
+  test("DSv2 overwrite with a new schema commits a fresh contract; appends still inherit") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_dsv2ow_").toFile
+    try {
+      val p = new java.io.File(stage, "t").getAbsolutePath
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .write.format("graft.sources.SnapshotSource")
+        .option("statsCols", "k").mode("overwrite").save(p)
+      // WRITE_TRUNCATE with a frame that lacks the old stats column —
+      // pre-fix the inherited statsCols made writtenFileStats throw on
+      // min(k) over a k-less batch AFTER the data had landed
+      Seq(("x", 1.5), ("y", 2.5)).toDF("name", "score")
+        .write.format("graft.sources.SnapshotSource")
+        .mode("overwrite").save(p)
+      assert(readSnapshot(spark, p).columns.toSeq == Seq("name", "score"))
+      assert(tableStatsCols(spark, p).isEmpty)
+      // and an append to a stats table still inherits the contract
+      val p2 = new java.io.File(stage, "t2").getAbsolutePath
+      Seq((1L, "a")).toDF("k", "v")
+        .write.format("graft.sources.SnapshotSource")
+        .option("statsCols", "k").mode("overwrite").save(p2)
+      Seq((2L, "b")).toDF("k", "v")
+        .write.format("graft.sources.SnapshotSource").mode("append").save(p2)
+      assert(tableStatsCols(spark, p2) == Seq("k"))
+    } finally rm(stage)
+  }
+
+  test("delete across schema generations keeps evolved columns; no-op returns the head") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_delsv_").toFile
+    try {
+      val p = stage.getAbsolutePath
+      snapshotWrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p,
+        nFiles = 1, statsCols = Seq("k"))
+      // evolution append: a later batch carries an ADDED column
+      snapshotAppend(Seq((3L, "c", 9.0), (4L, "d", 8.0)).toDF("k", "v", "w"),
+        p, nFiles = 1, statsCols = Seq("k"))
+      // the deleted range touches BOTH schema generations — pre-fix the
+      // single-footer read rewrote the survivors without w
+      snapshotDelete(spark, p, "k", 2L, 3L, nFiles = 1)
+      val out = readSnapshot(spark, p, mergeSchema = true).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))
+      assert(out.toSeq == Seq((1L, "a", null), (4L, "d", 8.0)),
+        "evolved column w must survive the rewrite")
+      // no-op delete: the returned id is the table's CURRENT head even
+      // when the (stale) pinned base saw nothing to touch
+      val head = snapshotVersions(spark, p).last
+      assert(snapshotDelete(spark, p, "k", 500L, 600L, nFiles = 1,
+        asOf = Some(1L)) == head)
+    } finally rm(stage)
+  }
+
   test("snapshot stream fromVersion skips the backfill") {
     val stage = java.nio.file.Files.createTempDirectory("graft_tailfrom_").toFile
     try {
