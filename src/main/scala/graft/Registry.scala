@@ -9,6 +9,7 @@ object Registry {
       operators.SwitchbackPipeline.ops ++
       operators.DailyPipeline.ops ++
       operators.Maintenance.ops ++
+      operators.SqlSurface.ops ++
       operators.Stats.ops ++
       operators.TimeSeries.ops ++
       operators.Dedup.ops ++

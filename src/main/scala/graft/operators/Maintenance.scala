@@ -273,7 +273,7 @@ object Maintenance {
     * the body run against it, and the result snapshotted through a
     * checkpoint so the returned frame outlives the deferred cleanup —
     * the one lifecycle invariant, held in one place. */
-  private def stagedQuery(prefix: String)(body: String => DataFrame): DataFrame = {
+  private[graft] def stagedQuery(prefix: String)(body: String => DataFrame): DataFrame = {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
     graft.CacheScope.defer(() => graft.sources.Sources.deleteRecursively(stage))
@@ -1268,6 +1268,241 @@ object Maintenance {
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_id < 100 OR event_id > 499
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ───── predicate-general row-level DML (the SQL-surface substrate) ──
+  //
+  // [[snapshotDelete]]/[[snapshotMerge]] above serve the Scala API's
+  // key-range / keyed-changeset shapes; the verbs below generalize the
+  // same copy-on-write mechanics to ARBITRARY predicates so
+  // `spark.sql("DELETE FROM lake.t WHERE …")`, `UPDATE`, and
+  // `MERGE INTO` ([[graft.plans.SnapshotDmlStrategy]]) land on one
+  // shared substrate: translate the predicate's conjuncts to v1
+  // filters, exclude every file whose manifest [min,max] stats PROVE
+  // no row can match, rewrite only the survivors, carry the rest
+  // verbatim, commit pinned to the base version.
+
+  /** File-survival predicate over a manifest's min/max stat columns
+    * for one v1 filter: None when the filter can't exclude files
+    * (unknown shape, or no stats on its column). Conjunctions narrow;
+    * an OR excludes a file only when BOTH branches do; everything
+    * else (IsNull, Not, string matchers, …) is conservative. Shared
+    * by the DSv2 scan pruner ([[graft.sources.SnapshotSource]]) and
+    * the DML verbs below — one pruning semantics, not two. */
+  private[graft] def manifestFilePredicate(mfCols: Set[String],
+      f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+    import org.apache.spark.sql.sources._
+    def stats(c: String): Boolean =
+      mfCols.contains(s"min_$c") && mfCols.contains(s"max_$c")
+    f match {
+      case EqualTo(c, v) if stats(c) =>
+        Some(col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
+      case GreaterThan(c, v) if stats(c) => Some(col(s"max_$c") > lit(v))
+      case GreaterThanOrEqual(c, v) if stats(c) => Some(col(s"max_$c") >= lit(v))
+      case LessThan(c, v) if stats(c) => Some(col(s"min_$c") < lit(v))
+      case LessThanOrEqual(c, v) if stats(c) => Some(col(s"min_$c") <= lit(v))
+      case In(c, vs) if stats(c) && vs.nonEmpty =>
+        Some(vs.toIndexedSeq
+          .map(v => col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
+          .reduce(_ || _))
+      case And(l, r) =>
+        (manifestFilePredicate(mfCols, l), manifestFilePredicate(mfCols, r)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b)
+        }
+      case Or(l, r) =>
+        for (a <- manifestFilePredicate(mfCols, l);
+             b <- manifestFilePredicate(mfCols, r)) yield a || b
+      case _ => None
+    }
+  }
+
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The files of `mf` that MAY hold rows matching `cond` —
+    * conservative: a file drops out only when a translated conjunct's
+    * stats range proves no row in it can match. Untranslatable
+    * conjuncts simply don't prune (the caller re-applies the full
+    * predicate row-level, so pruning is purely a cost lever).
+    * `schemaDf` is any frame in the table's schema: the predicate is
+    * RESOLVED against it first (the v1 translator asks expression
+    * dataTypes, which an unresolved column can't answer). */
+  private[graft] def touchedFiles(mf: DataFrame, schemaDf: DataFrame,
+      cond: Column): Set[String] = {
+    val resolved = schemaDf.filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalStateException(
+      s"could not resolve DML predicate ${cond} against the table schema"))
+    val mfCols = mf.columns.toSet
+    val preds = splitConjuncts(resolved)
+      .flatMap(org.apache.spark.sql.graft.Bridge.translateFilter)
+      .flatMap(manifestFilePredicate(mfCols, _))
+    preds.foldLeft(mf)((m, p) => m.filter(p))
+      .select("file").collect().map(_.getString(0)).toSet
+  }
+
+  /** mergeSchema read of a touched-file set (or the version's empty
+    * frame when none) — the one read shape every copy-on-write rewrite
+    * uses: a touched set spanning schema generations must not rewrite
+    * survivors without their evolved columns. */
+  private[graft] def readDataFiles(spark: SparkSession, path: String,
+      files: Set[String], fallbackV: Long): DataFrame =
+    if (files.isEmpty)
+      readSnapshot(spark, path, Some(fallbackV), mergeSchema = true)
+        .filter(lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.toIndexedSeq.sorted.map(f => s"$path/data/$f"): _*)
+
+  /** The copy-on-write commit every row-level verb shares: write
+    * `replacement` as the new content of the `touched` files, carry
+    * every untouched manifest row VERBATIM, commit pinned to `baseV`
+    * (a concurrent commit in the read-rewrite window throws). */
+  private[graft] def rewriteFilesCommit(spark: SparkSession, path: String,
+      mf: DataFrame, touched: Set[String], replacement: DataFrame,
+      nFiles: Int, clusterBy: Option[Column], baseV: Long): Long = {
+    val carry: DataFrame => DataFrame = fresh =>
+      mf.filter(!col("file").isin(touched.toSeq: _*)).unionByName(fresh)
+    commitSnapshot(replacement, path, nFiles, carry, manifestStatsCols(mf),
+      clusterBy, Some(baseV))
+  }
+
+  /** Shared DML admission: resolve the base version + manifest, refuse
+    * the layout row-level rewrites can't serve (streaming-sink tables
+    * commit stat-less batches — compact them into a batch table
+    * first). */
+  private[graft] def dmlBase(spark: SparkSession, path: String,
+      asOf: Option[Long], verb: String): (Long, DataFrame) = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions to $verb")
+    val baseV = asOf.getOrElse(vs.last)
+    require(vs.contains(baseV), s"version $baseV not in $vs")
+    val mf = manifestOf(spark, path, baseV)
+    require(!mf.columns.contains("batch_id"),
+      s"$path is a streaming-sink table (stat-less batches) — compact it " +
+        s"into a stats-carrying batch table before a row-level $verb")
+    (baseV, mf)
+  }
+
+  /** The rewrite's re-cluster key: the table's first stats column (its
+    * declared layout key), so a rewritten region keeps tight per-file
+    * stats instead of decaying to full-domain ranges. */
+  private def dmlClusterBy(mf: DataFrame): Option[Column] =
+    manifestStatsCols(mf).headOption.map(col)
+
+  /** `cond` as an exact partition selector: Some(partition value) when
+    * the table is partitioned, `cond` is a bare `c = literal` on a
+    * stats column, and every live file is partition-pure on `c`
+    * (min = max = its declared partition — the purity
+    * [[snapshotOverwritePartition]] enforces at write). Then rows
+    * matching `cond` are exactly the partition's files and a DELETE is
+    * the metadata-only [[snapshotDropPartition]]. */
+  private def partitionEqualityValue(mf: DataFrame, cond: Column)
+      : Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal, EqualTo => CEq}
+    // the SQL path hands conditions remapped to UnresolvedAttribute
+    // (resolution happens against the re-read frame); the Scala path
+    // hands resolved references — accept a bare column either way
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.nameParts.last)
+      case _ => None
+    }
+    def check(c: String, l: Literal): Option[String] = {
+      val mfCols = mf.columns.toSet
+      if (l.value == null) return None
+      if (!mfCols.contains(s"min_$c") || !mfCols.contains(s"max_$c")) return None
+      val impure = mf.filter(col("n_rows") > 0 &&
+        (col(s"min_$c").cast("string") =!= col("part") ||
+          col(s"max_$c").cast("string") =!= col("part"))).limit(1).count()
+      if (impure > 0) None else Some(l.value.toString)
+    }
+    org.apache.spark.sql.graft.Bridge.expression(cond) match {
+      case CEq(x, l: Literal) if nameOf(x).isDefined => check(nameOf(x).get, l)
+      case CEq(l: Literal, x) if nameOf(x).isDefined => check(nameOf(x).get, l)
+      case _ => None
+    }
+  }
+
+  /** Row-level DELETE of an ARBITRARY predicate — the substrate behind
+    * `spark.sql("DELETE FROM <cat>.t WHERE …")`. Manifest-pruned
+    * copy-on-write: only files whose stats admit a match are read and
+    * rewritten with the complement (rows where `cond` is false or
+    * NULL survive — SQL DELETE semantics); untouched files carry
+    * verbatim. A predicate that provably touches no file is a
+    * metadata no-op. On a PARTITIONED table, a bare
+    * `partitionCol = literal` predicate routes to the metadata-only
+    * [[snapshotDropPartition]] (retention-by-SQL, zero data work at
+    * any size); any other shape refuses — partitioned tables re-land
+    * whole partitions to keep the purity-proof layout.
+    * `nFiles` <= 0 sizes the rewrite to the touched-file count.
+    * Returns the version the table is at after the call. */
+  def snapshotDeleteWhere(spark: SparkSession, path: String, cond: Column,
+      nFiles: Int = -1, asOf: Option[Long] = None): Long = {
+    val (baseV, mf) = dmlBase(spark, path, asOf, "DELETE")
+    if (mf.columns.contains("part")) {
+      val v = partitionEqualityValue(mf, cond).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is a partitioned snapshot table — SQL DELETE supports " +
+            "only a bare partition-equality predicate there (the " +
+            "metadata-only partition drop); re-land the partition for " +
+            "row-level deletes"))
+      if (mf.filter(col("part") === v).limit(1).count() == 0)
+        return snapshotVersions(spark, path).last // no such partition: no-op
+      return snapshotDropPartition(spark, path, v)
+    }
+    val touched = touchedFiles(mf, readSnapshot(spark, path, Some(baseV)), cond)
+    if (touched.isEmpty) return snapshotVersions(spark, path).last
+    val residual = readDataFiles(spark, path, touched, baseV)
+      .filter(!coalesce(cond, lit(false)))
+    val n = if (nFiles > 0) nFiles else touched.size
+    rewriteFilesCommit(spark, path, mf, touched, residual, n,
+      dmlClusterBy(mf), baseV)
+  }
+
+  /** Row-level UPDATE of an ARBITRARY predicate — the substrate behind
+    * `spark.sql("UPDATE <cat>.t SET … WHERE …")`. Manifest-pruned
+    * copy-on-write: only files whose stats admit a match are read;
+    * matched rows (cond true — false/NULL rows pass through untouched,
+    * SQL semantics) get the assignments applied, every value cast back
+    * to the column's stored type so the rewritten files cannot drift
+    * the table schema; evolved columns outside the assignment list
+    * pass through. A predicate that provably touches no file is a
+    * metadata no-op. Partitioned tables refuse (re-land the
+    * partition). `nFiles` <= 0 sizes the rewrite to the touched-file
+    * count. Returns the version the table is at after the call. */
+  def snapshotUpdateWhere(spark: SparkSession, path: String, cond: Column,
+      set: Seq[(String, Column)], nFiles: Int = -1,
+      asOf: Option[Long] = None): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val (baseV, mf) = dmlBase(spark, path, asOf, "UPDATE")
+    require(!mf.columns.contains("part"),
+      s"$path is a partitioned snapshot table — update a partition by " +
+        "re-landing it (snapshotOverwritePartition), which keeps the " +
+        "purity-proof layout")
+    val touched = touchedFiles(mf, readSnapshot(spark, path, Some(baseV)), cond)
+    if (touched.isEmpty) return snapshotVersions(spark, path).last
+    val base = readDataFiles(spark, path, touched, baseV)
+    set.foreach { case (n, _) =>
+      require(base.columns.exists(_.equalsIgnoreCase(n)),
+        s"UPDATE SET column '$n' is not a column of $path " +
+          s"(${base.columns.mkString(", ")})")
+    }
+    val hit = coalesce(cond, lit(false))
+    val updated = base.select(base.columns.toIndexedSeq.map { c =>
+      set.collectFirst { case (n, v) if n.equalsIgnoreCase(c) =>
+        when(hit, v.cast(base.schema(c).dataType)).otherwise(col(c)).as(c)
+      }.getOrElse(col(c))
+    }: _*)
+    val n = if (nFiles > 0) nFiles else touched.size
+    rewriteFilesCommit(spark, path, mf, touched, updated, n,
+      dmlClusterBy(mf), baseV)
+  }
 
   // ───── incremental view maintenance over version deltas ─────────────
 

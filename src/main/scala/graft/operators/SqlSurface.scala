@@ -1,0 +1,281 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL DML migration surface, gate-checked end to end: each
+  * query stages a snapshot table behind a per-run
+  * [[graft.sources.SnapshotCatalog]], issues real
+  * `spark.sql("DELETE/UPDATE/MERGE …")` statements against it (planned
+  * by [[graft.plans.SnapshotDmlStrategy]] onto the copy-on-write
+  * verbs), and answers an aggregate over the post-DML table read back
+  * through the snapshot reader — so the DuckDB oracle hash-checks the
+  * WHOLE chain: SQL parse → analyzer-aligned assignments → manifest
+  * file pruning → rewrite → atomic commit → versioned read.
+  *
+  * The reference's users write BigQuery SQL scripts
+  * (data_extraction_queries_automated_script.sql); these queries are
+  * the proof that a user migrating a DML-shaped statement needs no
+  * Scala at all. Round10cSpec pins the cost side the oracles can't
+  * see: DML rewrites only stats-intersecting files, no-op predicates
+  * commit nothing, and a partition-equality DELETE on a partitioned
+  * table is metadata-only.
+  */
+object SqlSurface {
+
+  /** Register a per-run snapshot catalog rooted at `root`, hand its
+    * name to `body`, and drop the conf keys after (the catalog
+    * INSTANCE stays cached by its unique name — harmless). */
+  private[graft] def withCatalog[T](spark: SparkSession, root: String)(
+      body: String => T): T = {
+    val cat = s"graft_sql_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try body(cat) finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
+  import graft.functions.Compat._
+
+  /** SQL DELETE: stage events key-clustered into 8 stats-carrying
+    * files, delete a range with a residual (non-stats) conjunct —
+    * `event_id BETWEEN 100 AND 499 AND event_type <> 'purchase'`
+    * prunes on the id stats and re-filters on type row-level — and
+    * aggregate the survivors. */
+  def sqlDelete(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqldel") { p =>
+      val ev = Tables.events(spark, dir)
+      Maintenance.snapshotWrite(ev, s"$p/ev", nFiles = 8,
+        statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+      withCatalog(spark, p) { cat =>
+        spark.sql(s"DELETE FROM $cat.ev WHERE event_id BETWEEN 100 AND 499 " +
+          "AND event_type <> 'purchase'")
+      }
+      Maintenance.readSnapshot(spark, s"$p/ev")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }
+
+  private val sqlDeleteOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_id < 100 OR event_id > 499 OR event_type = 'purchase'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** SQL UPDATE: stage orders key-clustered, bump every open order in
+    * the low key range (`o_orderkey <= 1000 AND o_orderstatus = 'O'`
+    * — stats-pruned on the key, residual on status) by an
+    * exactly-representable +1000.0 and flip it to 'R', then aggregate
+    * by status. The +1000.0 is additive ON PURPOSE: bit-identical in
+    * any engine, so the oracle hash-checks the assignment itself. */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlupd") { p =>
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Maintenance.snapshotWrite(o, s"$p/orders_t", nFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+      withCatalog(spark, p) { cat =>
+        spark.sql(s"UPDATE $cat.orders_t SET o_totalprice = o_totalprice " +
+          "+ 1000.0, o_orderstatus = 'R' " +
+          "WHERE o_orderkey <= 1000 AND o_orderstatus = 'O'")
+      }
+      Maintenance.readSnapshot(spark, s"$p/orders_t")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy("status")
+    }
+
+  private val sqlUpdateOracle =
+    """SELECT CASE WHEN o_orderkey <= 1000 AND o_orderstatus = 'O'
+      |    THEN 'R' ELSE o_orderstatus END AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_orderkey <= 1000 AND o_orderstatus = 'O'
+      |    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** The MERGE changeset, defined ONCE as SQL over a table named
+    * `$orders` so the Spark side (temp view) and the DuckDB oracle
+    * (parquet table) evaluate the identical statement: updates for
+    * keys ≡0 (mod 7) (excluding the deletes), deletes for keys ≡0
+    * (mod 11), inserts above the key space. Keys are disjoint across
+    * ops and unique — the standard's cardinality precondition. */
+  private def changesetSql(orders: String): String =
+    s"""SELECT o_orderkey, 'U' AS op, o_totalprice + 500.0 AS price
+       |FROM $orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+       |UNION ALL
+       |SELECT o_orderkey, 'D', 0.0 FROM $orders WHERE o_orderkey % 11 = 0
+       |UNION ALL
+       |SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM $orders), 'I',
+       |  o_totalprice + 250.0
+       |FROM $orders WHERE o_orderkey % 13 = 0""".stripMargin
+
+  /** SQL MERGE: the full three-clause statement — conditional DELETE,
+    * UPDATE, and conditional INSERT — against the staged orders
+    * snapshot, with the pruning path live (ON is an equality on the
+    * stats column). */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlmrg") { p =>
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Maintenance.snapshotWrite(o, s"$p/orders_t", nFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val srcView = s"graft_sqlmrg_orders_$tag"
+      val chgView = s"graft_sqlmrg_chg_$tag"
+      o.createOrReplaceTempView(srcView)
+      try {
+        spark.sql(s"CREATE OR REPLACE TEMP VIEW $chgView AS " +
+          changesetSql(srcView))
+        withCatalog(spark, p) { cat =>
+          spark.sql(
+            s"""MERGE INTO $cat.orders_t t USING $chgView c
+               |ON t.o_orderkey = c.o_orderkey
+               |WHEN MATCHED AND c.op = 'D' THEN DELETE
+               |WHEN MATCHED AND c.op = 'U' THEN UPDATE SET o_totalprice = c.price
+               |WHEN NOT MATCHED AND c.op = 'I' THEN
+               |  INSERT (o_orderkey, o_orderstatus, o_totalprice)
+               |  VALUES (c.o_orderkey, 'N', c.price)""".stripMargin)
+        }
+      } finally {
+        spark.catalog.dropTempView(chgView): Unit
+        spark.catalog.dropTempView(srcView): Unit
+      }
+      Maintenance.readSnapshot(spark, s"$p/orders_t")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy("status")
+    }
+
+  private val sqlMergeOracle = {
+    val chg = changesetSql("orders")
+    s"""WITH chg AS ($chg),
+       |base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       |merged AS (
+       |  SELECT b.o_orderkey, b.o_orderstatus,
+       |    CASE WHEN c.op = 'U' THEN c.price ELSE b.o_totalprice END
+       |      AS o_totalprice
+       |  FROM base b LEFT JOIN chg c ON b.o_orderkey = c.o_orderkey
+       |  WHERE c.op IS NULL OR c.op <> 'D'
+       |  UNION ALL
+       |  SELECT c.o_orderkey, 'N', c.price FROM chg c
+       |  WHERE c.op = 'I'
+       |    AND NOT EXISTS (SELECT 1 FROM base b
+       |                    WHERE b.o_orderkey = c.o_orderkey))
+       |SELECT o_orderstatus AS status, COUNT(*) AS n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       |FROM merged GROUP BY 1 ORDER BY status""".stripMargin
+  }
+
+  /** CREATE OR REPLACE TABLE … AS SELECT through the staging catalog —
+    * the reference DAG's exact write idiom
+    * (data_extraction_queries_automated_script.sql:7+: every step is a
+    * CoR chain), landed as snapshot VERSIONS: the first CTAS commits
+    * v1 (the even half), the re-land replaces it as v2 (WRITE_TRUNCATE
+    * with history), and the answer unions `VERSION AS OF 1` with the
+    * head — a replace that dropped/recreated the table instead of
+    * versioning it would have no v1 to answer and fail the gate. */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlctas") { p =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val view = s"graft_sqlctas_ev_$tag"
+      Tables.events(spark, dir).createOrReplaceTempView(view)
+      try withCatalog(spark, p) { cat =>
+        val props = "TBLPROPERTIES('statsCols'='event_id'," +
+          "'clusterBy'='event_id','nFiles'='4')"
+        spark.sql(s"CREATE TABLE $cat.ev_daily $props AS " +
+          s"SELECT event_id, event_type, value FROM $view WHERE event_id % 2 = 0")
+        spark.sql(s"CREATE OR REPLACE TABLE $cat.ev_daily $props AS " +
+          s"SELECT event_id, event_type, value FROM $view")
+        spark.sql(
+          s"""SELECT version, event_type, n, sum_value FROM (
+             |  SELECT CAST(1 AS BIGINT) AS version, event_type,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |  FROM $cat.ev_daily VERSION AS OF 1 GROUP BY event_type
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |  FROM $cat.ev_daily GROUP BY event_type)
+             |ORDER BY version, event_type""".stripMargin)
+      } finally spark.catalog.dropTempView(view): Unit
+    }
+
+  private val sqlCtasOracle =
+    """SELECT CAST(1 AS BIGINT) AS version, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM events GROUP BY event_type
+      |ORDER BY version, event_type""".stripMargin
+
+  /** A whole reference-shaped SQL SCRIPT through [[graft.SqlScript]]:
+    * DECLARE a session variable, CoR-create the extraction table
+    * bounded by it, re-SET the variable and re-land (the daily run),
+    * then answer both versions — the BQ-script migration story run as
+    * ONE flat text, no Scala between statements. The oracle inlines
+    * the two variable values, so the gate checks variable substitution
+    * actually reached both CTAS bodies. */
+  def sqlScript(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlscript") { p =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val view = s"graft_sqlscript_o_$tag"
+      val cutVar = s"graft_cut_$tag"
+      Tables.orders(spark, dir).createOrReplaceTempView(view)
+      try withCatalog(spark, p) { cat =>
+        val props = "TBLPROPERTIES('statsCols'='o_orderkey'," +
+          "'clusterBy'='o_orderkey','nFiles'='4')"
+        graft.SqlScript.run(spark,
+          s"""-- the reference DAG's extraction chain, as one script
+             |DECLARE $cutVar BIGINT DEFAULT 500;
+             |CREATE OR REPLACE TABLE $cat.sq_orders $props AS
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice
+             |  FROM $view WHERE o_orderkey <= $cutVar;  -- first land
+             |SET VAR $cutVar = 1000;
+             |CREATE OR REPLACE TABLE $cat.sq_orders $props AS
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice
+             |  FROM $view WHERE o_orderkey <= $cutVar;  /* re-land */
+             |SELECT version, status, n, revenue FROM (
+             |  SELECT CAST(1 AS BIGINT) AS version, o_orderstatus AS status,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |      AS revenue
+             |  FROM $cat.sq_orders VERSION AS OF 1 GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), o_orderstatus, COUNT(*),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |  FROM $cat.sq_orders GROUP BY o_orderstatus)
+             |ORDER BY version, status""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(view): Unit
+        spark.sql(s"DROP TEMPORARY VARIABLE IF EXISTS $cutVar"): Unit
+      }
+    }
+
+  private val sqlScriptOracle =
+    """SELECT CAST(1 AS BIGINT) AS version, o_orderstatus AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders WHERE o_orderkey <= 500 GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), o_orderstatus, COUNT(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM orders WHERE o_orderkey <= 1000 GROUP BY o_orderstatus
+      |ORDER BY version, status""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q_sql_delete", sqlDelete, Some(sqlDeleteOracle)),
+    Op("q_sql_update", sqlUpdate, Some(sqlUpdateOracle)),
+    Op("q_sql_merge", sqlMerge, Some(sqlMergeOracle)),
+    Op("q_sql_ctas", sqlCtas, Some(sqlCtasOracle)),
+    Op("q_sql_script", sqlScript, Some(sqlScriptOracle)),
+  )
+}

@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RectPipRule)
     // physical planning for the native top-k-per-group operator
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // SQL DELETE/UPDATE/MERGE onto versioned snapshot tables
+    ext.injectPlannerStrategy(_ => SnapshotDmlStrategy)
   }
 }
 

@@ -1,9 +1,12 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -38,7 +41,7 @@ import graft.operators.Maintenance
   * paths, so tables relocate); ALTER is refused — schema evolution is
   * an append-time property ([[Maintenance.readSnapshot]]'s
   * mergeSchema), not a metadata edit. */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -112,6 +115,52 @@ class SnapshotCatalog extends TableCatalog {
         s"$catalogName.${ident.name()} ..., df.write…save(), or the Scala API")
   }
 
+  // ───── CTAS / CREATE OR REPLACE … AS SELECT (StagingTableCatalog) ───
+  //
+  // The reference DAG's whole write discipline is CREATE-OR-REPLACE
+  // chains (data_extraction_queries_automated_script.sql:7+). Staged
+  // creation maps them onto snapshot commits with HISTORY KEPT: the
+  // replace lands as a new version ([[Maintenance.snapshotReplace]] —
+  // WRITE_TRUNCATE as a version), so yesterday's table stays one
+  // `VERSION AS OF` away until vacuum. The non-staging fallback
+  // (drop + recreate) would delete the table directory and its
+  // history — exactly what this catalog refuses to do silently.
+  //
+  // Protocol note: the staged write commits through the snapshot
+  // layer's own atomic marker-verified rename inside the V1 insert;
+  // commitStagedChanges is then a no-op and abortStagedChanges has
+  // nothing to clean (an aborted write leaves only self-cleaning
+  // staging dirs, never a published version).
+
+  private def staged(ident: Identifier, info: TableInfo,
+      replace: Boolean): StagedTable = {
+    require(info.partitions().isEmpty,
+      s"snapshot tables don't take a CTAS PARTITIONED BY clause — land " +
+        "partitions through snapshotOverwritePartition (or day-keyed " +
+        "appends); file-level stats pruning comes from the statsCols " +
+        "table property")
+    val props = info.properties().asScala
+    StagedSnapshotTable(pathFor(ident), replace, info.schema(),
+      nFiles = props.get("nFiles").map(_.toInt).getOrElse(4),
+      statsCols = props.get("statsCols").toSeq
+        .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)),
+      clusterBy = props.get("clusterBy").map(_.trim).filter(_.nonEmpty))
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    staged(ident, info, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, info, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    staged(ident, info, replace = exists(ident))
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "snapshot tables evolve by appending (mergeSchema reads), not ALTER")
@@ -136,4 +185,51 @@ class SnapshotCatalog extends TableCatalog {
       new org.apache.hadoop.fs.Path(pathFor(newIdent))),
       s"rename ${oldIdent} -> ${newIdent} failed")
   }
+}
+
+/** One staged CTAS/RTAS target: the query's rows arrive through the
+  * V1 insert and commit as snapshot version N+1 (`replace` = the
+  * CREATE-OR-REPLACE-over-existing case) or version 1 (fresh create)
+  * — atomic either way via the snapshot layer's marker-verified
+  * rename, so commitStagedChanges has nothing left to publish. Table
+  * properties `nFiles` / `statsCols` / `clusterBy` carry the layout
+  * contract into the committed manifest exactly as the
+  * DataFrameWriter options do. */
+case class StagedSnapshotTable(path: String, replace: Boolean,
+    declared: StructType, nFiles: Int, statsCols: Seq[String],
+    clusterBy: Option[String]) extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = s"graft_snapshot_staged($path)"
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+        this // the staged create IS the truncation decision
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (replace)
+                  Maintenance.snapshotReplace(data, path, nFiles, statsCols,
+                    clusterBy): Unit
+                else
+                  Maintenance.snapshotWrite(data, path, nFiles, statsCols,
+                    clusterBy): Unit
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = ()
 }

@@ -259,35 +259,13 @@ class SnapshotScanBuilder(spark: SparkSession, path: String, version: Long,
   private def pushedV1: Array[Filter] =
     pushedExprs.flatMap(org.apache.spark.sql.graft.Bridge.translateFilter).toArray
 
-  /** Manifest survival predicate for one pushed filter: None when the
-    * filter can't exclude files (unknown shape, or no stats on its
-    * column). Conjunctions narrow; everything else is conservative. */
+  /** Manifest survival predicate for one pushed filter — delegated to
+    * the snapshot layer's single pruning semantics
+    * ([[Maintenance.manifestFilePredicate]], also the SQL DML verbs'
+    * pruner) so the two surfaces cannot drift. */
   private def filePredicate(mfCols: Set[String], f: Filter)
-      : Option[org.apache.spark.sql.Column] = {
-    def stats(c: String): Boolean =
-      mfCols.contains(s"min_$c") && mfCols.contains(s"max_$c")
-    f match {
-      case EqualTo(c, v) if stats(c) =>
-        Some(col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
-      case GreaterThan(c, v) if stats(c) => Some(col(s"max_$c") > lit(v))
-      case GreaterThanOrEqual(c, v) if stats(c) => Some(col(s"max_$c") >= lit(v))
-      case LessThan(c, v) if stats(c) => Some(col(s"min_$c") < lit(v))
-      case LessThanOrEqual(c, v) if stats(c) => Some(col(s"min_$c") <= lit(v))
-      case In(c, vs) if stats(c) && vs.nonEmpty =>
-        Some(vs.map(v => col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
-          .reduce(_ || _))
-      case And(l, r) =>
-        (filePredicate(mfCols, l), filePredicate(mfCols, r)) match {
-          case (Some(a), Some(b)) => Some(a && b)
-          case (a, b) => a.orElse(b)
-        }
-      case Or(l, r) =>
-        // an OR excludes a file only when BOTH branches do
-        for (a <- filePredicate(mfCols, l); b <- filePredicate(mfCols, r))
-          yield a || b
-      case _ => None // IsNull, Not, string matchers, …: never exclude
-    }
-  }
+      : Option[org.apache.spark.sql.Column] =
+    Maintenance.manifestFilePredicate(mfCols, f)
 
   override def build(): Scan = {
     val mf = Maintenance.snapshotManifest(spark, path, Some(version))

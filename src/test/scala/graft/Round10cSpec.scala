@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Maintenance._
+import graft.operators.SqlSurface
+
+/** Round-10 continuation: the SQL DML surface's cost and discipline
+  * invariants — what the q_sql_* oracles can't see. Each case stages a
+  * catalog-registered snapshot table and drives REAL
+  * `spark.sql("DELETE/UPDATE/MERGE …")` statements through
+  * [[graft.plans.SnapshotDmlStrategy]]. */
+class Round10cSpec extends SparkSpec {
+
+  private def rm(f: java.io.File): Unit = sources.Sources.deleteRecursively(f)
+
+  /** (absolute path, size) of every live data file — byte-identity
+    * evidence that a file was carried, not rewritten. */
+  private def dataFiles(stage: java.io.File): Set[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.toSeq.flatMap(walk)
+      else Seq(f)
+    // catalog tables live at <root>/<name>/data
+    walk(new java.io.File(stage, "t/data")).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getAbsolutePath, f.length())).toSet
+  }
+
+  private def manifestFileSet(p: String, v: Long): Set[String] =
+    snapshotManifest(spark, p, Some(v)).select("file").collect()
+      .map(_.getString(0)).toSet
+
+  private def withTable[T](prefix: String)(body: (String, java.io.File) => T): T = {
+    val stage = java.nio.file.Files.createTempDirectory(prefix).toFile
+    try body(stage.getAbsolutePath, stage) finally rm(stage)
+  }
+
+  private def staged100(p: String): Unit = {
+    import spark.implicits._
+    val df = (1L to 100L).map(k => (k, s"s$k", k * 1.0)).toDF("k", "s", "v")
+    snapshotWrite(df, s"$p/t", nFiles = 4,
+      statsCols = Seq("k"), clusterBy = Some("k")): Unit
+  }
+
+  test("SQL DELETE rewrites only stats-intersecting files; the rest carry byte-identical") {
+    withTable("graft_sqldml_") { (p, stage) =>
+      staged100(p)
+      val before = dataFiles(stage)
+      val mfBefore = manifestFileSet(s"$p/t", 1L)
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"DELETE FROM $cat.t WHERE k BETWEEN 10 AND 19")
+      }
+      val mfAfter = manifestFileSet(s"$p/t", 2L)
+      // 4 range-clustered files of 25 keys: [10,19] lives in exactly one
+      val carried = mfBefore intersect mfAfter
+      assert(carried.size == 3,
+        s"expected 3 of 4 files carried, got ${carried.size}")
+      // copy-on-write: every pre-delete file survives untouched on disk
+      // (v1 still references the rewritten one), and exactly ONE new
+      // file landed — the touched file's residual rewrite
+      val after = dataFiles(stage)
+      assert(before.subsetOf(after),
+        "copy-on-write must never modify or remove existing files")
+      assert((after -- before).size == 1,
+        s"expected exactly 1 rewritten file, got ${(after -- before).size}")
+      assert(readSnapshot(spark, s"$p/t").count() == 90)
+      // history intact: v1 still answers the pre-delete table
+      assert(readSnapshot(spark, s"$p/t", Some(1L)).count() == 100)
+    }
+  }
+
+  test("SQL DELETE/UPDATE with a provably-unmatched predicate commit no version") {
+    withTable("graft_sqldml_") { (p, _) =>
+      staged100(p)
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"DELETE FROM $cat.t WHERE k > 5000")
+        spark.sql(s"UPDATE $cat.t SET v = 0.0 WHERE k < -5")
+      }
+      assert(snapshotVersions(spark, s"$p/t") == Seq(1L),
+        "no-op DML must not commit versions")
+    }
+  }
+
+  test("SQL UPDATE applies assignments only to matched rows and keeps column types") {
+    withTable("graft_sqldml_") { (p, _) =>
+      staged100(p)
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"UPDATE $cat.t SET v = v * 2, s = concat(s, '!') WHERE k >= 90")
+      }
+      val t = readSnapshot(spark, s"$p/t")
+      assert(t.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+      assert(t.filter(col("k") >= 90 && col("s").endsWith("!")).count() == 11)
+      assert(t.filter(col("k") < 90 && col("s").endsWith("!")).count() == 0)
+      assert(t.agg(sum("v")).head.getDouble(0) ==
+        (1 to 89).map(_.toDouble).sum + (90 to 100).map(_ * 2.0).sum)
+    }
+  }
+
+  test("SQL MERGE prunes to source-key files, carries the rest, clusters the rewrite") {
+    withTable("graft_sqldml_") { (p, stage) =>
+      import spark.implicits._
+      staged100(p)
+      val before = dataFiles(stage)
+      val mfBefore = manifestFileSet(s"$p/t", 1L)
+      Seq((15L, 1500.0), (17L, 1700.0)).toDF("k", "nv")
+        .createOrReplaceTempView("chg10c")
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"MERGE INTO $cat.t USING chg10c ON $cat.t.k = chg10c.k " +
+          "WHEN MATCHED THEN UPDATE SET v = chg10c.nv")
+      }
+      spark.catalog.dropTempView("chg10c"): Unit
+      val mfAfter = manifestFileSet(s"$p/t", 2L)
+      assert((mfBefore intersect mfAfter).size == 3,
+        "only the file holding keys 15/17 may be rewritten")
+      val after = dataFiles(stage)
+      assert(before.subsetOf(after) && (after -- before).size == 1,
+        "merge must land exactly one rewritten file and touch nothing else")
+      val t = readSnapshot(spark, s"$p/t")
+      assert(t.filter(col("k") === 15).head.getDouble(2) == 1500.0)
+      assert(t.count() == 100)
+    }
+  }
+
+  test("SQL MERGE throws on cardinality violation without committing") {
+    withTable("graft_sqldml_") { (p, _) =>
+      import spark.implicits._
+      staged100(p)
+      Seq((15L, "a"), (15L, "b")).toDF("k", "s2")
+        .createOrReplaceTempView("dup10c")
+      val e = intercept[Exception] {
+        SqlSurface.withCatalog(spark, p) { cat =>
+          spark.sql(s"MERGE INTO $cat.t USING dup10c ON $cat.t.k = dup10c.k " +
+            "WHEN MATCHED THEN UPDATE SET s = dup10c.s2")
+        }
+      }
+      spark.catalog.dropTempView("dup10c"): Unit
+      assert(e.getMessage.contains("cardinality"))
+      assert(snapshotVersions(spark, s"$p/t") == Seq(1L),
+        "a failed MERGE must not commit")
+    }
+  }
+
+  test("SQL MERGE NOT MATCHED BY SOURCE clause rewrites unreferenced rows") {
+    withTable("graft_sqldml_") { (p, _) =>
+      import spark.implicits._
+      staged100(p)
+      Seq((15L, 1500.0)).toDF("k", "nv").createOrReplaceTempView("nmbs10c")
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"MERGE INTO $cat.t USING nmbs10c ON $cat.t.k = nmbs10c.k " +
+          "WHEN MATCHED THEN UPDATE SET v = nmbs10c.nv " +
+          "WHEN NOT MATCHED BY SOURCE AND k > 98 THEN DELETE")
+      }
+      spark.catalog.dropTempView("nmbs10c"): Unit
+      val t = readSnapshot(spark, s"$p/t")
+      assert(t.count() == 98) // 99,100 deleted; 15 updated
+      assert(t.filter(col("k") === 15).head.getDouble(2) == 1500.0)
+    }
+  }
+
+  test("partition-equality SQL DELETE on a partitioned table is metadata-only") {
+    withTable("graft_sqldml_") { (p, stage) =>
+      import spark.implicits._
+      val t = s"$p/t"
+      def day(d: Int) = (1L to 10L).map(k => (d, d * 100L + k, k * 1.0))
+        .toDF("day", "k", "v")
+      snapshotOverwritePartition(day(1), t, "day", "1", nFiles = 1)
+      snapshotOverwritePartition(day(2), t, "day", "2", nFiles = 1)
+      snapshotOverwritePartition(day(3), t, "day", "3", nFiles = 1)
+      val before = dataFiles(stage)
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"DELETE FROM $cat.t WHERE day = 2")
+      }
+      assert(dataFiles(stage) == before,
+        "partition drop must write and delete nothing (metadata-only)")
+      val head = readSnapshot(spark, t)
+      assert(head.count() == 20)
+      assert(head.filter(col("day") === 2).count() == 0)
+      // a non-partition predicate refuses rather than breaking purity
+      val e = intercept[Exception] {
+        SqlSurface.withCatalog(spark, p) { cat =>
+          spark.sql(s"DELETE FROM $cat.t WHERE k = 105")
+        }
+      }
+      assert(e.getMessage.contains("partition"))
+    }
+  }
+
+  test("DML refuses time-travel targets and subquery predicates") {
+    withTable("graft_sqldml_") { (p, _) =>
+      staged100(p)
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"DELETE FROM $cat.t WHERE k = 1") // head moves to v2
+        val e1 = intercept[Exception] {
+          spark.sql(s"DELETE FROM $cat.t VERSION AS OF 1 WHERE k = 2")
+        }
+        assert(e1.getMessage.contains("time-travel") ||
+          e1.getMessage.contains("VERSION"))
+        val e2 = intercept[Exception] {
+          spark.sql(s"DELETE FROM $cat.t WHERE k IN (SELECT k FROM $cat.t WHERE k < 5)")
+        }
+        assert(e2.getMessage.toLowerCase.contains("subquer"))
+      }
+    }
+  }
+
+  test("SqlScript.split respects strings, identifiers, and both comment forms") {
+    val stmts = SqlScript.split(
+      """-- leading comment; with a semicolon
+        |SELECT 'a;b' AS s, "q;i" AS i, `b;t` /* block; comment */ FROM t;
+        |SELECT 'it''s' AS e;
+        |
+        |SELECT 1""".stripMargin)
+    assert(stmts.size == 3)
+    assert(stmts(0).contains("'a;b'") && stmts(0).contains("`b;t`"))
+    assert(!stmts(0).contains("comment"))
+    assert(stmts(1) == "SELECT 'it''s' AS e")
+    assert(stmts(2) == "SELECT 1")
+    // unterminated quote is an error, not a silent mis-split
+    intercept[IllegalArgumentException] { SqlScript.split("SELECT 'oops") }
+  }
+
+  test("a failing CTAS body commits nothing; a successful replace keeps history") {
+    withTable("graft_sqlctas_") { (p, _) =>
+      import spark.implicits._
+      (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .createOrReplaceTempView("src10c")
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES('statsCols'='k') AS " +
+          "SELECT * FROM src10c")
+        assert(snapshotVersions(spark, s"$p/t") == Seq(1L))
+        // the replace's SELECT throws mid-write: no version may land
+        intercept[Exception] {
+          spark.sql(s"CREATE OR REPLACE TABLE $cat.t AS " +
+            "SELECT assert_true(v < 5.0), k, v FROM src10c")
+        }
+        assert(snapshotVersions(spark, s"$p/t") == Seq(1L),
+          "a failed CTAS/replace must not commit a version")
+        spark.sql(s"CREATE OR REPLACE TABLE $cat.t " +
+          "TBLPROPERTIES('statsCols'='k') AS SELECT k, v * 2 AS v FROM src10c")
+        assert(snapshotVersions(spark, s"$p/t") == Seq(1L, 2L))
+        assert(spark.sql(s"SELECT SUM(v) FROM $cat.t VERSION AS OF 1")
+          .head.getDouble(0) == 55.0)
+        assert(spark.sql(s"SELECT SUM(v) FROM $cat.t").head.getDouble(0) == 110.0)
+      }
+      spark.catalog.dropTempView("src10c"): Unit
+    }
+  }
+
+  test("registered q_sql_* queries return deterministic non-empty results") {
+    for (name <- Seq("q_sql_delete", "q_sql_update", "q_sql_merge",
+        "q_sql_ctas", "q_sql_script")) {
+      val op = Registry.byName(name)
+      val a = op.fn(spark, sfDir).collect()
+      assert(a.nonEmpty, s"$name returned no rows")
+      CacheScope.releaseAll()
+    }
+  }
+}
