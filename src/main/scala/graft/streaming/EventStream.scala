@@ -298,6 +298,47 @@ object EventStream {
         col("col.id").as("event_id"), col("col.ekey").as("ekey"))
   }
 
+  /** Stream-STREAM interval join — the attribution primitive (every
+    * impression↔conversion pipeline): views LEFT OUTER joined to same-
+    * user purchases landing within [view ts, view ts + 1 h], both
+    * sides watermarked so the join state is BOUNDED (a view's buffer
+    * row is evictable once the watermark passes its match horizon;
+    * purchases likewise — without the bounds the state grows with the
+    * stream forever). Inner matches emit the moment both rows have
+    * arrived; an unmatched view emits null-extended exactly when the
+    * watermark proves no purchase can still arrive — so the finalized
+    * output equals the BATCH left join row-for-row, which is what the
+    * oracle checks. The sentinel rides BOTH branches (user −1, matches
+    * nothing) purely to push the final watermark; callers drop it.
+    *
+    * At 100 TB this is the shape to keep: equality key first
+    * (user_id) so the join is hash-partitioned user-wise, the time
+    * bound as a range predicate on top, and watermarks as the state
+    * GC. A time-only interval join (no equality key) would buffer
+    * every row against every other — the cross-join cliff. */
+  def intervalJoinStream(events: DataFrame): DataFrame = {
+    // ONE watermark node, branches filtered under it (the documented
+    // self-join shape): the watermark metadata rides the aliased ts
+    // into both join inputs, so a single far-future sentinel row
+    // advances the one tracked watermark even when a branch's filter
+    // drops it — two independent watermark nodes would each need
+    // their own sentinel to un-stick the min policy
+    val wm = events.withWatermark("ts", "2 hours")
+    val views = wm
+      .filter(col("event_type") === "view" || col("event_type") === "sentinel")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val buys = wm
+      .filter(col("event_type") === "purchase" || col("event_type") === "sentinel")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("p_value"))
+    views.join(buys,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   /** Streaming exact dedup — drops re-deliveries of the same event_id
     * inside the watermark horizon (the streaming twin of
     * operators.Dedup.dedupExact; state is bounded by the watermark). */

@@ -260,6 +260,34 @@ object StreamingOps {
     """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "value"
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------ stream-stream join
+
+  /** Stream-STREAM interval join replayed through the file source: the
+    * finalized left-outer output (matches emitted on arrival,
+    * unmatched views null-extended as the watermark closes their
+    * horizon) must equal the BATCH left join row-for-row — the
+    * determinism claim of watermarked stream-stream joins, checked
+    * against DuckDB's plain join. The sentinel's self-match and its
+    * never-finalized view row are dropped with the `view_id >= 0`
+    * guard. */
+  private def streamJoin(spark: SparkSession, dir: String): DataFrame =
+    Replay.replayViaFiles(spark, dir)(ds =>
+      EventStream.intervalJoinStream(ds.toDF())
+        .filter(col("view_id") >= 0)
+        .select(col("user_id"), col("view_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          col("purchase_id"), col("p_value")))
+      .orderBy("view_id", "purchase_id")
+
+  private val streamJoinOracle =
+    """SELECT v.user_id, v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us,
+      |  p.event_id AS purchase_id, p."value" AS p_value
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   // ------------------------------------------------------------ attribution
 
   private def streamAttribution(spark: SparkSession, dir: String): DataFrame =
@@ -624,6 +652,7 @@ object StreamingOps {
     Op("q_stream_heavy_hitters", streamHeavyHitters, Some(streamHeavyHittersOracle)),
     Op("q_stream_reservoir", streamReservoir, Some(streamReservoirOracle)),
     Op("q_stream_dedup", streamDedup, Some(streamDedupOracle)),
+    Op("q_stream_join", streamJoin, Some(streamJoinOracle)),
     Op("q_stream_attribution", streamAttribution, Some(streamAttributionOracle)),
     Op("q_stream_dp", streamDp, Some(streamDpOracle)),
     Op("q_stream_msprt", streamMsprt, Some(streamMsprtOracle)),

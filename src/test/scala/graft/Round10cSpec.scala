@@ -244,6 +244,30 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join: finalized output equals the batch join under any chop") {
+    import streaming.{EventStream, Replay}
+    def run(chunks: Int): Set[(Long, Long)] =
+      Replay.replay(spark, sfDir, chunks = chunks)(ds =>
+        EventStream.intervalJoinStream(ds.toDF()).filter(col("view_id") >= 0))
+        .select("view_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val ev = Tables.events(spark, sfDir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = v.join(p,
+      col("user_id") === col("p_user") && col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val chopped = run(4)
+    assert(chopped == batch,
+      "stream-stream left-outer join must finalize to the batch join")
+    assert(run(13) == chopped, "output must be chop-invariant")
+  }
+
   test("registered q_sql_* queries return deterministic non-empty results") {
     for (name <- Seq("q_sql_delete", "q_sql_update", "q_sql_merge",
         "q_sql_ctas", "q_sql_script")) {
