@@ -271,11 +271,64 @@ object SqlSurface {
       |FROM orders WHERE o_orderkey <= 1000 GROUP BY o_orderstatus
       |ORDER BY version, status""".stripMargin
 
+  /** The maintenance verbs end to end, pure SQL (the
+    * [[graft.plans.GraftSqlParser]] grammar): build a 5-version
+    * lifecycle — CTAS (v1), INSERT (v2), DML DELETE (v3),
+    * OPTIMIZE (v4, a compaction commit), RESTORE TO v2 (v5,
+    * metadata-only) — read it back through DESCRIBE HISTORY, then
+    * VACUUM down to the head and count it. The answer unions the
+    * history's per-version row counts with the post-vacuum head
+    * count (version 99), so the gate checks every verb changed (or
+    * provably didn't change) the table's row-visible state: a
+    * compaction that lost rows, a restore that didn't flip the head,
+    * or a vacuum that broke the head read all hash-fail. */
+  def sqlMaintenance(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlmaint") { p =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val view = s"graft_sqlmaint_ev_$tag"
+      Tables.events(spark, dir).createOrReplaceTempView(view)
+      try withCatalog(spark, p) { cat =>
+        val props = "TBLPROPERTIES('statsCols'='event_id'," +
+          "'clusterBy'='event_id','nFiles'='8')"
+        graft.SqlScript.runAll(spark,
+          s"""CREATE TABLE $cat.ev $props AS
+             |  SELECT event_id, event_type, value FROM $view
+             |  WHERE event_id % 2 = 0;
+             |INSERT INTO $cat.ev
+             |  SELECT event_id, event_type, value FROM $view
+             |  WHERE event_id % 2 = 1;
+             |DELETE FROM $cat.ev WHERE event_id BETWEEN 100 AND 499;
+             |OPTIMIZE $cat.ev TARGET 134217728 BYTES;
+             |RESTORE $cat.ev TO VERSION AS OF 2""".stripMargin): Unit
+        val hist = spark.sql(s"DESCRIBE HISTORY $cat.ev")
+          .select(col("version"), col("n_rows"))
+        val histRows = hist.collect().toIndexedSeq // materialize pre-vacuum
+        spark.sql(s"VACUUM $cat.ev KEEP 1 VERSIONS")
+        val head = spark.sql(
+          s"SELECT CAST(99 AS BIGINT) AS version, COUNT(*) AS n_rows FROM $cat.ev")
+        spark.createDataFrame(java.util.Arrays.asList(histRows: _*), hist.schema)
+          .unionByName(head).orderBy("version")
+      } finally spark.catalog.dropTempView(view): Unit
+    }
+
+  private val sqlMaintenanceOracle =
+    """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows
+      |FROM events WHERE event_id % 2 = 0
+      |UNION ALL SELECT 2, COUNT(*) FROM events
+      |UNION ALL SELECT 3, COUNT(*) FROM events
+      |  WHERE event_id < 100 OR event_id > 499
+      |UNION ALL SELECT 4, COUNT(*) FROM events
+      |  WHERE event_id < 100 OR event_id > 499
+      |UNION ALL SELECT 5, COUNT(*) FROM events
+      |UNION ALL SELECT 99, COUNT(*) FROM events
+      |ORDER BY version""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_sql_delete", sqlDelete, Some(sqlDeleteOracle)),
     Op("q_sql_update", sqlUpdate, Some(sqlUpdateOracle)),
     Op("q_sql_merge", sqlMerge, Some(sqlMergeOracle)),
     Op("q_sql_ctas", sqlCtas, Some(sqlCtasOracle)),
     Op("q_sql_script", sqlScript, Some(sqlScriptOracle)),
+    Op("q_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceOracle)),
   )
 }

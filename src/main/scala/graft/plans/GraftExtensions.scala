@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKStrategy)
     // SQL DELETE/UPDATE/MERGE onto versioned snapshot tables
     ext.injectPlannerStrategy(_ => SnapshotDmlStrategy)
+    // VACUUM / OPTIMIZE / RESTORE / DESCRIBE HISTORY verbs
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

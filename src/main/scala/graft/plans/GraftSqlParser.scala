@@ -1,0 +1,165 @@
+package graft.plans
+
+import java.util.Locale
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, FunctionIdentifier, InternalRow, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.v2.V2CommandExec
+import org.apache.spark.sql.types._
+
+import graft.operators.Maintenance
+
+/** SQL maintenance verbs for snapshot tables — the parser half of the
+  * "users live in SQL" surface (every table format ships these):
+  *
+  * {{{
+  *   VACUUM lake.t KEEP 3 VERSIONS
+  *   OPTIMIZE lake.t [TARGET 134217728 BYTES]
+  *   RESTORE [TABLE] lake.t [TO] VERSION AS OF 2
+  *   DESCRIBE HISTORY lake.t
+  * }}}
+  *
+  * Injected as a parser DELEGATE ([[GraftExtensions]]): the four verbs
+  * are recognized by a tiny anchored grammar here; every other
+  * statement — and every other [[ParserInterface]] entry point —
+  * passes through to Spark's own parser untouched, the standard
+  * extension-parser shape. Table references resolve through the same
+  * `spark.sql.catalog.<name>.root` convention as
+  * [[graft.sources.SnapshotCatalog]], so the verbs address exactly
+  * the tables the rest of the SQL surface reads and writes. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // `a.b.c` or `` `a`.`b-x`.`c` `` — enough for catalog.ns….table
+  private val Ident = """((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+))*)"""
+  private val Vacuum =
+    s"""(?is)\\s*VACUUM\\s+$Ident\\s+KEEP\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
+  private val Optimize =
+    s"""(?is)\\s*OPTIMIZE\\s+$Ident(?:\\s+TARGET\\s+(\\d+)\\s+BYTES)?\\s*;?\\s*""".r
+  private val Restore =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val History =
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ident\\s*;?\\s*""".r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').toIndexedSeq.map(p =>
+      if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1) else p)
+
+  private[graft] def maintenancePlan(sql: String): Option[LogicalPlan] =
+    sql match {
+      case Vacuum(id, keep) =>
+        Some(SnapshotMaintenance("VACUUM", parts(id), Some(keep.toLong),
+          Seq(attr("expired_versions", LongType), attr("deleted_files", LongType))))
+      case Optimize(id, target) =>
+        Some(SnapshotMaintenance("OPTIMIZE", parts(id),
+          Option(target).map(_.toLong), Seq(attr("version", LongType))))
+      case Restore(id, v) =>
+        Some(SnapshotMaintenance("RESTORE", parts(id), Some(v.toLong),
+          Seq(attr("version", LongType))))
+      case History(id) =>
+        Some(SnapshotMaintenance("DESCRIBE HISTORY", parts(id), None, Seq(
+          attr("version", LongType), attr("committed_at", TimestampType),
+          attr("n_files", LongType), attr("n_rows", LongType),
+          attr("n_added_files", LongType),
+          attr("max_batch_id", LongType, nullable = true))))
+      case _ => None
+    }
+
+  private def attr(name: String, dt: DataType, nullable: Boolean = false) =
+    AttributeReference(name, dt, nullable)()
+
+  /** Resolve `<catalog>.<ns…>.<name>` through the registered
+    * SnapshotCatalog confs to the table path. */
+  private[plans] def resolvePath(spark: SparkSession, ident: Seq[String]): String = {
+    require(ident.size >= 2,
+      s"snapshot maintenance needs a catalog-qualified table, got " +
+        s"'${ident.mkString(".")}' — register a catalog " +
+        "(spark.sql.catalog.<name> = SnapshotCatalog, …<name>.root = <dir>) " +
+        "and address the table as <name>.<table>")
+    val cat = ident.head
+    val root = spark.conf.getOption(s"spark.sql.catalog.$cat.root").getOrElse(
+      throw new IllegalArgumentException(
+        s"'$cat' is not a registered snapshot catalog — " +
+          s"set spark.sql.catalog.$cat and spark.sql.catalog.$cat.root"))
+    (root +: ident.tail).mkString("/")
+  }
+}
+
+/** One parsed maintenance statement; executed driver-side by
+  * [[SnapshotDmlStrategy]] through the snapshot layer's own verbs, so
+  * every guarantee (pinned commits, vacuum's referenced-set from kept
+  * manifests, restore's metadata-only publish) holds verbatim for SQL
+  * users. */
+case class SnapshotMaintenance(verb: String, ident: Seq[String],
+    arg: Option[Long], override val output: Seq[Attribute])
+    extends LeafNode with Command
+
+case class SnapshotMaintenanceExec(cmd: SnapshotMaintenance)
+    extends V2CommandExec with org.apache.spark.sql.execution.LeafExecNode {
+  override def output: Seq[Attribute] = cmd.output
+
+  override protected def run(): Seq[InternalRow] = {
+    val spark = SparkSession.active
+    val path = GraftSqlParser.resolvePath(spark, cmd.ident)
+    val conv = CatalystTypeConverters.createToCatalystConverter(
+      DataTypeUtilsShim.fromAttributes(cmd.output))
+    def rows(rs: Seq[Seq[Any]]): Seq[InternalRow] =
+      rs.map(r => conv(org.apache.spark.sql.Row.fromSeq(r))
+        .asInstanceOf[InternalRow])
+    cmd.verb match {
+      case "VACUUM" =>
+        val (expired, deleted) = Maintenance.vacuumSnapshots(spark, path,
+          keep = cmd.arg.get.toInt)
+        rows(Seq(Seq(expired, deleted)))
+      case "OPTIMIZE" =>
+        // default target: 128 MiB — the usual parquet compaction size
+        val v = Maintenance.compactSnapshot(spark, path,
+          targetBytes = cmd.arg.getOrElse(134217728L))
+        rows(Seq(Seq(v)))
+      case "RESTORE" =>
+        val v = Maintenance.snapshotRestore(spark, path, cmd.arg.get)
+        rows(Seq(Seq(v)))
+      case "DESCRIBE HISTORY" =>
+        Maintenance.snapshotHistory(spark, path).collect()
+          .toIndexedSeq.map(r => conv(r).asInstanceOf[InternalRow])
+      case other => throw new IllegalStateException(s"unknown verb $other")
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(run(), 1)
+  override def simpleString(maxFields: Int): String =
+    s"SnapshotMaintenanceExec ${cmd.verb} ${cmd.ident.mkString(".")}"
+}
+
+/** StructType from attributes (DataTypeUtils.fromAttributes is
+  * private[sql]-adjacent across versions — build it directly). */
+private object DataTypeUtilsShim {
+  def fromAttributes(attrs: Seq[Attribute]): StructType =
+    StructType(attrs.map(a => StructField(a.name, a.dataType, a.nullable)))
+}

@@ -322,6 +322,8 @@ object SnapshotDmlStrategy extends SparkStrategy {
         mergeInto(SparkSession.active, t.path, attrs, source, cond,
           matchedA, notMatchedA, nmbsA)) :: Nil
 
+    case m: SnapshotMaintenance => SnapshotMaintenanceExec(m) :: Nil
+
     case _ => Nil
   }
 

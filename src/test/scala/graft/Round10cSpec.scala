@@ -268,9 +268,51 @@ class Round10cSpec extends SparkSpec {
     assert(run(13) == chopped, "output must be chop-invariant")
   }
 
+  test("maintenance SQL verbs: grammar, delegation, lifecycle effects") {
+    import graft.plans.GraftSqlParser
+    // grammar accepts the documented shapes (case, backticks, optionals)
+    assert(GraftSqlParser.maintenancePlan("VACUUM lake.t KEEP 3 VERSIONS").isDefined)
+    assert(GraftSqlParser.maintenancePlan("vacuum `l-k`.`t x` keep 1 versions").isDefined)
+    assert(GraftSqlParser.maintenancePlan("OPTIMIZE lake.t").isDefined)
+    assert(GraftSqlParser.maintenancePlan("OPTIMIZE lake.t TARGET 1048576 BYTES").isDefined)
+    assert(GraftSqlParser.maintenancePlan("RESTORE TABLE lake.t TO VERSION AS OF 2").isDefined)
+    assert(GraftSqlParser.maintenancePlan("RESTORE lake.t VERSION AS OF 2;").isDefined)
+    assert(GraftSqlParser.maintenancePlan("DESCRIBE HISTORY lake.t").isDefined)
+    // everything else delegates — Spark's own surface is untouched
+    assert(GraftSqlParser.maintenancePlan("SELECT 1").isEmpty)
+    assert(GraftSqlParser.maintenancePlan("DESCRIBE TABLE t").isEmpty)
+    assert(spark.sql("SELECT 1 + 1").head.getInt(0) == 2)
+
+    withTable("graft_sqlmaint_") { (p, stage) =>
+      staged100(p)
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"DELETE FROM $cat.t WHERE k BETWEEN 10 AND 19") // v2
+        val v3 = spark.sql(s"RESTORE $cat.t TO VERSION AS OF 1").head.getLong(0)
+        assert(v3 == 3L)
+        assert(readSnapshot(spark, s"$p/t").count() == 100, "restore must flip the head")
+        val v4 = spark.sql(s"OPTIMIZE $cat.t").head.getLong(0)
+        assert(v4 == 4L)
+        assert(snapshotManifest(spark, s"$p/t").count() == 1,
+          "128 MiB target must compact 4 small files into 1")
+        val hist = spark.sql(s"DESCRIBE HISTORY $cat.t")
+        assert(hist.columns.toSeq ==
+          Seq("version", "committed_at", "n_files", "n_rows", "n_added_files", "max_batch_id"))
+        assert(hist.select("version").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+        val filesBefore = dataFiles(stage).size
+        val vac = spark.sql(s"VACUUM $cat.t KEEP 1 VERSIONS").head
+        assert(vac.getLong(0) == 3L, "three versions expired")
+        assert(dataFiles(stage).size < filesBefore, "vacuum must reclaim files")
+        assert(readSnapshot(spark, s"$p/t").count() == 100, "head survives vacuum")
+        // unregistered catalog refuses with a pointed error
+        val e = intercept[Exception] { spark.sql("DESCRIBE HISTORY nosuch.t") }
+        assert(e.getMessage.contains("not a registered snapshot catalog"))
+      }
+    }
+  }
+
   test("registered q_sql_* queries return deterministic non-empty results") {
     for (name <- Seq("q_sql_delete", "q_sql_update", "q_sql_merge",
-        "q_sql_ctas", "q_sql_script")) {
+        "q_sql_ctas", "q_sql_script", "q_sql_maintenance")) {
       val op = Registry.byName(name)
       val a = op.fn(spark, sfDir).collect()
       assert(a.nonEmpty, s"$name returned no rows")
