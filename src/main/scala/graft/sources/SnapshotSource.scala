@@ -125,8 +125,25 @@ case class SnapshotTable(path: String, asOf: Option[Long],
     mergeSchema: Boolean = false,
     declaredSchema: Option[StructType] = None) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   private def spark = SparkSession.active
+
+  /** `TRUNCATE TABLE` = an explicit REPLACE version holding one real
+    * zero-row file (the schema stays readable; the emptied state is a
+    * table version like any other — time travel and RESTORE still
+    * reach the old rows until vacuum). The stats contract carries so
+    * subsequent appends keep their manifest schema. */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty,
+      s"TRUNCATE targets a time-travel read of $path (VERSION AS OF " +
+        s"${asOf.get}) — truncation commits onto the head")
+    val empty = Maintenance.readSnapshot(spark, path, Some(pinnedVersion))
+      .filter(org.apache.spark.sql.functions.lit(false))
+    Maintenance.snapshotReplace(empty, path, nFiles = 1,
+      Maintenance.tableStatsCols(spark, path))
+    true
+  }
 
   /** The pinned snapshot version id — resolved lazily so a pure write
     * to a not-yet-created table never asks for one. */

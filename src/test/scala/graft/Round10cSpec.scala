@@ -310,6 +310,33 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("MERGE star actions and TRUNCATE TABLE work through the catalog") {
+    withTable("graft_sqlstar_") { (p, _) =>
+      import spark.implicits._
+      staged100(p)
+      Seq((5L, "up5", 500.0), (200L, "new", 2000.0)).toDF("k", "s", "v")
+        .createOrReplaceTempView("star10c")
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"MERGE INTO $cat.t USING star10c ON $cat.t.k = star10c.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        val t = readSnapshot(spark, s"$p/t")
+        assert(t.count() == 101)
+        assert(t.filter(col("k") === 5).head.getString(1) == "up5")
+        assert(t.filter(col("k") === 200).head.getDouble(2) == 2000.0)
+        // TRUNCATE = an empty REPLACE version; history stays readable
+        spark.sql(s"TRUNCATE TABLE $cat.t")
+        assert(readSnapshot(spark, s"$p/t").count() == 0)
+        assert(readSnapshot(spark, s"$p/t").schema.fieldNames.toSeq ==
+          Seq("k", "s", "v"), "schema must survive truncation")
+        assert(readSnapshot(spark, s"$p/t", Some(2L)).count() == 101)
+        val v4 = spark.sql(s"RESTORE $cat.t TO VERSION AS OF 2").head.getLong(0)
+        assert(v4 == 4L && readSnapshot(spark, s"$p/t").count() == 101,
+          "RESTORE must undo a truncation")
+      }
+      spark.catalog.dropTempView("star10c"): Unit
+    }
+  }
+
   test("registered q_sql_* queries return deterministic non-empty results") {
     for (name <- Seq("q_sql_delete", "q_sql_update", "q_sql_merge",
         "q_sql_ctas", "q_sql_script", "q_sql_maintenance")) {
