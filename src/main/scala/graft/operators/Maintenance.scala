@@ -384,8 +384,70 @@ object Maintenance {
     val newFiles = writtenFileStats(spark, s"$path/data/$batch", s"$batch/", statsCols)
     val next = base.map(_ + 1).getOrElse(
       snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1)
-    publishManifest(spark, path, carry(newFiles), next)
+    // the new version's table schema: the carried base's recorded
+    // schema unioned with the batch's (evolution only ADDS columns).
+    // A base without a sidecar (pre-upgrade table) or a same-name
+    // type conflict records none — readers keep the merged-footer
+    // fallback rather than trusting a schema this commit can't prove.
+    val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+      base.filter(_ > 0) match {
+        case None => Some(df.schema) // replace / create: the batch alone
+        case Some(v) => recordedSchema(spark, path, v)
+          .flatMap(prev => unionSchema(prev, df.schema))
+      }
+    publishManifest(spark, path, carry(newFiles), next, tableSchema)
     next
+  }
+
+  /** Name-keyed schema union: base fields first (stable order), new
+    * fields appended; None on a same-name dataType conflict (the
+    * caller then records no sidecar — loud fallback, never a wrong
+    * schema). Nullability widens. */
+  private def unionSchema(prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val byName = next.fields.map(f => f.name.toLowerCase -> f).toMap
+    val conflict = prev.fields.exists(p =>
+      byName.get(p.name.toLowerCase).exists(_.dataType != p.dataType))
+    if (conflict) None
+    else {
+      val prevNames = prev.fieldNames.map(_.toLowerCase).toSet
+      val widened = prev.fields.map(p => byName.get(p.name.toLowerCase)
+        .map(n => p.copy(nullable = p.nullable || n.nullable)).getOrElse(p))
+      val added = next.fields.filterNot(f => prevNames.contains(f.name.toLowerCase))
+        .map(_.copy(nullable = true)) // absent in old files → NULL there
+      Some(org.apache.spark.sql.types.StructType(widened ++ added))
+    }
+  }
+
+  /** The table schema recorded with version `v`'s commit, when its
+    * writer could prove one (see [[commitSnapshot]]). */
+  def recordedSchema(spark: SparkSession, path: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fsFor(spark, path)
+    val f = new org.apache.hadoop.fs.Path(f"$path/versions/v$v%05d/_schema.json")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try org.apache.spark.sql.types.DataType.fromJson(
+        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)) match {
+        case st: org.apache.spark.sql.types.StructType => Some(st)
+        case _ => None
+      } finally in.close()
+    }
+  }
+
+  /** A version's full table schema — the recorded sidecar when the
+    * commit carried one (O(1): one small file), else the
+    * merged-footer read (exact but O(distinct batch schemas)). */
+  def tableSchema(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val v = asOf.getOrElse(vs.last)
+    recordedSchema(spark, path, v).getOrElse(
+      readSnapshot(spark, path, Some(v), mergeSchema = true).schema)
   }
 
   /** The atomic commit point, factored out of [[commitSnapshot]] so
@@ -397,11 +459,22 @@ object Maintenance {
     * fallback — fails that check, so the racing loser throws instead of
     * silently losing its update). */
   private def publishManifest(spark: SparkSession, path: String,
-      manifest: DataFrame, next: Long): Unit = {
+      manifest: DataFrame, next: Long,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val fs = fsFor(spark, path)
     val tmpName = s".tmp-${java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = s"$path/versions/$tmpName"
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // the version's TABLE SCHEMA rides the commit as a sidecar (the
+    // `_` prefix keeps it invisible to the manifest's parquet read):
+    // readers then resolve an evolved table's schema from ONE small
+    // file instead of a merged-footer job over every data file —
+    // schema-in-metadata, the same move every table format makes
+    schema.foreach { st =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_schema.json"), false)
+      out.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
     val marker = s"_commit-${java.util.UUID.randomUUID().toString.take(8)}"
     fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$marker"), false).close()
     val dst = new org.apache.hadoop.fs.Path(f"$path/versions/v$next%05d")
@@ -800,7 +873,8 @@ object Maintenance {
         "frame instead (snapshotOverwritePartition keeps layouts; a " +
         "version must list at least one file)")
     val next = headV + 1
-    publishManifest(spark, path, rest, next)
+    // schema unchanged by a metadata drop — carry the head's record
+    publishManifest(spark, path, rest, next, recordedSchema(spark, path, headV))
     next
   }
 
@@ -1137,7 +1211,9 @@ object Maintenance {
     require(vs.nonEmpty, s"$path has no committed versions")
     require(vs.contains(toV), s"version $toV not in $vs (expired or never committed)")
     val next = vs.last + 1
-    publishManifest(spark, path, manifestOf(spark, path, toV), next)
+    // the restored head's schema IS the restored version's
+    publishManifest(spark, path, manifestOf(spark, path, toV), next,
+      recordedSchema(spark, path, toV))
     next
   }
 

@@ -323,6 +323,44 @@ object SqlSurface {
       |UNION ALL SELECT 99, COUNT(*) FROM events
       |ORDER BY version""".stripMargin
 
+  /** Schema evolution visible through pure SQL (NEW r10c): the table's
+    * union schema rides every commit as a `_schema.json` sidecar
+    * ([[Maintenance.recordedSchema]]), so a catalog read of an evolved
+    * table resolves all columns from ONE small file — no merged-footer
+    * job, and no silent loss of evolution-added columns in SQL. The
+    * gate stages evens (2 columns), appends odds WITH an added column,
+    * and answers a group-by ON the evolved column through the catalog:
+    * old rows surface NULL for it (COALESCE'd to a sentinel group), so
+    * a read that dropped the column, nulled the wrong rows, or split
+    * groups wrongly hash-fails. */
+  def sqlEvolution(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlevo") { p =>
+      val ev = Tables.events(spark, dir)
+      Maintenance.snapshotWrite(
+        ev.filter(col("event_id") % 2 === 0).select("event_id", "value"),
+        s"$p/ev", nFiles = 4, statsCols = Seq("event_id"),
+        clusterBy = Some("event_id"))
+      Maintenance.snapshotAppend(
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("value"), col("event_type").as("etype")),
+        s"$p/ev", nFiles = 4, statsCols = Seq("event_id"),
+        clusterBy = Some("event_id"))
+      withCatalog(spark, p) { cat =>
+        spark.sql(
+          s"""SELECT COALESCE(etype, 'pre-evolution') AS etype,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM $cat.ev GROUP BY 1 ORDER BY etype""".stripMargin)
+      }
+    }
+
+  private val sqlEvolutionOracle =
+    """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+      |  ELSE 'pre-evolution' END AS etype,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY etype""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_sql_delete", sqlDelete, Some(sqlDeleteOracle)),
     Op("q_sql_update", sqlUpdate, Some(sqlUpdateOracle)),
@@ -330,5 +368,6 @@ object SqlSurface {
     Op("q_sql_ctas", sqlCtas, Some(sqlCtasOracle)),
     Op("q_sql_script", sqlScript, Some(sqlScriptOracle)),
     Op("q_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceOracle)),
+    Op("q_sql_evolution", sqlEvolution, Some(sqlEvolutionOracle)),
   )
 }

@@ -155,8 +155,11 @@ case class SnapshotTable(path: String, asOf: Option[Long],
     v
   }
 
-  private lazy val dataSchema: StructType = declaredSchema.getOrElse(
-    Maintenance.readSnapshot(spark, path, Some(pinnedVersion), mergeSchema).schema)
+  private lazy val dataSchema: StructType = declaredSchema
+    .orElse(if (mergeSchema) None // explicit merged-footer read wins
+      else Maintenance.recordedSchema(spark, path, pinnedVersion))
+    .getOrElse(
+      Maintenance.readSnapshot(spark, path, Some(pinnedVersion), mergeSchema).schema)
 
   override def name(): String = s"graft_snapshot($path)"
   override def schema(): StructType = dataSchema

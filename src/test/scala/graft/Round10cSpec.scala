@@ -337,9 +337,41 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("schema sidecar: evolution visible in SQL, carried by every commit kind") {
+    withTable("graft_sqlevo_") { (p, _) =>
+      import spark.implicits._
+      val t = s"$p/t"
+      snapshotWrite((1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v"),
+        t, nFiles = 2, statsCols = Seq("k"), clusterBy = Some("k"))
+      snapshotAppend(
+        (51L to 100L).map(k => (k, k * 1.0, s"x$k")).toDF("k", "v", "extra"),
+        t, nFiles = 2, statsCols = Seq("k"), clusterBy = Some("k"))
+      assert(recordedSchema(spark, t, 2L).get.fieldNames.toSeq == Seq("k", "v", "extra"))
+      SqlSurface.withCatalog(spark, p) { cat =>
+        // evolved column visible through plain SQL; old rows NULL
+        val r = spark.sql(s"SELECT COUNT(*) AS n, COUNT(extra) AS ne FROM $cat.t").head
+        assert(r.getLong(0) == 100 && r.getLong(1) == 50)
+        // time travel sees the pre-evolution schema
+        assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").columns.toSeq ==
+          Seq("k", "v"))
+        // a DML rewrite of pre-evolution files keeps the union schema
+        spark.sql(s"DELETE FROM $cat.t WHERE k BETWEEN 10 AND 19")
+        assert(recordedSchema(spark, t, 3L).get.fieldNames.toSeq ==
+          Seq("k", "v", "extra"))
+        assert(spark.sql(s"SELECT COUNT(extra) FROM $cat.t").head.getLong(0) == 50)
+        // compaction and restore carry it too
+        spark.sql(s"OPTIMIZE $cat.t")
+        assert(recordedSchema(spark, t, 4L).get.fieldNames.toSeq ==
+          Seq("k", "v", "extra"))
+        spark.sql(s"RESTORE $cat.t TO VERSION AS OF 1")
+        assert(recordedSchema(spark, t, 5L).get.fieldNames.toSeq == Seq("k", "v"))
+      }
+    }
+  }
+
   test("registered q_sql_* queries return deterministic non-empty results") {
     for (name <- Seq("q_sql_delete", "q_sql_update", "q_sql_merge",
-        "q_sql_ctas", "q_sql_script", "q_sql_maintenance")) {
+        "q_sql_ctas", "q_sql_script", "q_sql_maintenance", "q_sql_evolution")) {
       val op = Registry.byName(name)
       val a = op.fn(spark, sfDir).collect()
       assert(a.nonEmpty, s"$name returned no rows")
