@@ -1422,6 +1422,33 @@ object Maintenance {
       .select("file").collect().map(_.getString(0)).toSet
   }
 
+  /** Zero-row frame in exactly `schema` — the resolution target for
+    * DML predicates (and the empty-table replacement): columns come
+    * from the TABLE schema, never from whichever footer a plain read
+    * happens to list first. */
+  private[graft] def emptyOf(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** Align `df` to the full table `schema`: evolution-added columns
+    * its files don't carry surface as typed NULLs, column order
+    * follows the schema — so a rewrite of pre-evolution files can
+    * evaluate predicates/assignments on evolved columns and never
+    * drops them from the rewritten region. */
+  private[graft] def alignToSchema(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    val widened = schema.fields.foldLeft(df)((d, f) =>
+      if (have.contains(f.name.toLowerCase)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // keep any column the schema record doesn't know (conservative:
+    // footer-only columns survive a conflict-fallback commit)
+    val ordered = schema.fieldNames.toIndexedSeq ++
+      df.columns.filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    widened.select(ordered.map(col): _*)
+  }
+
   /** mergeSchema read of a touched-file set (or the version's empty
     * frame when none) — the one read shape every copy-on-write rewrite
     * uses: a touched set spanning schema generations must not rewrite
@@ -1532,9 +1559,10 @@ object Maintenance {
         return snapshotVersions(spark, path).last // no such partition: no-op
       return snapshotDropPartition(spark, path, v)
     }
-    val touched = touchedFiles(mf, readSnapshot(spark, path, Some(baseV)), cond)
+    val schema = tableSchema(spark, path, Some(baseV))
+    val touched = touchedFiles(mf, emptyOf(spark, schema), cond)
     if (touched.isEmpty) return snapshotVersions(spark, path).last
-    val residual = readDataFiles(spark, path, touched, baseV)
+    val residual = alignToSchema(readDataFiles(spark, path, touched, baseV), schema)
       .filter(!coalesce(cond, lit(false)))
     val n = if (nFiles > 0) nFiles else touched.size
     rewriteFilesCommit(spark, path, mf, touched, residual, n,
@@ -1561,9 +1589,10 @@ object Maintenance {
       s"$path is a partitioned snapshot table — update a partition by " +
         "re-landing it (snapshotOverwritePartition), which keeps the " +
         "purity-proof layout")
-    val touched = touchedFiles(mf, readSnapshot(spark, path, Some(baseV)), cond)
+    val schema = tableSchema(spark, path, Some(baseV))
+    val touched = touchedFiles(mf, emptyOf(spark, schema), cond)
     if (touched.isEmpty) return snapshotVersions(spark, path).last
-    val base = readDataFiles(spark, path, touched, baseV)
+    val base = alignToSchema(readDataFiles(spark, path, touched, baseV), schema)
     set.foreach { case (n, _) =>
       require(base.columns.exists(_.equalsIgnoreCase(n)),
         s"UPDATE SET column '$n' is not a column of $path " +

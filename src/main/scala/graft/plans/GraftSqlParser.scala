@@ -2,7 +2,6 @@ package graft.plans
 
 import java.util.Locale
 
-import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, FunctionIdentifier, InternalRow, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
@@ -34,7 +33,15 @@ import graft.operators.Maintenance
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.maintenancePlan(sqlText)
+      // claim the statement ONLY when its first identifier part names a
+      // REGISTERED snapshot catalog: `OPTIMIZE t` after USE, another
+      // extension's identical verbs (Delta et al.), or a typo'd catalog
+      // all fall through to the delegate instead of dying here
+      .filter(m => m.ident.size >= 2 &&
+        SparkSession.getActiveSession.exists(
+          _.conf.getOption(s"spark.sql.catalog.${m.ident.head}.root").isDefined))
+      .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -66,11 +73,13 @@ object GraftSqlParser {
   private val History =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ident\\s*;?\\s*""".r
 
+  private val Segment = "`[^`]+`|[\\w]+".r
   private def parts(ident: String): Seq[String] =
-    ident.split('.').toIndexedSeq.map(p =>
+    // segment-wise, NOT split('.'): a backquoted part may contain dots
+    Segment.findAllIn(ident).toIndexedSeq.map(p =>
       if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1) else p)
 
-  private[graft] def maintenancePlan(sql: String): Option[LogicalPlan] =
+  private[graft] def maintenancePlan(sql: String): Option[SnapshotMaintenance] =
     sql match {
       case Vacuum(id, keep) =>
         Some(SnapshotMaintenance("VACUUM", parts(id), Some(keep.toLong),
@@ -151,8 +160,6 @@ case class SnapshotMaintenanceExec(cmd: SnapshotMaintenance)
     }
   }
 
-  override protected def doExecute(): RDD[InternalRow] =
-    sparkContext.parallelize(run(), 1)
   override def simpleString(maxFields: Int): String =
     s"SnapshotMaintenanceExec ${cmd.verb} ${cmd.ident.mkString(".")}"
 }

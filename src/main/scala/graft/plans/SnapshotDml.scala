@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -169,7 +168,12 @@ object SnapshotDml {
     if (touched.isEmpty && notMatched.isEmpty)
       return Maintenance.snapshotVersions(spark, path).last
 
-    val baseRaw = Maintenance.readDataFiles(spark, path, touched, baseV)
+    // base aligned to the TABLE schema (not the touched files'
+    // footers): a merge whose touched set is pre-evolution must still
+    // see, set, and carry evolution-added columns
+    val baseRaw = Maintenance.alignToSchema(
+      Maintenance.readDataFiles(spark, path, touched, baseV),
+      Maintenance.tableSchema(spark, path, Some(baseV)))
     val baseCols = baseRaw.columns.toIndexedSeq
     val base = baseRaw.toDF(baseCols.map(c => s"__t_$c"): _*)
       .withColumn("__t_exists", lit(true))
@@ -271,8 +275,6 @@ case class SnapshotDmlExec(verb: String, table: String, work: () => Long)
     extends V2CommandExec with org.apache.spark.sql.execution.LeafExecNode {
   override def output: Seq[Attribute] = Nil
   override protected def run(): Seq[InternalRow] = { work(): Unit; Nil }
-  override protected def doExecute(): RDD[InternalRow] =
-    sparkContext.parallelize(run(), 1)
   override def simpleString(maxFields: Int): String =
     s"SnapshotDmlExec $verb $table"
 }

@@ -138,8 +138,10 @@ case class SnapshotTable(path: String, asOf: Option[Long],
     require(asOf.isEmpty,
       s"TRUNCATE targets a time-travel read of $path (VERSION AS OF " +
         s"${asOf.get}) — truncation commits onto the head")
-    val empty = Maintenance.readSnapshot(spark, path, Some(pinnedVersion))
-      .filter(org.apache.spark.sql.functions.lit(false))
+    // empty frame in the TABLE schema (recorded union, not one
+    // footer): truncation must not narrow an evolved table's schema
+    val empty = Maintenance.emptyOf(spark,
+      Maintenance.tableSchema(spark, path, Some(pinnedVersion)))
     Maintenance.snapshotReplace(empty, path, nFiles = 1,
       Maintenance.tableStatsCols(spark, path))
     true

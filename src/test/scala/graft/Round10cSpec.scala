@@ -303,9 +303,14 @@ class Round10cSpec extends SparkSpec {
         assert(vac.getLong(0) == 3L, "three versions expired")
         assert(dataFiles(stage).size < filesBefore, "vacuum must reclaim files")
         assert(readSnapshot(spark, s"$p/t").count() == 100, "head survives vacuum")
-        // unregistered catalog refuses with a pointed error
-        val e = intercept[Exception] { spark.sql("DESCRIBE HISTORY nosuch.t") }
-        assert(e.getMessage.contains("not a registered snapshot catalog"))
+        // an unregistered catalog DELEGATES to Spark's parser (other
+        // extensions' identical verbs must stay reachable) — Spark then
+        // rejects the statement itself
+        intercept[Exception] { spark.sql("DESCRIBE HISTORY nosuch.t") }
+        // single-part idents delegate too (no USE-catalog support)
+        assert(graft.plans.GraftSqlParser.maintenancePlan("OPTIMIZE t")
+          .exists(_.ident.size == 1)) // grammar matches, gate rejects
+        intercept[Exception] { spark.sql("OPTIMIZE t") }
       }
     }
   }
@@ -365,6 +370,38 @@ class Round10cSpec extends SparkSpec {
           Seq("k", "v", "extra"))
         spark.sql(s"RESTORE $cat.t TO VERSION AS OF 1")
         assert(recordedSchema(spark, t, 5L).get.fieldNames.toSeq == Seq("k", "v"))
+      }
+    }
+  }
+
+  test("DML, MERGE, and TRUNCATE operate on the evolved table schema") {
+    withTable("graft_sqlevo2_") { (p, _) =>
+      import spark.implicits._
+      val t = s"$p/t"
+      snapshotWrite((1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v"),
+        t, nFiles = 2, statsCols = Seq("k"), clusterBy = Some("k"))
+      snapshotAppend(
+        (51L to 100L).map(k => (k, k * 1.0, s"x$k")).toDF("k", "v", "extra"),
+        t, nFiles = 2, statsCols = Seq("k"), clusterBy = Some("k"))
+      SqlSurface.withCatalog(spark, p) { cat =>
+        // predicate on the evolved column resolves and deletes (review
+        // finding: the resolution frame must be the TABLE schema)
+        spark.sql(s"DELETE FROM $cat.t WHERE extra = 'x60'")
+        assert(readSnapshot(spark, t, mergeSchema = true).count() == 99)
+        // UPDATE can SET the evolved column on pre-evolution files
+        spark.sql(s"UPDATE $cat.t SET extra = 'old' WHERE k <= 50")
+        val r = spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE extra = 'old'").head
+        assert(r.getLong(0) == 50)
+        // MERGE that prunes to pre-evolution files still sets/carries it
+        Seq((5L, "m5")).toDF("k", "e").createOrReplaceTempView("evo2chg")
+        spark.sql(s"MERGE INTO $cat.t USING evo2chg ON $cat.t.k = evo2chg.k " +
+          "WHEN MATCHED THEN UPDATE SET extra = evo2chg.e")
+        assert(spark.sql(s"SELECT extra FROM $cat.t WHERE k = 5").head.getString(0) == "m5")
+        spark.catalog.dropTempView("evo2chg"): Unit
+        // TRUNCATE keeps the evolved union schema
+        spark.sql(s"TRUNCATE TABLE $cat.t")
+        assert(spark.sql(s"SELECT * FROM $cat.t").columns.toSeq ==
+          Seq("k", "v", "extra"))
       }
     }
   }
