@@ -683,6 +683,53 @@ object Maintenance {
     * [[snapshotAppend]] with the original statsCols — the manifest
     * schema is part of the table contract and compaction preserves it
     * unless explicitly overridden. */
+  /** OPTIMIZE … ZORDER BY: rewrite the head version clustered on the
+    * Morton interleave of TWO columns, so the layout prunes on BOTH —
+    * a table sorted on one key answers range predicates on the other
+    * with a full scan; a z-clustered one skips most files either way
+    * (Round10cSpec audits the file counts). Columns are first bucketed
+    * by their own APPROXIMATE QUANTILES (driver-side sample, 1%
+    * error), not raw low bits: the interleave then reflects each
+    * column's real distribution at any key domain and the bucketing
+    * expression is a scan-local literal-array fold — no global sort,
+    * no extra shuffle beyond the range partition every compaction
+    * pays. Stats land on both z columns (plus whatever the manifest
+    * already carried); the bucket/z columns are layout-only and drop
+    * from the stored schema. Same commit discipline as
+    * [[compactSnapshot]]; partitioned and streaming-sink tables
+    * refuse. */
+  def compactSnapshotZorder(spark: SparkSession, path: String,
+      cx: String, cy: String, targetBytes: Long, bits: Int = 8): Long = {
+    require(bits >= 1 && bits <= 15, s"bits must be in [1, 15], got $bits")
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions to z-order")
+    val headV = vs.last
+    val mf = manifestOf(spark, path, headV)
+    require(!mf.columns.contains("part") && !mf.columns.contains("batch_id"),
+      s"$path is a partitioned or streaming-sink snapshot table — " +
+        "z-order compaction serves plain batch tables (compact partitions " +
+        "via snapshotOverwritePartition; sinks via compactSnapshot)")
+    val head = readSnapshot(spark, path, Some(headV))
+    require(head.columns.contains(cx) && head.columns.contains(cy),
+      s"z-order columns ($cx, $cy) must be columns of $path")
+    val nOut = targetFileCount(head, targetBytes, s"compactSnapshotZorder($path)")
+    val nb = 1 << bits
+    // quantile cut points per column — planner metadata (≤ 2^bits
+    // doubles each), computed from the table's own distribution
+    val quantiles = head.stat.approxQuantile(Array(cx, cy),
+      (1 until nb).map(_.toDouble / nb).toArray, 0.01)
+    def bucket(c: String, cuts: Array[Double]): Column = {
+      val distinctCuts = cuts.distinct.toIndexedSeq
+      // rank of the value among the cut points = its quantile bucket;
+      // literal-array fold, codegen'd, scan-local
+      aggregate(typedLit(distinctCuts), lit(0),
+        (acc, cut) => acc + when(col(c).cast("double") > cut, 1).otherwise(0))
+    }
+    val z = zvalue(bucket(cx, quantiles(0)), bucket(cy, quantiles(1)), bits)
+    val effStats = (manifestStatsCols(mf) ++ Seq(cx, cy)).distinct
+    commitSnapshot(head, path, nOut, identity, effStats, Some(z), Some(headV))
+  }
+
   def compactSnapshot(spark: SparkSession, path: String, targetBytes: Long,
       statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
     // resolve the head version ONCE; the commit below is pinned to it,

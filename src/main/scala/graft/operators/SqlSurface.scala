@@ -361,6 +361,39 @@ object SqlSurface {
       |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY etype""".stripMargin
 
+  /** OPTIMIZE … ZORDER BY through pure SQL (NEW r10c): stage a
+    * two-key projection of lineitem x-sorted, z-order it on (x, y) via
+    * the parser verb ([[Maintenance.compactSnapshotZorder]] —
+    * quantile-bucketed Morton clustering), and answer a 2D range
+    * aggregate read back through the catalog. The oracle recomputes
+    * from raw lineitem, so a z-rewrite that lost/duplicated rows or
+    * mis-bucketed the layout's CONTENT hash-fails; the layout's
+    * pruning win (the point of z-ordering) is pinned by Round10cSpec's
+    * file-count audit, which an answer-level oracle can't see. */
+  def sqlZorder(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlzo") { p =>
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), (col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"), col("l_quantity"))
+      Maintenance.snapshotWrite(li, s"$p/t", nFiles = 8,
+        statsCols = Seq("x"), clusterBy = Some("x"))
+      withCatalog(spark, p) { cat =>
+        spark.sql(s"OPTIMIZE $cat.t TARGET 134217728 BYTES ZORDER BY (x, y)")
+        spark.sql(
+          s"""SELECT x, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS qty
+             |FROM $cat.t WHERE x BETWEEN 20 AND 99 AND y BETWEEN 0 AND 99
+             |GROUP BY x ORDER BY x""".stripMargin)
+      }
+    }
+
+  private val sqlZorderOracle =
+    """SELECT l_partkey % 256 AS x, COUNT(*) AS n,
+      |  SUM(CAST(l_quantity AS BIGINT)) AS qty
+      |FROM lineitem
+      |WHERE l_partkey % 256 BETWEEN 20 AND 99
+      |  AND l_suppkey % 256 BETWEEN 0 AND 99
+      |GROUP BY 1 ORDER BY x""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_sql_delete", sqlDelete, Some(sqlDeleteOracle)),
     Op("q_sql_update", sqlUpdate, Some(sqlUpdateOracle)),
@@ -369,5 +402,6 @@ object SqlSurface {
     Op("q_sql_script", sqlScript, Some(sqlScriptOracle)),
     Op("q_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceOracle)),
     Op("q_sql_evolution", sqlEvolution, Some(sqlEvolutionOracle)),
+    Op("q_sql_zorder", sqlZorder, Some(sqlZorderOracle)),
   )
 }

@@ -67,7 +67,7 @@ object GraftSqlParser {
   private val Vacuum =
     s"""(?is)\\s*VACUUM\\s+$Ident\\s+KEEP\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val Optimize =
-    s"""(?is)\\s*OPTIMIZE\\s+$Ident(?:\\s+TARGET\\s+(\\d+)\\s+BYTES)?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$Ident(?:\\s+TARGET\\s+(\\d+)\\s+BYTES)?(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(`[^`]+`|\\w+)\\s*,\\s*(`[^`]+`|\\w+)\\s*\\))?\\s*;?\\s*""".r
   private val Restore =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val History =
@@ -84,9 +84,11 @@ object GraftSqlParser {
       case Vacuum(id, keep) =>
         Some(SnapshotMaintenance("VACUUM", parts(id), Some(keep.toLong),
           Seq(attr("expired_versions", LongType), attr("deleted_files", LongType))))
-      case Optimize(id, target) =>
+      case Optimize(id, target, zx, zy) =>
+        val cols = Seq(Option(zx), Option(zy)).flatten
+          .map(c => if (c.startsWith("`")) c.drop(1).dropRight(1) else c)
         Some(SnapshotMaintenance("OPTIMIZE", parts(id),
-          Option(target).map(_.toLong), Seq(attr("version", LongType))))
+          Option(target).map(_.toLong), Seq(attr("version", LongType)), cols))
       case Restore(id, v) =>
         Some(SnapshotMaintenance("RESTORE", parts(id), Some(v.toLong),
           Seq(attr("version", LongType))))
@@ -125,7 +127,8 @@ object GraftSqlParser {
   * manifests, restore's metadata-only publish) holds verbatim for SQL
   * users. */
 case class SnapshotMaintenance(verb: String, ident: Seq[String],
-    arg: Option[Long], override val output: Seq[Attribute])
+    arg: Option[Long], override val output: Seq[Attribute],
+    cols: Seq[String] = Nil)
     extends LeafNode with Command
 
 case class SnapshotMaintenanceExec(cmd: SnapshotMaintenance)
@@ -147,8 +150,12 @@ case class SnapshotMaintenanceExec(cmd: SnapshotMaintenance)
         rows(Seq(Seq(expired, deleted)))
       case "OPTIMIZE" =>
         // default target: 128 MiB — the usual parquet compaction size
-        val v = Maintenance.compactSnapshot(spark, path,
-          targetBytes = cmd.arg.getOrElse(134217728L))
+        val target = cmd.arg.getOrElse(134217728L)
+        val v = cmd.cols match {
+          case Seq(cx, cy) =>
+            Maintenance.compactSnapshotZorder(spark, path, cx, cy, target)
+          case _ => Maintenance.compactSnapshot(spark, path, target)
+        }
         rows(Seq(Seq(v)))
       case "RESTORE" =>
         val v = Maintenance.snapshotRestore(spark, path, cmd.arg.get)

@@ -406,9 +406,43 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE ZORDER BY makes the layout prunable on BOTH columns") {
+    withTable("graft_sqlzo_") { (p, _) =>
+      import spark.implicits._
+      val t = s"$p/t"
+      // 64k points on a 256x256 grid, x-sorted into 16 files
+      val pts = spark.range(65536).select(
+        (col("id") / 256).cast("long").as("x"), (col("id") % 256).as("y"),
+        col("id").as("payload"))
+      snapshotWrite(pts, t, nFiles = 16, statsCols = Seq("x", "y"),
+        clusterBy = Some("x"))
+      def filesIntersecting(c: String, lo: Long, hi: Long): Long =
+        snapshotManifest(spark, t)
+          .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo).count()
+      val nFiles0 = snapshotManifest(spark, t).count()
+      // x-sorted: every file spans the full y domain
+      assert(filesIntersecting("y", 96, 127) == nFiles0)
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"OPTIMIZE $cat.t TARGET 65536 BYTES ZORDER BY (x, y)")
+      }
+      val nFiles1 = snapshotManifest(spark, t).count()
+      assert(nFiles1 >= 4, s"want multiple z files to audit, got $nFiles1")
+      // z-clustered: a 1/8-of-domain range on EITHER column prunes files
+      val yHit = filesIntersecting("y", 96, 127)
+      val xHit = filesIntersecting("x", 96, 127)
+      assert(yHit < nFiles1, s"y-range must prune in z layout ($yHit/$nFiles1)")
+      assert(xHit < nFiles1, s"x-range must prune in z layout ($xHit/$nFiles1)")
+      // content preserved row-for-row
+      assert(readSnapshot(spark, t).agg(sum("payload")).head.getLong(0) ==
+        65535L * 65536L / 2)
+      assert(readSnapshot(spark, t).count() == 65536)
+    }
+  }
+
   test("registered q_sql_* queries return deterministic non-empty results") {
     for (name <- Seq("q_sql_delete", "q_sql_update", "q_sql_merge",
-        "q_sql_ctas", "q_sql_script", "q_sql_maintenance", "q_sql_evolution")) {
+        "q_sql_ctas", "q_sql_script", "q_sql_maintenance", "q_sql_evolution",
+        "q_sql_zorder")) {
       val op = Registry.byName(name)
       val a = op.fn(spark, sfDir).collect()
       assert(a.nonEmpty, s"$name returned no rows")
