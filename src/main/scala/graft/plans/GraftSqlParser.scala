@@ -34,13 +34,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.maintenancePlan(sqlText)
-      // claim the statement ONLY when its first identifier part names a
-      // REGISTERED snapshot catalog: `OPTIMIZE t` after USE, another
-      // extension's identical verbs (Delta et al.), or a typo'd catalog
-      // all fall through to the delegate instead of dying here
-      .filter(m => m.ident.size >= 2 &&
-        SparkSession.getActiveSession.exists(
-          _.conf.getOption(s"spark.sql.catalog.${m.ident.head}.root").isDefined))
+      // claim the statement ONLY when it resolves to a REGISTERED
+      // snapshot catalog — qualified (`lake.t`) or bare under
+      // `USE lake`; another extension's identical verbs (Delta et
+      // al.), a typo'd catalog, or a bare name outside a snapshot
+      // catalog all fall through to the delegate instead of dying here
+      .flatMap(m => GraftSqlParser.qualify(m))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
@@ -103,6 +102,28 @@ object GraftSqlParser {
 
   private def attr(name: String, dt: DataType, nullable: Boolean = false) =
     AttributeReference(name, dt, nullable)()
+
+  private def isSnapshotCatalog(spark: SparkSession, name: String): Boolean =
+    spark.conf.getOption(s"spark.sql.catalog.$name.root").isDefined
+
+  /** Qualify a parsed maintenance statement against the session:
+    * multi-part idents claim when their head names a registered
+    * snapshot catalog; a BARE table name claims when the session's
+    * CURRENT catalog (`USE lake`) is one — rewritten to the qualified
+    * form so execution stays catalog-explicit. None = not ours. */
+  private[plans] def qualify(m: SnapshotMaintenance): Option[SnapshotMaintenance] =
+    SparkSession.getActiveSession.flatMap { spark =>
+      m.ident match {
+        case head +: _ +: _ if isSnapshotCatalog(spark, head) => Some(m)
+        case Seq(bare) =>
+          val cur = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+            .sessionState.catalogManager.currentCatalog.name()
+          if (isSnapshotCatalog(spark, cur))
+            Some(m.copy(ident = Seq(cur, bare)))
+          else None
+        case _ => None
+      }
+    }
 
   /** Resolve `<catalog>.<ns…>.<name>` through the registered
     * SnapshotCatalog confs to the table path. */

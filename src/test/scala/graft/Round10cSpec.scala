@@ -307,9 +307,14 @@ class Round10cSpec extends SparkSpec {
         // extensions' identical verbs must stay reachable) — Spark then
         // rejects the statement itself
         intercept[Exception] { spark.sql("DESCRIBE HISTORY nosuch.t") }
-        // single-part idents delegate too (no USE-catalog support)
-        assert(graft.plans.GraftSqlParser.maintenancePlan("OPTIMIZE t")
-          .exists(_.ident.size == 1)) // grammar matches, gate rejects
+        // bare names resolve through the CURRENT catalog under USE …
+        spark.sql(s"USE $cat")
+        try {
+          // post-vacuum: exactly the surviving head version
+          assert(spark.sql("DESCRIBE HISTORY t").count() == 1)
+          spark.sql("OPTIMIZE t"): Unit
+        } finally spark.sql("USE spark_catalog")
+        // … and delegate when the current catalog is not a snapshot one
         intercept[Exception] { spark.sql("OPTIMIZE t") }
       }
     }
