@@ -710,23 +710,34 @@ object Maintenance {
         "z-order compaction serves plain batch tables (compact partitions " +
         "via snapshotOverwritePartition; sinks via compactSnapshot)")
     val head = readSnapshot(spark, path, Some(headV))
-    require(head.columns.contains(cx) && head.columns.contains(cy),
-      s"z-order columns ($cx, $cy) must be columns of $path")
+    // resolve the asked names case-insensitively (Spark's default SQL
+    // resolution) to the STORED names; backtick-quote from here on so
+    // a column whose name contains a dot stays a column, not a
+    // struct-field path
+    def resolve(c: String): String = head.columns
+      .find(_.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
+        s"z-order column '$c' is not a column of $path " +
+          s"(${head.columns.mkString(", ")})"))
+    val (rx, ry) = (resolve(cx), resolve(cy))
+    def qcol(c: String): Column = col(s"`$c`")
     val nOut = targetFileCount(head, targetBytes, s"compactSnapshotZorder($path)")
     val nb = 1 << bits
     // quantile cut points per column — planner metadata (≤ 2^bits
     // doubles each), computed from the table's own distribution
-    val quantiles = head.stat.approxQuantile(Array(cx, cy),
-      (1 until nb).map(_.toDouble / nb).toArray, 0.01)
+    // (projected to safe names: approxQuantile's string API shares
+    // col()'s dotted-name hazard)
+    val quantiles = head.select(qcol(rx).as("__zx"), qcol(ry).as("__zy"))
+      .stat.approxQuantile(Array("__zx", "__zy"),
+        (1 until nb).map(_.toDouble / nb).toArray, 0.01)
     def bucket(c: String, cuts: Array[Double]): Column = {
       val distinctCuts = cuts.distinct.toIndexedSeq
       // rank of the value among the cut points = its quantile bucket;
       // literal-array fold, codegen'd, scan-local
       aggregate(typedLit(distinctCuts), lit(0),
-        (acc, cut) => acc + when(col(c).cast("double") > cut, 1).otherwise(0))
+        (acc, cut) => acc + when(qcol(c).cast("double") > cut, 1).otherwise(0))
     }
-    val z = zvalue(bucket(cx, quantiles(0)), bucket(cy, quantiles(1)), bits)
-    val effStats = (manifestStatsCols(mf) ++ Seq(cx, cy)).distinct
+    val z = zvalue(bucket(rx, quantiles(0)), bucket(ry, quantiles(1)), bits)
+    val effStats = (manifestStatsCols(mf) ++ Seq(rx, ry)).distinct
     commitSnapshot(head, path, nOut, identity, effStats, Some(z), Some(headV))
   }
 

@@ -65,8 +65,12 @@ object GraftSqlParser {
   private val Ident = """((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+))*)"""
   private val Vacuum =
     s"""(?is)\\s*VACUUM\\s+$Ident\\s+KEEP\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
-  private val Optimize =
-    s"""(?is)\\s*OPTIMIZE\\s+$Ident(?:\\s+TARGET\\s+(\\d+)\\s+BYTES)?(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(`[^`]+`|\\w+)\\s*,\\s*(`[^`]+`|\\w+)\\s*\\))?\\s*;?\\s*""".r
+  // clauses parsed from the free tail so TARGET and ZORDER compose in
+  // either order; leftover text is a graft-side error, not a silent
+  // fall-through to an opaque delegate parse error
+  private val Optimize = s"""(?is)\\s*OPTIMIZE\\s+$Ident((?:\\s+\\S.*?)??)\\s*;?\\s*""".r
+  private val TargetClause = """(?is)\s*TARGET\s+(\d+)\s+BYTES""".r
+  private val ZorderClause = """(?is)\s*ZORDER\s+BY\s*\(([^)]*)\)""".r
   private val Restore =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val History =
@@ -83,11 +87,36 @@ object GraftSqlParser {
       case Vacuum(id, keep) =>
         Some(SnapshotMaintenance("VACUUM", parts(id), Some(keep.toLong),
           Seq(attr("expired_versions", LongType), attr("deleted_files", LongType))))
-      case Optimize(id, target, zx, zy) =>
-        val cols = Seq(Option(zx), Option(zy)).flatten
-          .map(c => if (c.startsWith("`")) c.drop(1).dropRight(1) else c)
-        Some(SnapshotMaintenance("OPTIMIZE", parts(id),
-          Option(target).map(_.toLong), Seq(attr("version", LongType)), cols))
+      case Optimize(id, tail0) =>
+        var tail = Option(tail0).getOrElse("")
+        var target: Option[Long] = None
+        var cols: Seq[String] = Nil
+        var progress = true
+        while (progress && tail.trim.nonEmpty) {
+          progress = false
+          TargetClause.findPrefixMatchOf(tail).foreach { mt =>
+            require(target.isEmpty, "duplicate TARGET clause in OPTIMIZE")
+            target = Some(mt.group(1).toLong)
+            tail = tail.substring(mt.end); progress = true
+          }
+          ZorderClause.findPrefixMatchOf(tail).foreach { mz =>
+            require(cols.isEmpty, "duplicate ZORDER BY clause in OPTIMIZE")
+            cols = mz.group(1).split(',').toIndexedSeq.map(_.trim)
+              .filter(_.nonEmpty)
+              .map(c => if (c.startsWith("`") && c.endsWith("`"))
+                c.drop(1).dropRight(1) else c)
+            require(cols.nonEmpty, "empty ZORDER BY column list")
+            tail = tail.substring(mz.end); progress = true
+          }
+        }
+        require(tail.trim.isEmpty,
+          s"unrecognized OPTIMIZE clause: '${tail.trim}' — supported: " +
+            "TARGET <n> BYTES, ZORDER BY (c1[, c2])")
+        require(cols.size <= 2,
+          s"ZORDER BY supports one column (range clustering) or two " +
+            s"(Morton interleave), got ${cols.size}: ${cols.mkString(", ")}")
+        Some(SnapshotMaintenance("OPTIMIZE", parts(id), target,
+          Seq(attr("version", LongType)), cols))
       case Restore(id, v) =>
         Some(SnapshotMaintenance("RESTORE", parts(id), Some(v.toLong),
           Seq(attr("version", LongType))))
@@ -107,21 +136,32 @@ object GraftSqlParser {
     spark.conf.getOption(s"spark.sql.catalog.$name.root").isDefined
 
   /** Qualify a parsed maintenance statement against the session:
-    * multi-part idents claim when their head names a registered
-    * snapshot catalog; a BARE table name claims when the session's
-    * CURRENT catalog (`USE lake`) is one — rewritten to the qualified
-    * form so execution stays catalog-explicit. None = not ours. */
+    * idents whose head names a registered snapshot catalog claim as
+    * written; anything else — a bare table name or an
+    * (namespace…,table) path — claims only when the session's CURRENT
+    * catalog (`USE lake` / `USE lake.ns`) is a snapshot catalog, and
+    * is rewritten to the fully-qualified form WITH the current
+    * namespace preserved, so the verb maintains exactly the table a
+    * SELECT of the same name reads. None = not ours: other
+    * extensions' identical verbs delegate untouched. */
   private[plans] def qualify(m: SnapshotMaintenance): Option[SnapshotMaintenance] =
     SparkSession.getActiveSession.flatMap { spark =>
       m.ident match {
         case head +: _ +: _ if isSnapshotCatalog(spark, head) => Some(m)
-        case Seq(bare) =>
-          val cur = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-            .sessionState.catalogManager.currentCatalog.name()
-          if (isSnapshotCatalog(spark, cur))
-            Some(m.copy(ident = Seq(cur, bare)))
-          else None
-        case _ => None
+        case rel =>
+          val cur = spark.catalog.currentCatalog()
+          if (!isSnapshotCatalog(spark, cur)) None
+          else {
+            // current namespace via the public-API-adjacent manager;
+            // a non-classic session (no manager) keeps the bare path
+            val ns = scala.util.Try(
+              spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+                .sessionState.catalogManager.currentNamespace.toIndexedSeq)
+              .getOrElse(Seq.empty[String])
+            // a multi-part relation already names its namespace path
+            val prefix = if (rel.size > 1) Seq(cur) else cur +: ns
+            Some(m.copy(ident = prefix ++ rel))
+          }
       }
     }
 
@@ -175,6 +215,9 @@ case class SnapshotMaintenanceExec(cmd: SnapshotMaintenance)
         val v = cmd.cols match {
           case Seq(cx, cy) =>
             Maintenance.compactSnapshotZorder(spark, path, cx, cy, target)
+          case Seq(c) => // one column: plain range clustering
+            Maintenance.compactSnapshot(spark, path, target,
+              clusterBy = Some(c))
           case _ => Maintenance.compactSnapshot(spark, path, target)
         }
         rows(Seq(Seq(v)))
