@@ -394,6 +394,44 @@ object SqlSurface {
       |  AND l_suppkey % 256 BETWEEN 0 AND 99
       |GROUP BY 1 ORDER BY x""".stripMargin
 
+  /** CDC through the DSv2 options (NEW r10c): `changesFrom`/`changesTo`
+    * on the snapshot source plan EXACTLY the version diff's added
+    * files ([[Maintenance.snapshotChanges]] behind the SQL face), with
+    * manifest-stats pruning applied ON the delta — the "what landed
+    * since I last looked" read every downstream incremental consumer
+    * runs, O(delta) at any table size. The gate stages evens as v1,
+    * appends odds as v2, and answers a RANGE-filtered aggregate over
+    * the 1→2 delta through a temp view: a diff that leaked a carried
+    * file (evens) or missed an added one hash-fails against the
+    * odd-half oracle. */
+  def sqlChanges(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlcdc") { p =>
+      val ev = Tables.events(spark, dir)
+      Maintenance.snapshotWrite(ev.filter(col("event_id") % 2 === 0),
+        s"$p/ev", nFiles = 4, statsCols = Seq("event_id"),
+        clusterBy = Some("event_id"))
+      Maintenance.snapshotAppend(ev.filter(col("event_id") % 2 === 1),
+        s"$p/ev", nFiles = 4, statsCols = Seq("event_id"),
+        clusterBy = Some("event_id"))
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val view = s"graft_sqlcdc_$tag"
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("changesFrom", 1).option("changesTo", 2)
+        .load(s"$p/ev").createOrReplaceTempView(view)
+      try spark.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           |FROM $view WHERE event_id >= 100
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      finally spark.catalog.dropTempView(view): Unit
+    }
+
+  private val sqlChangesOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 2 = 1 AND event_id >= 100
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_sql_delete", sqlDelete, Some(sqlDeleteOracle)),
     Op("q_sql_update", sqlUpdate, Some(sqlUpdateOracle)),
@@ -403,5 +441,6 @@ object SqlSurface {
     Op("q_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceOracle)),
     Op("q_sql_evolution", sqlEvolution, Some(sqlEvolutionOracle)),
     Op("q_sql_zorder", sqlZorder, Some(sqlZorderOracle)),
+    Op("q_sql_changes", sqlChanges, Some(sqlChangesOracle)),
   )
 }

@@ -97,8 +97,17 @@ class SnapshotSource extends TableProvider
   private def mergeSchema(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("mergeSchema", false)
 
+  /** `changesFrom` (exclusive base, 0 = pre-table) + optional
+    * `changesTo` (default head): the batch CDC read — the version
+    * diff's ADDED files only, [[Maintenance.snapshotChanges]] through
+    * the DSv2 face (manifest stats pruning intact on the delta). */
+  private def changesFrom(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("changesFrom")).map(_.toLong)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotTable(path(options), asOf(options), mergeSchema(options)).schema()
+    SnapshotTable(path(options),
+      asOf(options).orElse(Option(options.get("changesTo")).map(_.toLong)),
+      mergeSchema(options), changesFrom = changesFrom(options)).schema()
 
   // writes hand us the DataFrame's schema instead of calling
   // inferSchema — which is what lets the FIRST write create the table
@@ -107,8 +116,10 @@ class SnapshotSource extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    SnapshotTable(path(opts), asOf(opts), mergeSchema(opts),
-      Option(schema).filter(_.nonEmpty))
+    SnapshotTable(path(opts),
+      asOf(opts).orElse(Option(opts.get("changesTo")).map(_.toLong)),
+      mergeSchema(opts), Option(schema).filter(_.nonEmpty),
+      changesFrom = changesFrom(opts))
   }
 }
 
@@ -123,7 +134,8 @@ class SnapshotSource extends TableProvider
   * version-less path. */
 case class SnapshotTable(path: String, asOf: Option[Long],
     mergeSchema: Boolean = false,
-    declaredSchema: Option[StructType] = None) extends Table
+    declaredSchema: Option[StructType] = None,
+    changesFrom: Option[Long] = None) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
@@ -172,8 +184,17 @@ case class SnapshotTable(path: String, asOf: Option[Long],
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(spark, path, pinnedVersion, dataSchema, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    changesFrom.foreach { f =>
+      val vs = Maintenance.snapshotVersions(spark, path)
+      require(f == 0 || vs.contains(f),
+        s"changesFrom version $f not in $vs (expired or never committed)")
+      require(f <= pinnedVersion,
+        s"changesFrom $f must be <= the read version $pinnedVersion")
+    }
+    new SnapshotScanBuilder(spark, path, pinnedVersion, dataSchema, options,
+      changesFrom)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -250,7 +271,8 @@ class SnapshotWriteBuilder(path: String, options: CaseInsensitiveStringMap)
   * then builds Spark's own ParquetScanBuilder over the pruned file
   * index and re-pushes the same filters into it (row-group skipping). */
 class SnapshotScanBuilder(spark: SparkSession, path: String, version: Long,
-    dataSchema: StructType, options: CaseInsensitiveStringMap)
+    dataSchema: StructType, options: CaseInsensitiveStringMap,
+    changesFrom: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns {
@@ -290,7 +312,16 @@ class SnapshotScanBuilder(spark: SparkSession, path: String, version: Long,
     Maintenance.manifestFilePredicate(mfCols, f)
 
   override def build(): Scan = {
-    val mf = Maintenance.snapshotManifest(spark, path, Some(version))
+    // CDC reads restrict the version's manifest to the files the diff
+    // base doesn't list — the snapshotChanges planning, with the same
+    // stats pruning then applied ON the delta
+    val mf = changesFrom match {
+      case None => Maintenance.snapshotManifest(spark, path, Some(version))
+      case Some(f) =>
+        val before = Maintenance.manifestFiles(spark, path, f)
+        Maintenance.snapshotManifest(spark, path, Some(version))
+          .filter(!col("file").isin(before.toSeq: _*))
+    }
     val mfCols = mf.columns.toSet
     val pruned = pushedV1.flatMap(filePredicate(mfCols, _))
       .foldLeft(mf)((m, p) => m.filter(p))

@@ -473,10 +473,37 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 CDC options plan only the delta files, with pruning on the delta") {
+    withTable("graft_sqlcdc_") { (p, _) =>
+      import spark.implicits._
+      val t = s"$p/t"
+      snapshotWrite((1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v"),
+        t, nFiles = 4, statsCols = Seq("k"), clusterBy = Some("k"))
+      snapshotAppend((51L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"),
+        t, nFiles = 4, statsCols = Seq("k"), clusterBy = Some("k"))
+      def changes(from: Long) = spark.read
+        .format("graft.sources.SnapshotSource")
+        .option("changesFrom", from).load(t)
+      // the 1→2 delta is exactly the appended half
+      assert(changes(1).count() == 50)
+      assert(changes(1).agg(min("k")).head.getLong(0) == 51)
+      // changesFrom 0 = the pre-table base: the whole table is the delta
+      assert(changes(0).count() == 100)
+      // empty diff reads as zero rows, schema intact
+      val same = spark.read.format("graft.sources.SnapshotSource")
+        .option("changesFrom", 2).option("changesTo", 2).load(t)
+      assert(same.count() == 0 && same.columns.toSeq == Seq("k", "v"))
+      // pruning applies ON the delta: the k-range answer stays exact
+      assert(changes(1).filter(col("k") >= 90).count() == 11)
+      // a bogus base version refuses
+      intercept[Exception] { changes(7).count() }
+    }
+  }
+
   test("registered q_sql_* queries return deterministic non-empty results") {
     for (name <- Seq("q_sql_delete", "q_sql_update", "q_sql_merge",
         "q_sql_ctas", "q_sql_script", "q_sql_maintenance", "q_sql_evolution",
-        "q_sql_zorder")) {
+        "q_sql_zorder", "q_sql_changes")) {
       val op = Registry.byName(name)
       val a = op.fn(spark, sfDir).collect()
       assert(a.nonEmpty, s"$name returned no rows")
