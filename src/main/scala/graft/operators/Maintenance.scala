@@ -198,12 +198,25 @@ object Maintenance {
     * single-key clustering, where the sort key's stats are tight but
     * every other column's span the whole domain. Plain integer
     * arithmetic (shift/mod/sum), exactly replayable in ANSI SQL. */
-  def zvalue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i) % 2, 2 * i) +
-        shiftleft(shiftright(y, i) % 2, 2 * i + 1)
-    }.reduce(_ + _)
+  def zvalue(x: Column, y: Column, bits: Int): Column =
+    zvalue(Seq(x, y), bits)
+
+  /** N-column Morton interleave: bit i of column j lands at bit
+    * i·k + j (k = column count), so the 2-column overload above is the
+    * k = 2 special case bit-for-bit. Inputs are widened to long before
+    * shifting — an int interleave would overflow into the sign bit at
+    * k·bits > 31 (e.g. bits = 15, two columns → shift 31). k·bits is
+    * capped at 62 to stay inside a signed long. */
+  def zvalue(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"z-value interleaves at least 2 columns, got $k")
+    require(bits >= 1 && bits * k <= 62,
+      s"bits*columns must be in [$k, 62], got $bits*$k = ${bits * k}")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i) % 2, i * k + j))
+      .reduce(_ + _)
   }
 
   /** Write `df` as a snapshot table clustered on the z-value of
@@ -367,36 +380,67 @@ object Maintenance {
     * the marker — parquet reads skip `_`-prefixed files.) */
   private[graft] def commitSnapshot(df: DataFrame, path: String, nFiles: Int,
       carry: DataFrame => DataFrame, statsCols: Seq[String],
-      clusterBy: Option[Column], base: Option[Long] = None): Long = {
+      clusterBy: Option[Column], base: Option[Long] = None,
+      shape: Option[DataFrame => DataFrame] = None,
+      rebaseCarry: Option[Long => DataFrame => DataFrame] = None): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val spark = df.sparkSession
     val batch = s"b${java.util.UUID.randomUUID().toString.take(12)}"
     // cluster the batch on the stats key when asked, so its per-file
-    // min/max ranges are disjoint (tight) rather than full-domain
-    val shaped = clusterBy match {
+    // min/max ranges are disjoint (tight) rather than full-domain;
+    // `shape` overrides with a caller-owned layout (the deterministic
+    // z-order routing) — it must still produce ≤ nFiles partitions
+    val shaped = shape.map(_(df)).getOrElse(clusterBy match {
       case Some(k) =>
         df.withColumn("__cluster", k)
           .repartitionByRange(nFiles, col("__cluster"))
           .sortWithinPartitions("__cluster").drop("__cluster")
       case None => df.repartition(nFiles)
-    }
+    })
     shaped.write.mode("overwrite").parquet(s"$path/data/$batch")
     val newFiles = writtenFileStats(spark, s"$path/data/$batch", s"$batch/", statsCols)
-    val next = base.map(_ + 1).getOrElse(
-      snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1)
-    // the new version's table schema: the carried base's recorded
-    // schema unioned with the batch's (evolution only ADDS columns).
-    // A base without a sidecar (pre-upgrade table) or a same-name
-    // type conflict records none — readers keep the merged-footer
-    // fallback rather than trusting a schema this commit can't prove.
-    val tableSchema: Option[org.apache.spark.sql.types.StructType] =
-      base.filter(_ > 0) match {
-        case None => Some(df.schema) // replace / create: the batch alone
-        case Some(v) => recordedSchema(spark, path, v)
-          .flatMap(prev => unionSchema(prev, df.schema))
+    def attempt(b: Option[Long], carryFn: DataFrame => DataFrame): Long = {
+      val next = b.map(_ + 1).getOrElse(
+        snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1)
+      // the new version's table schema: the carried base's recorded
+      // schema unioned with the batch's (evolution only ADDS columns).
+      // A base without a sidecar (pre-upgrade table) or a same-name
+      // type conflict records none — readers keep the merged-footer
+      // fallback rather than trusting a schema this commit can't prove.
+      val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+        b.filter(_ > 0) match {
+          case None => Some(df.schema) // replace / create: the batch alone
+          case Some(v) => recordedSchema(spark, path, v)
+            .flatMap(prev => unionSchema(prev, df.schema))
+        }
+      publishManifest(spark, path, carryFn(newFiles), next, tableSchema)
+      next
+    }
+    // Optimistic retry: a commit whose carry COMMUTES with any
+    // concurrent commit (an append — its batch's files are disjoint
+    // from everything another writer can touch) passes `rebaseCarry`,
+    // a carry factory over the ACTUAL head at retry time; the data
+    // files are already landed, so a lost race re-derives only the
+    // manifest and re-publishes — the every-table-format behavior for
+    // non-overlapping writers. Read-modify-REWRITE commits (compact,
+    // z-order, DML, partition overwrite) pass none: their content
+    // derives from the base version, so a moved head means the work
+    // itself is stale and the conflict must surface.
+    var curBase = base
+    var tries = 0
+    while (true) {
+      try return attempt(curBase,
+        if (tries == 0) carry else rebaseCarry.get(curBase.get))
+      catch {
+        case c: SnapshotCommitConflict =>
+          val head = snapshotVersions(spark, path).lastOption
+          if (rebaseCarry.isEmpty || tries >= 10 || head.isEmpty ||
+            curBase == head) throw c
+          tries += 1
+          curBase = head
       }
-    publishManifest(spark, path, carry(newFiles), next, tableSchema)
-    next
+    }
+    -1L // unreachable
   }
 
   /** Name-keyed schema union: base fields first (stable order), new
@@ -486,7 +530,7 @@ object Maintenance {
       // winner's manifest stays clean, then surface the conflict
       if (renamed) fs.delete(new org.apache.hadoop.fs.Path(s"$dst/$tmpName"), true)
       else fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      throw new IllegalStateException(
+      throw new SnapshotCommitConflict(
         s"snapshot commit lost the race to $dst — another writer committed " +
           "on the same base version; re-derive and retry")
     }
@@ -526,6 +570,38 @@ object Maintenance {
     * range-clustered on that key so its stats are tight. Append
     * commits must pass the SAME statsCols — the manifest schema is
     * part of the table contract. */
+  /** CREATE TABLE without data: version 1 is an EMPTY manifest (zero
+    * data files) plus the declared schema as the commit's sidecar —
+    * the table EXISTS (reads return an empty, correctly-typed frame;
+    * the SQL catalog lists and resolves it) and the idiomatic
+    * BigQuery-script chain `CREATE TABLE …; INSERT INTO …` runs
+    * unmodified. `statsCols` declares the stats contract up front:
+    * the empty manifest carries typed min_/max_ columns for them, so
+    * the FIRST insert inherits the contract exactly as every later
+    * one does ([[tableStatsCols]] reads it off the head manifest).
+    * Commits as exactly v1 — two racing creators conflict instead of
+    * silently shadowing one another (the [[snapshotWrite]] rule). */
+  def snapshotCreateEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String] = Nil): Long = {
+    require(snapshotVersions(spark, path).isEmpty,
+      s"$path already has versions — use snapshotAppend/snapshotReplace")
+    require(schema.nonEmpty, s"CREATE TABLE at $path needs at least one column")
+    val fields = statsCols.map { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"statsCols column '$c' is not in the declared schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+    }
+    import org.apache.spark.sql.types._
+    val mfSchema = StructType(
+      Seq(StructField("file", StringType), StructField("n_rows", LongType)) ++
+        fields.flatMap(f => Seq(StructField(s"min_${f.name}", f.dataType),
+          StructField(s"max_${f.name}", f.dataType))))
+    publishManifest(spark, path, emptyOf(spark, mfSchema), 1L, Some(schema))
+    1L
+  }
+
   def snapshotWrite(df: DataFrame, path: String, nFiles: Int,
       statsCols: Seq[String] = Nil, clusterBy: Option[String] = None): Long = {
     require(snapshotVersions(df.sparkSession, path).isEmpty,
@@ -546,8 +622,14 @@ object Maintenance {
     val prev = snapshotVersions(df.sparkSession, path).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$path has no versions to append to"))
     val old = manifestOf(df.sparkSession, path, prev)
+    // appends COMMUTE with any concurrent commit (the new batch's
+    // files are disjoint from everything another writer can touch), so
+    // a lost base race rebases onto the actual head and re-publishes —
+    // the data files are already landed, the retry is metadata-only
     commitSnapshot(df, path, nFiles, fresh => old.unionByName(fresh),
-      statsCols, clusterBy.map(col), Some(prev))
+      statsCols, clusterBy.map(col), Some(prev), rebaseCarry =
+        Some(nb => fresh =>
+          manifestOf(df.sparkSession, path, nb).unionByName(fresh)))
   }
 
   /** Full-replace commit (WRITE_TRUNCATE as a version): the new version
@@ -596,7 +678,14 @@ object Maintenance {
     require(vs.contains(v), s"version $v not in $vs (expired or never committed)")
     val files = manifestOf(spark, path, v)
       .select("file").collect().map(r => s"$path/data/${r.getString(0)}")
-    spark.read.option("mergeSchema", mergeSchema.toString)
+    if (files.isEmpty)
+      // a created-but-never-written table ([[snapshotCreateEmpty]]):
+      // zero data files, schema from the commit's sidecar — an empty
+      // frame in exactly the declared shape
+      emptyOf(spark, recordedSchema(spark, path, v).getOrElse(
+        throw new IllegalStateException(
+          s"$path version $v lists no data files and records no schema")))
+    else spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(files.toIndexedSeq: _*)
   }
 
@@ -616,11 +705,40 @@ object Maintenance {
   def vacuumSnapshots(spark: SparkSession, path: String, keep: Int,
       graceMs: Long = 0L): (Long, Long) = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
-    require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
-    val fs = fsFor(spark, path)
     val vs = snapshotVersions(spark, path)
     require(vs.nonEmpty, s"$path has no committed versions to vacuum")
     val (expire, kept) = vs.splitAt((vs.size - keep).max(0))
+    vacuumGc(spark, path, expire, kept, graceMs)
+  }
+
+  /** Time-based retention — `VACUUM … RETAIN n HOURS`: expire every
+    * version COMMITTED (manifest rename mtime — the same clock
+    * `TIMESTAMP AS OF` resolves against) before now − `retainMs`,
+    * always keeping the head, then GC exactly as [[vacuumSnapshots]].
+    * Retention-by-age is the contract CDC consumers configure
+    * against: a reader that polls `changesFrom = v` at least every
+    * `retainMs` never sees its base expire; one that lags longer gets
+    * the loud version-expired error instead of a silently incomplete
+    * diff. `graceMs` guards in-flight writers exactly as in
+    * [[vacuumSnapshots]]. */
+  def vacuumSnapshotsRetain(spark: SparkSession, path: String,
+      retainMs: Long, graceMs: Long = 0L): (Long, Long) = {
+    require(retainMs >= 0L, s"retainMs must be >= 0, got $retainMs")
+    val fs = fsFor(spark, path)
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions to vacuum")
+    val cutoff = System.currentTimeMillis() - retainMs
+    def committedAt(v: Long): Long =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f"$path/versions/v$v%05d"))
+        .getModificationTime
+    val (expire, kept) = vs.init.partition(committedAt(_) < cutoff)
+    vacuumGc(spark, path, expire, kept :+ vs.last, graceMs)
+  }
+
+  private def vacuumGc(spark: SparkSession, path: String,
+      expire: Seq[Long], kept: Seq[Long], graceMs: Long): (Long, Long) = {
+    require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
+    val fs = fsFor(spark, path)
     val referenced = kept.map(v => manifestOf(spark, path, v).select("file"))
       .reduce(_ unionByName _).distinct()
       .collect().map(_.getString(0)).toSet
@@ -683,23 +801,52 @@ object Maintenance {
     * [[snapshotAppend]] with the original statsCols — the manifest
     * schema is part of the table contract and compaction preserves it
     * unless explicitly overridden. */
-  /** OPTIMIZE … ZORDER BY: rewrite the head version clustered on the
-    * Morton interleave of TWO columns, so the layout prunes on BOTH —
-    * a table sorted on one key answers range predicates on the other
-    * with a full scan; a z-clustered one skips most files either way
-    * (Round10cSpec audits the file counts). Columns are first bucketed
-    * by their own APPROXIMATE QUANTILES (driver-side sample, 1%
-    * error), not raw low bits: the interleave then reflects each
-    * column's real distribution at any key domain and the bucketing
-    * expression is a scan-local literal-array fold — no global sort,
-    * no extra shuffle beyond the range partition every compaction
-    * pays. Stats land on both z columns (plus whatever the manifest
-    * already carried); the bucket/z columns are layout-only and drop
-    * from the stored schema. Same commit discipline as
-    * [[compactSnapshot]]; partitioned and streaming-sink tables
-    * refuse. */
+  /** Two-column compatibility face of the N-column overload below. */
   def compactSnapshotZorder(spark: SparkSession, path: String,
-      cx: String, cy: String, targetBytes: Long, bits: Int = 8): Long = {
+      cx: String, cy: String, targetBytes: Long, bits: Int = 8): Long =
+    compactSnapshotZorder(spark, path, Seq(cx, cy), targetBytes, bits)
+
+  /** OPTIMIZE … ZORDER BY: rewrite the head version clustered on the
+    * Morton interleave of 2–4 columns, so the layout prunes on EVERY
+    * z axis — a table sorted on one key answers range predicates on
+    * the others with a full scan; a z-clustered one skips most files
+    * on any of them (Round10cSpec audits the file counts).
+    *
+    * The layout is DETERMINISTIC end to end — same committed input ⇒
+    * byte-equal manifest, and (given the same output file count) the
+    * same row→file assignment regardless of how the input happened to
+    * be laid out. Both sampled stages of the naive plan are replaced:
+    *
+    *  1. Per-column bucket cuts: each column is first quantized onto a
+    *     2^20-point grid between its exact [min, max] (one cheap exact
+    *     aggregation), then cut at the grid values' EXACT percentiles
+    *     (`percentile` — sort-based, merge-order independent; its
+    *     state is capped at 2^20 entries per column by the grid, so
+    *     the exactness costs bounded memory at any table size, unlike
+    *     exact percentiles over raw unbounded-distinct doubles).
+    *     `approxQuantile` — a driver-side merge-order-dependent sample
+    *     — is gone; it made the layout differ run to run.
+    *  2. File boundaries: output file f's z range is cut at the EXACT
+    *     percentiles of the z-value itself (distinct-bounded by the
+    *     2^(bits·k) z domain), and rows are routed to their file with
+    *     collision-free hash routing ([[routingKeys]]) instead of
+    *     `repartitionByRange`, whose sampled boundaries jittered the
+    *     file/tile alignment between runs.
+    *
+    * The bucket/z/route expressions are scan-local literal-array
+    * folds (codegen'd); the rewrite pays exactly the aggregations plus
+    * the one shuffle every compaction pays. Stats land on all z
+    * columns (plus whatever the manifest already carried); the layout
+    * columns drop from the stored schema. The head is read
+    * mergeSchema + aligned to the recorded table schema, so z-ordering
+    * a schema-evolved table keeps evolution-added columns (a plain
+    * head read could adopt a pre-evolution footer and silently null
+    * them). Same commit discipline as [[compactSnapshot]]; partitioned
+    * and streaming-sink tables refuse. */
+  def compactSnapshotZorder(spark: SparkSession, path: String,
+      zCols: Seq[String], targetBytes: Long, bits: Int): Long = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"ZORDER BY takes 2 to 4 columns, got ${zCols.size}: ${zCols.mkString(", ")}")
     require(bits >= 1 && bits <= 15, s"bits must be in [1, 15], got $bits")
     val vs = snapshotVersions(spark, path)
     require(vs.nonEmpty, s"$path has no committed versions to z-order")
@@ -709,7 +856,9 @@ object Maintenance {
       s"$path is a partitioned or streaming-sink snapshot table — " +
         "z-order compaction serves plain batch tables (compact partitions " +
         "via snapshotOverwritePartition; sinks via compactSnapshot)")
-    val head = readSnapshot(spark, path, Some(headV))
+    val head = alignToSchema(
+      readSnapshot(spark, path, Some(headV), mergeSchema = true),
+      tableSchema(spark, path, Some(headV)))
     // resolve the asked names case-insensitively (Spark's default SQL
     // resolution) to the STORED names; backtick-quote from here on so
     // a column whose name contains a dot stays a column, not a
@@ -718,27 +867,105 @@ object Maintenance {
       .find(_.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
         s"z-order column '$c' is not a column of $path " +
           s"(${head.columns.mkString(", ")})"))
-    val (rx, ry) = (resolve(cx), resolve(cy))
+    val resolved = zCols.map(resolve)
+    require(resolved.distinct.size == resolved.size,
+      s"duplicate z-order columns: ${resolved.mkString(", ")}")
     def qcol(c: String): Column = col(s"`$c`")
     val nOut = targetFileCount(head, targetBytes, s"compactSnapshotZorder($path)")
     val nb = 1 << bits
-    // quantile cut points per column — planner metadata (≤ 2^bits
-    // doubles each), computed from the table's own distribution
-    // (projected to safe names: approxQuantile's string API shares
-    // col()'s dotted-name hazard)
-    val quantiles = head.select(qcol(rx).as("__zx"), qcol(ry).as("__zy"))
-      .stat.approxQuantile(Array("__zx", "__zy"),
-        (1 until nb).map(_.toDouble / nb).toArray, 0.01)
-    def bucket(c: String, cuts: Array[Double]): Column = {
-      val distinctCuts = cuts.distinct.toIndexedSeq
-      // rank of the value among the cut points = its quantile bucket;
-      // literal-array fold, codegen'd, scan-local
-      aggregate(typedLit(distinctCuts), lit(0),
-        (acc, cut) => acc + when(qcol(c).cast("double") > cut, 1).otherwise(0))
+    val grid = 1 << 20
+    // pass 1: exact per-column [min, max] — one aggregation row
+    val rangeRow = head.agg(
+      min(qcol(resolved.head).cast("double")),
+      resolved.tail.flatMap(c => Seq(min(qcol(c).cast("double")),
+        max(qcol(c).cast("double")))) :+
+        max(qcol(resolved.head).cast("double")): _*).head()
+    def rng(j: Int): (Double, Double) = {
+      // agg order above: min(c0), [min(c1), max(c1), …], max(c0)
+      val (loIdx, hiIdx) =
+        if (j == 0) (0, 1 + 2 * (resolved.size - 1)) else (2 * j - 1, 2 * j)
+      (if (rangeRow.isNullAt(loIdx)) 0.0 else rangeRow.getDouble(loIdx),
+        if (rangeRow.isNullAt(hiIdx)) 0.0 else rangeRow.getDouble(hiIdx))
     }
-    val z = zvalue(bucket(rx, quantiles(0)), bucket(ry, quantiles(1)), bits)
-    val effStats = (manifestStatsCols(mf) ++ Seq(rx, ry)).distinct
-    commitSnapshot(head, path, nOut, identity, effStats, Some(z), Some(headV))
+    // value → grid index in [0, grid): NULL stays NULL (bucket 0
+    // below); a constant (or all-NULL) column collapses to grid 0
+    def gridded(c: String, lo: Double, hi: Double): Column =
+      if (!(hi > lo)) when(qcol(c).isNotNull, lit(0))
+      else least(lit(grid - 1), greatest(lit(0),
+        floor((qcol(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(grid))
+          .cast("int")))
+    val gridExprs = resolved.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = rng(j); gridded(c, lo, hi)
+    }
+    // pass 2: exact percentile cuts over the grid indexes (state
+    // ≤ `grid` distinct values per column — bounded, mergeable,
+    // deterministic at any scale)
+    val qs = (1 until nb).map(_.toDouble / nb).toArray
+    val cutsRow = head.select(
+        gridExprs.zipWithIndex.map { case (g, j) => g.as(s"__g$j") }: _*)
+      .agg(percentile(col("__g0"), lit(qs)),
+        (1 until resolved.size).map(j => percentile(col(s"__g$j"), lit(qs))): _*)
+      .head()
+    def cutsOf(j: Int): Seq[Double] =
+      if (cutsRow.isNullAt(j)) Nil
+      else cutsRow.getSeq[Double](j).distinct.sorted
+    // rank of the grid value among the cut points = its quantile
+    // bucket; literal-array fold, codegen'd, scan-local. NULL → 0.
+    def bucket(g: Column, cuts: Seq[Double]): Column =
+      if (cuts.isEmpty) coalesce(g, lit(0)) * 0
+      else aggregate(typedLit(cuts), lit(0),
+        (acc, cut) => acc + when(g.cast("double") > cut, 1).otherwise(0))
+    val z = zvalue(gridExprs.zipWithIndex.map { case (g, j) =>
+      bucket(g, cutsOf(j)) }, bits)
+    // pass 3: exact z percentiles = the output files' z boundaries
+    // (distinct-bounded by the z domain, ≤ 2^(bits·k) entries)
+    val zcuts: Seq[Double] =
+      if (nOut <= 1) Nil
+      else {
+        val zq = (1 until nOut).map(_.toDouble / nOut).toArray
+        val r = head.select(z.cast("double").as("__z"))
+          .agg(percentile(col("__z"), lit(zq))).head()
+        if (r.isNullAt(0)) Nil else r.getSeq[Double](0).distinct.sorted
+      }
+    val nParts = zcuts.size + 1
+    val routes = routingKeys(nParts)
+    val shaper: DataFrame => DataFrame = d => {
+      val fileId =
+        if (zcuts.isEmpty) lit(0)
+        else aggregate(typedLit(zcuts), lit(0),
+          (acc, cut) => acc + when(z.cast("double") > cut, 1).otherwise(0))
+      d.withColumn("__zv", z)
+        .withColumn("__route", element_at(typedLit(routes), fileId))
+        .repartition(nParts, col("__route"))
+        .sortWithinPartitions("__zv")
+        .drop("__zv", "__route")
+    }
+    val effStats = (manifestStatsCols(mf) ++ resolved).distinct
+    commitSnapshot(head, path, nParts, identity, effStats, None, Some(headV),
+      shape = Some(shaper))
+  }
+
+  /** For each shuffle partition p in [0, n), an int key k with
+    * pmod(murmur3(k, 42), n) == p — exactly the partition id
+    * `repartition(n, col)` computes for an int column
+    * (HashPartitioning = Murmur3Hash seed 42, pmod n). Routing rows
+    * through these keys places logical bucket p in physical partition
+    * p: deterministic, collision-free file assignment with plain
+    * hash partitioning — no sampled range boundaries anywhere in the
+    * layout. Found by scanning k upward (coupon-collector,
+    * O(n log n) hash probes — driver-side planner metadata). */
+  private def routingKeys(n: Int): Map[Int, Int] = {
+    val keys = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var k = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; keys(p) = k; remaining -= 1 }
+      k += 1
+    }
+    keys.zipWithIndex.map { case (key, p) => p -> key }.toMap
   }
 
   def compactSnapshot(spark: SparkSession, path: String, targetBytes: Long,
@@ -1581,7 +1808,19 @@ object Maintenance {
       val impure = mf.filter(col("n_rows") > 0 &&
         (col(s"min_$c").cast("string") =!= col("part") ||
           col(s"max_$c").cast("string") =!= col("part"))).limit(1).count()
-      if (impure > 0) None else Some(l.value.toString)
+      // render the literal through Spark's OWN cast-to-string — the
+      // exact rendering the purity check above and the partition
+      // stamping compare against. The Catalyst-internal value would
+      // print a DateType literal as its epoch-day int ('19723'), match
+      // no 'yyyy-MM-dd' partition, and silently no-op the DELETE.
+      val rendered = org.apache.spark.sql.catalyst.expressions.Cast(
+        l, org.apache.spark.sql.types.StringType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        .eval() match {
+          case null => return None
+          case s => s.toString
+        }
+      if (impure > 0) None else Some(rendered)
     }
     org.apache.spark.sql.graft.Bridge.expression(cond) match {
       case CEq(x, l: Literal) if nameOf(x).isDefined => check(nameOf(x).get, l)
@@ -2089,3 +2328,10 @@ object Maintenance {
     Op("q_partition_drop", partitionDropQuery, Some(partitionDropOracle)),
   )
 }
+
+/** A snapshot commit lost its base-version race: another writer
+  * committed on the same base while this one was in flight. Commits
+  * that commute with concurrent writers (appends) catch this inside
+  * [[Maintenance.commitSnapshot]] and rebase-retry; read-modify-rewrite
+  * commits surface it — their derived content is stale. */
+class SnapshotCommitConflict(msg: String) extends IllegalStateException(msg)

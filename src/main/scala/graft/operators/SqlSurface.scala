@@ -432,7 +432,82 @@ object SqlSurface {
       |FROM events WHERE event_id % 2 = 1 AND event_id >= 100
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** CREATE TABLE without data, then the CoR-idiomatic INSERT INTO
+    * chain (NEW r11): the reference's BigQuery scripts create empty
+    * tables and fill them in steps
+    * (data_extraction_queries_automated_script.sql's CREATE-then-
+    * INSERT discipline); this gate pins that the SQL catalog accepts
+    * the empty CREATE (empty-manifest v1 + schema sidecar), that the
+    * declared statsCols contract is INHERITED by the first insert and
+    * every later one, and that the filled table answers through the
+    * snapshot reader. The oracle recomputes from raw events, so a
+    * dropped/duplicated insert batch hash-fails. */
+  def sqlCreate(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlcrt") { p =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val view = s"graft_sqlcrt_$tag"
+      Tables.events(spark, dir).createOrReplaceTempView(view)
+      try withCatalog(spark, p) { cat =>
+        spark.sql(
+          s"""CREATE TABLE $cat.ev (
+             |  event_id BIGINT, user_id BIGINT, event_type STRING,
+             |  value DOUBLE)
+             |TBLPROPERTIES ('statsCols' = 'event_id')""".stripMargin)
+        // the created-but-empty table is readable and correctly typed
+        require(spark.sql(s"SELECT * FROM $cat.ev").isEmpty,
+          "freshly created table must read as empty")
+        spark.sql(s"INSERT INTO $cat.ev SELECT event_id, user_id, " +
+          s"event_type, value FROM $view WHERE event_id % 2 = 0")
+        spark.sql(s"INSERT INTO $cat.ev SELECT event_id, user_id, " +
+          s"event_type, value FROM $view WHERE event_id % 2 = 1")
+        spark.sql(
+          s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      } finally spark.catalog.dropTempView(view): Unit
+    }
+
+  private val sqlCreateOracle =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** OPTIMIZE … ZORDER BY over THREE columns through pure SQL (NEW
+    * r11): the N-column interleave behind the 2-column gate above —
+    * stage a three-key projection of events, z-order on (u, e, v)
+    * via the parser verb, and answer a 3D range aggregate through the
+    * catalog. The oracle recomputes from raw events; Round10cSpec
+    * audits the per-axis file pruning the oracle can't see. */
+  def sqlZorder3(spark: SparkSession, dir: String): DataFrame =
+    Maintenance.stagedQuery("sqlzo3") { p =>
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), (col("user_id") % 64).as("u"),
+          (col("event_id") % 64).as("e"),
+          floor(col("value") * 10).cast("long").as("v"))
+      Maintenance.snapshotWrite(ev, s"$p/t", nFiles = 8,
+        statsCols = Seq("u"), clusterBy = Some("u"))
+      withCatalog(spark, p) { cat =>
+        spark.sql(s"OPTIMIZE $cat.t TARGET 134217728 BYTES ZORDER BY (u, e, v)")
+        spark.sql(
+          s"""SELECT u, COUNT(*) AS n, SUM(e) AS se, SUM(v) AS sv
+             |FROM $cat.t
+             |WHERE u BETWEEN 8 AND 39 AND e BETWEEN 0 AND 31 AND v >= 20
+             |GROUP BY u ORDER BY u""".stripMargin)
+      }
+    }
+
+  private val sqlZorder3Oracle =
+    """WITH t AS (
+      |  SELECT user_id % 64 AS u, event_id % 64 AS e,
+      |    CAST(FLOOR("value" * 10) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT u, COUNT(*) AS n, SUM(e) AS se, SUM(v) AS sv
+      |FROM t WHERE u BETWEEN 8 AND 39 AND e BETWEEN 0 AND 31 AND v >= 20
+      |GROUP BY u ORDER BY u""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("q_sql_create", sqlCreate, Some(sqlCreateOracle)),
+    Op("q_sql_zorder3", sqlZorder3, Some(sqlZorder3Oracle)),
     Op("q_sql_delete", sqlDelete, Some(sqlDeleteOracle)),
     Op("q_sql_update", sqlUpdate, Some(sqlUpdateOracle)),
     Op("q_sql_merge", sqlMerge, Some(sqlMergeOracle)),

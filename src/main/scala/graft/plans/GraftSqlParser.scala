@@ -36,8 +36,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // snapshot catalog — qualified (`lake.t`) or bare under
       // `USE lake`; another extension's identical verbs (Delta et
       // al.), a typo'd catalog, or a bare name outside a snapshot
-      // catalog all fall through to the delegate instead of dying here
+      // catalog all fall through to the delegate instead of dying here.
+      // Clause-level validation is deferred to AFTER the ownership
+      // check: a malformed clause on someone else's table (Delta's
+      // `OPTIMIZE t WHERE …`) must delegate, not die in this parser.
       .flatMap(m => GraftSqlParser.qualify(m))
+      .map { m =>
+        m.parseError.foreach(msg => throw new IllegalArgumentException(msg))
+        m
+      }
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
@@ -63,6 +70,8 @@ object GraftSqlParser {
   private val Ident = """((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+))*)"""
   private val Vacuum =
     s"""(?is)\\s*VACUUM\\s+$Ident\\s+KEEP\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
+  private val VacuumRetain =
+    s"""(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*;?\\s*""".r
   // clauses parsed from the free tail so TARGET and ZORDER compose in
   // either order; leftover text is a graft-side error, not a silent
   // fall-through to an opaque delegate parse error
@@ -85,36 +94,41 @@ object GraftSqlParser {
       case Vacuum(id, keep) =>
         Some(SnapshotMaintenance("VACUUM", parts(id), Some(keep.toLong),
           Seq(attr("expired_versions", LongType), attr("deleted_files", LongType))))
+      case VacuumRetain(id, hours) =>
+        Some(SnapshotMaintenance("VACUUM RETAIN", parts(id), Some(hours.toLong),
+          Seq(attr("expired_versions", LongType), attr("deleted_files", LongType))))
       case Optimize(id, tail0) =>
         var tail = Option(tail0).getOrElse("")
         var target: Option[Long] = None
         var cols: Seq[String] = Nil
+        var err: Option[String] = None
         var progress = true
+        def fail(msg: String): Unit = if (err.isEmpty) err = Some(msg)
         while (progress && tail.trim.nonEmpty) {
           progress = false
           TargetClause.findPrefixMatchOf(tail).foreach { mt =>
-            require(target.isEmpty, "duplicate TARGET clause in OPTIMIZE")
+            if (target.nonEmpty) fail("duplicate TARGET clause in OPTIMIZE")
             target = Some(mt.group(1).toLong)
             tail = tail.substring(mt.end); progress = true
           }
           ZorderClause.findPrefixMatchOf(tail).foreach { mz =>
-            require(cols.isEmpty, "duplicate ZORDER BY clause in OPTIMIZE")
+            if (cols.nonEmpty) fail("duplicate ZORDER BY clause in OPTIMIZE")
             cols = mz.group(1).split(',').toIndexedSeq.map(_.trim)
               .filter(_.nonEmpty)
               .map(c => if (c.startsWith("`") && c.endsWith("`"))
                 c.drop(1).dropRight(1) else c)
-            require(cols.nonEmpty, "empty ZORDER BY column list")
+            if (cols.isEmpty) fail("empty ZORDER BY column list")
             tail = tail.substring(mz.end); progress = true
           }
         }
-        require(tail.trim.isEmpty,
-          s"unrecognized OPTIMIZE clause: '${tail.trim}' — supported: " +
-            "TARGET <n> BYTES, ZORDER BY (c1[, c2])")
-        require(cols.size <= 2,
-          s"ZORDER BY supports one column (range clustering) or two " +
+        if (tail.trim.nonEmpty)
+          fail(s"unrecognized OPTIMIZE clause: '${tail.trim}' — supported: " +
+            "TARGET <n> BYTES, ZORDER BY (c1[, c2, c3, c4])")
+        if (cols.size > 4)
+          fail(s"ZORDER BY supports one column (range clustering) or 2-4 " +
             s"(Morton interleave), got ${cols.size}: ${cols.mkString(", ")}")
         Some(SnapshotMaintenance("OPTIMIZE", parts(id), target,
-          Seq(attr("version", LongType)), cols))
+          Seq(attr("version", LongType)), cols, parseError = err))
       case Restore(id, v) =>
         Some(SnapshotMaintenance("RESTORE", parts(id), Some(v.toLong),
           Seq(attr("version", LongType))))
@@ -146,6 +160,12 @@ object GraftSqlParser {
     SparkSession.getActiveSession.flatMap { spark =>
       m.ident match {
         case head +: _ +: _ if isSnapshotCatalog(spark, head) => Some(m)
+        // an EXPLICITLY other-catalog-qualified statement is never
+        // ours, whatever the current catalog: `USE lake; DESCRIBE
+        // HISTORY spark_catalog.db.t` (or delta_cat.t) must delegate
+        // to the owning extension, not be rewritten to lake.….t
+        case head +: _ +: _ if head.equalsIgnoreCase("spark_catalog") ||
+            spark.conf.getOption(s"spark.sql.catalog.$head").isDefined => None
         case rel =>
           val cur = spark.catalog.currentCatalog()
           if (!isSnapshotCatalog(spark, cur)) None
@@ -187,7 +207,7 @@ object GraftSqlParser {
   * users. */
 case class SnapshotMaintenance(verb: String, ident: Seq[String],
     arg: Option[Long], override val output: Seq[Attribute],
-    cols: Seq[String] = Nil)
+    cols: Seq[String] = Nil, parseError: Option[String] = None)
     extends LeafNode with Command
 
 case class SnapshotMaintenanceExec(cmd: SnapshotMaintenance)
@@ -207,16 +227,20 @@ case class SnapshotMaintenanceExec(cmd: SnapshotMaintenance)
         val (expired, deleted) = Maintenance.vacuumSnapshots(spark, path,
           keep = cmd.arg.get.toInt)
         rows(Seq(Seq(expired, deleted)))
+      case "VACUUM RETAIN" =>
+        val (expired, deleted) = Maintenance.vacuumSnapshotsRetain(spark,
+          path, retainMs = cmd.arg.get * 3600L * 1000L)
+        rows(Seq(Seq(expired, deleted)))
       case "OPTIMIZE" =>
         // default target: 128 MiB — the usual parquet compaction size
         val target = cmd.arg.getOrElse(134217728L)
         val v = cmd.cols match {
-          case Seq(cx, cy) =>
-            Maintenance.compactSnapshotZorder(spark, path, cx, cy, target)
+          case Nil => Maintenance.compactSnapshot(spark, path, target)
           case Seq(c) => // one column: plain range clustering
             Maintenance.compactSnapshot(spark, path, target,
               clusterBy = Some(c))
-          case _ => Maintenance.compactSnapshot(spark, path, target)
+          case cs => // 2-4 columns: deterministic Morton interleave
+            Maintenance.compactSnapshotZorder(spark, path, cs, target, 8)
         }
         rows(Seq(Seq(v)))
       case "RESTORE" =>

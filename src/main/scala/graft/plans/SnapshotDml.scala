@@ -170,14 +170,23 @@ object SnapshotDml {
 
     // base aligned to the TABLE schema (not the touched files'
     // footers): a merge whose touched set is pre-evolution must still
-    // see, set, and carry evolution-added columns
-    val baseRaw = Maintenance.alignToSchema(
-      Maintenance.readDataFiles(spark, path, touched, baseV),
+    // see, set, and carry evolution-added columns. The row id is the
+    // STABLE (file path, row index) identity off the parquet scan's
+    // _metadata column — monotonically_increasing_id would renumber if
+    // a cached partition of the joined frame is lost and recomputed
+    // (executor failure between the cardinality-check action and the
+    // output action), silently shearing the dup check against the
+    // pass-through/update selection
+    val withKey = Maintenance.readDataFiles(spark, path, touched, baseV)
+      .withColumn("__t_rowid", concat_ws("#",
+        col("_metadata.file_path"), col("_metadata.row_index")))
+    val aligned = Maintenance.alignToSchema(withKey,
       Maintenance.tableSchema(spark, path, Some(baseV)))
-    val baseCols = baseRaw.columns.toIndexedSeq
-    val base = baseRaw.toDF(baseCols.map(c => s"__t_$c"): _*)
+    val baseCols = aligned.columns.filterNot(_ == "__t_rowid").toIndexedSeq
+    val baseRaw = aligned.select(baseCols.map(col): _*)
+    val base = aligned
+      .select(baseCols.map(c => col(s"`$c`").as(s"__t_$c")) :+ col("__t_rowid"): _*)
       .withColumn("__t_exists", lit(true))
-      .withColumn("__t_rowid", monotonically_increasing_id())
 
     val joined = base.join(src, remap(mergeCond, ids), "full_outer").persist()
     try {

@@ -34,13 +34,14 @@ import graft.operators.Maintenance
   * Timestamp resolution follows the commit points themselves: version
   * v is chosen as the last one whose manifest rename (dir mtime)
   * precedes the asked instant — the same definition every table
-  * format's timestamp travel uses. DDL is intentionally minimal:
-  * tables are CREATED by writing (INSERT INTO a new name, the
-  * DataFrameWriter, or the Scala API), DROP deletes the table
-  * directory, RENAME is a filesystem move (manifests hold relative
-  * paths, so tables relocate); ALTER is refused — schema evolution is
-  * an append-time property ([[Maintenance.readSnapshot]]'s
-  * mergeSchema), not a metadata edit. */
+  * format's timestamp travel uses. DDL: CREATE TABLE (with or without
+  * data — an empty create commits an empty-manifest v1 with the
+  * declared schema, so BigQuery-style CREATE-then-INSERT scripts run
+  * unmodified), DROP deletes the table directory, RENAME is a
+  * filesystem move (manifests hold relative paths, so tables
+  * relocate); ALTER is refused — schema evolution is an append-time
+  * property ([[Maintenance.readSnapshot]]'s mergeSchema), not a
+  * metadata edit. */
 class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
@@ -104,15 +105,27 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
     SnapshotTable(p, asOf = Some(at))
   }
 
+  /** CREATE TABLE without data — the reference's users write
+    * BigQuery-idiomatic `CREATE TABLE …; INSERT INTO …` chains
+    * (data_extraction_queries_automated_script.sql), so the catalog
+    * accepts an empty create: version 1 is an empty manifest plus the
+    * declared schema as the commit sidecar
+    * ([[Maintenance.snapshotCreateEmpty]]). The `statsCols` table
+    * property declares the stats contract up front; every insert —
+    * including the first — inherits it from the head manifest. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    // CREATE TABLE without data has nothing to commit (a version IS a
-    // set of data files) — tables come into being by writing
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
-    throw new UnsupportedOperationException(
-      s"snapshot tables are created by their first write — INSERT INTO " +
-        s"$catalogName.${ident.name()} ..., df.write…save(), or the Scala API")
+    require(partitions.isEmpty,
+      s"snapshot tables don't take a PARTITIONED BY clause — land " +
+        "partitions through snapshotOverwritePartition (or day-keyed " +
+        "appends); file-level stats pruning comes from the statsCols " +
+        "table property")
+    val statsCols = Option(properties.get("statsCols")).toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    Maintenance.snapshotCreateEmpty(spark, pathFor(ident), schema, statsCols)
+    SnapshotTable(pathFor(ident), asOf = None)
   }
 
   // ───── CTAS / CREATE OR REPLACE … AS SELECT (StagingTableCatalog) ───
