@@ -132,9 +132,32 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     val heads = Registry.ops.filter(_.headline)
-    val loadBefore = loadAvg()
-    val rep = run(spark, sfDir, heads)
-    val loadAfter = loadAvg()
+    // Clean-window protocol (the r10 lesson: the primary artifact was
+    // taken at box load 4.4→7.0 and read 1.18× for scheduling-delay
+    // reasons, not code): the primary point re-runs — bounded — while
+    // the load sampled BEFORE an attempt says the box is contended,
+    // and the RECORDED numbers are the cleanest-window attempt's. The
+    // sleep between attempts lets our own 1-min load contribution
+    // decay (~e^{-45/60}), so the next sample mostly sees EXTERNAL
+    // load. Every attempt's (load, total) stays in the artifact: a
+    // contended bench is self-diagnosing, never silently averaged in.
+    def attemptOnce(): (Double, Report, Double) = {
+      val lb = loadAvg().getOrElse(0.0)
+      val r = run(spark, sfDir, heads)
+      (lb, r, loadAvg().getOrElse(0.0))
+    }
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    val attempts = scala.collection.mutable.Buffer(attemptOnce())
+    while (attempts.size < maxAttempts && attempts.map(_._1).min > 2.0) {
+      Thread.sleep(45000)
+      attempts += attemptOnce()
+    }
+    val (loadB, rep, loadA) = attempts.minBy(_._1)
+    val loadBefore = Some(loadB)
+    val loadAfter = Some(loadA)
+    val attemptsJson = attempts.map { case (lb, r, la) =>
+      s"""{"load_before":$lb,"total":${r.total},"load_after":$la}"""
+    }.mkString("[", ",", "]")
 
     // scale evidence: per-query times at the sibling scale factors
     // (single timed run each — the scaling EXPONENT is the signal;
@@ -193,6 +216,7 @@ object Bench {
     // the dedicated file; numbers recoverable only from a log tail
     // defeat the point of a machine-readable bench line
     val fileLine = rep.json.dropRight(1) + s""","scaling":$scalingFull""" +
+      s""","attempts":$attemptsJson""" +
       (if (loads.nonEmpty) s",$loads}" else "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
@@ -205,6 +229,7 @@ object Bench {
       s"""{"metric":"total","value":${rep.total},"unit":"sec","queries":${rep.queries},"retimed":${rep.retimed},"errors":${rep.errs},"sf":${Json.str(sfDir)},"scaling":${sibScaling.mkString("{", ",", "}")}""" +
         (if (extraTotals.nonEmpty) extraTotals.mkString(",", ",", "") else "") +
         (if (loads.nonEmpty) s",$loads" else "") +
+        s""","attempts":$attemptsJson""" +
         // r10 A/B root-cause pointer: load-sensitivity analysis of the
         // r8→r9 drift lives in PERF_r10.md (+ tools/ab_*.json)
         s""","perf_note":"PERF_r10.md","detail":${Json.str(outFile)}}"""

@@ -8,6 +8,7 @@ object Registry {
       operators.Switchback.ops ++
       operators.SwitchbackPipeline.ops ++
       operators.DailyPipeline.ops ++
+      operators.Orchestration.ops ++
       operators.Maintenance.ops ++
       operators.SqlSurface.ops ++
       operators.Stats.ops ++

@@ -327,6 +327,55 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ───── 6. orchestration semantics (the reference DAG's run shape) ───
+
+  test("runChain: retries, notification policy, and downstream skip match the DAG") {
+    import graft.operators.Orchestration
+    import graft.operators.Orchestration.Notice
+    val notices = scala.collection.mutable.Buffer.empty[Notice]
+    // a task that fails EVERY attempt: retries exhaust, downstream
+    // never runs, exactly one failure email (email_on_retry = False
+    // suppresses the retry mails, the reference default)
+    val r1 = Orchestration.runChain(spark, Seq(
+      "a" -> (() => spark.range(3).toDF("x")),
+      "b" -> (() => throw new IllegalStateException("hard down")),
+      "c" -> (() => spark.range(1).toDF("x"))),
+      retries = 2, notify = notices.append(_))
+      .orderBy("position").collect()
+    assert(r1.map(r => (r.getAs[String]("task_id"), r.getAs[Int]("attempts"),
+      r.getAs[String]("status"))).toSeq == Seq(
+      ("a", 1, "success"), ("b", 3, "failed"), ("c", 0, "upstream_failed")))
+    assert(notices.map(_.kind).toSeq == Seq("failure_email"),
+      s"expected exactly one failure mail, got $notices")
+    assert(notices.head.task_id == "b" &&
+      notices.head.message.contains("3 attempts"))
+
+    // email_on_retry = true surfaces each retry; transient failure
+    // recovers and the chain still sends the trailing success mail
+    notices.clear()
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    val r2 = Orchestration.runChain(spark, Seq(
+      "q" -> (() => {
+        if (flaky.incrementAndGet() < 3)
+          throw new IllegalStateException("transient")
+        spark.range(5).toDF("x")
+      })), retries = 2, emailOnRetry = true, notify = notices.append(_))
+      .collect()
+    assert(r2.head.getAs[Int]("attempts") == 3 &&
+      r2.head.getAs[String]("status") == "success" &&
+      r2.head.getAs[Long]("n_rows") == 5L)
+    assert(notices.map(_.kind).toSeq ==
+      Seq("retry_email", "retry_email", "success_email"))
+
+    // a failed chain never sends the success mail even with
+    // email_on_failure = false (nothing is silently green)
+    notices.clear()
+    Orchestration.runChain(spark, Seq(
+      "z" -> (() => throw new IllegalStateException("down"))),
+      retries = 0, emailOnFailure = false, notify = notices.append(_))
+    assert(notices.isEmpty)
+  }
+
   test("malformed OPTIMIZE clauses: ours throw, other tables delegate") {
     withStage("graft_r11_optclause_") { p =>
       import spark.implicits._
