@@ -910,11 +910,11 @@ object Maintenance {
       if (cutsRow.isNullAt(j)) Nil
       else cutsRow.getSeq[Double](j).distinct.sorted
     // rank of the grid value among the cut points = its quantile
-    // bucket; literal-array fold, codegen'd, scan-local. NULL → 0.
+    // bucket: O(log cuts) per row via the binary-search expression
+    // (codegen'd, cuts referenced not inlined), scan-local. NULL → 0.
     def bucket(g: Column, cuts: Seq[Double]): Column =
-      if (cuts.isEmpty) coalesce(g, lit(0)) * 0
-      else aggregate(typedLit(cuts), lit(0),
-        (acc, cut) => acc + when(g.cast("double") > cut, 1).otherwise(0))
+      if (cuts.isEmpty) lit(0)
+      else graft.functions.SortedRank.sortedRank(g, cuts)
     val z = zvalue(gridExprs.zipWithIndex.map { case (g, j) =>
       bucket(g, cutsOf(j)) }, bits)
     // pass 3: exact z percentiles = the output files' z boundaries
@@ -928,14 +928,21 @@ object Maintenance {
         if (r.isNullAt(0)) Nil else r.getSeq[Double](0).distinct.sorted
       }
     val nParts = zcuts.size + 1
-    val routes = routingKeys(nParts)
+    // ordered by file id, so the lookup below is O(1) array indexing
+    // (a map literal's element_at is a linear scan of the map)
+    val routes: Seq[Int] = {
+      val byPart = routingKeys(nParts)
+      (0 until nParts).map(byPart)
+    }
     val shaper: DataFrame => DataFrame = d => {
+      // file id = z's rank among the file-boundary cuts — O(log files)
+      // per row (a literal-array fold would pay O(files) per row, a
+      // real cost once a compaction writes thousands of files)
       val fileId =
         if (zcuts.isEmpty) lit(0)
-        else aggregate(typedLit(zcuts), lit(0),
-          (acc, cut) => acc + when(z.cast("double") > cut, 1).otherwise(0))
+        else graft.functions.SortedRank.sortedRank(z, zcuts)
       d.withColumn("__zv", z)
-        .withColumn("__route", element_at(typedLit(routes), fileId))
+        .withColumn("__route", element_at(typedLit(routes), fileId + lit(1)))
         .repartition(nParts, col("__route"))
         .sortWithinPartitions("__zv")
         .drop("__zv", "__route")

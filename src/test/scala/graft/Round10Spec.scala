@@ -531,9 +531,11 @@ class Round10Spec extends SparkSpec {
       val ev = Tables.events(spark, sfDir)
       snapshotWrite(ev.limit(100), p, nFiles = 1)
       val base = readSnapshot(spark, p).count()
-      // 6 threads race append commits released by one barrier; losers
-      // must THROW the conflict (never silently drop a winner), winners
-      // must compose — the invariant is exact row accounting
+      // 6 threads race append commits released by one barrier. Since
+      // r11, appends REBASE-RETRY on a lost base race (their batches
+      // commute), so normally all 6 land; a retry-exhausted loser may
+      // still throw, and must throw the conflict (never silently drop
+      // a winner) — the invariant either way is exact row accounting
       val barrier = new java.util.concurrent.CyclicBarrier(6)
       val results = (1 to 6).map { i =>
         val t = new java.util.concurrent.FutureTask(

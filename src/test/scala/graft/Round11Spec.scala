@@ -327,6 +327,27 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("sorted_rank: binary search equals the literal-array fold on ties and NULLs") {
+    import graft.functions.SortedRank
+    val cuts = Seq(1.0, 3.0, 3.0, 7.5).distinct.sorted // as the zorder path builds them
+    // plain-Scala oracle: #{cut < v}
+    def foldRank(v: Double): Int = cuts.count(_ < v)
+    for (v <- Seq(0.0, 1.0, 2.0, 3.0, 5.0, 7.5, 9.0, -1.0))
+      assert(SortedRank.rank(cuts.toArray, v) == foldRank(v), s"v=$v")
+    // as a Column over a frame with NULLs: NULL ranks 0 (first bucket)
+    import spark.implicits._
+    val df = Seq[Option[Double]](Some(0.5), Some(3.0), Some(8.0), None)
+      .toDF("v")
+    val got = df.select(SortedRank.sortedRank(col("v"), cuts).as("r"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 1, 3, 0))
+    // empty-cuts guard is the caller's (zorder passes lit(0)); a
+    // mis-sorted cut list refuses loudly
+    intercept[IllegalArgumentException] {
+      SortedRank.sortedRank(col("v"), Seq(2.0, 1.0))
+    }
+  }
+
   // ───── 6. orchestration semantics (the reference DAG's run shape) ───
 
   test("runChain: retries, notification policy, and downstream skip match the DAG") {

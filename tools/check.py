@@ -10,8 +10,28 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+import os
+# larger-than-memory oracle runs (GenScale sf1): cap the working set
+# and give DuckDB somewhere to spill; overridable via env
+con.sql(f"SET memory_limit='{os.environ.get('CHECK_MEM', '24GB')}'")
+con.sql(f"SET temp_directory='{os.environ.get('CHECK_TMP', '/tmp/duckdb_spill')}'")
+con.sql(f"SET threads={os.environ.get('CHECK_THREADS', '16')}")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # driver data: one file per table; GenScale data: a Spark-written
+    # directory of part files — glob both shapes
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    if t == "events":
+        # GenScale data stores ts as the RAW int64 (driver data carries
+        # a parquet timestamp type) — surface it as TIMESTAMP with the
+        # same magnitude-based unit pick graft.Tables.events makes
+        dt = con.sql("DESCRIBE events").df()
+        if dt.loc[dt["column_name"] == "ts", "column_type"].iloc[0] == "BIGINT":
+            con.sql(
+                "CREATE OR REPLACE VIEW events AS SELECT * REPLACE ("
+                "make_timestamp(CASE WHEN ts > 50000000000000000 "
+                f"THEN ts // 1000 ELSE ts END) AS ts) FROM '{src}'")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
