@@ -985,7 +985,13 @@ object Maintenance {
     val vs = snapshotVersions(spark, path)
     require(vs.nonEmpty, s"$path has no committed versions to compact")
     val headV = vs.last
-    val head = readSnapshot(spark, path, Some(headV))
+    // mergeSchema + align: a whole-table rewrite of a schema-evolved
+    // table must carry evolution-added columns — a plain read can
+    // adopt a pre-evolution footer's schema and silently null them
+    // out of the rewritten files
+    val head = alignToSchema(
+      readSnapshot(spark, path, Some(headV), mergeSchema = true),
+      tableSchema(spark, path, Some(headV)))
     val nOut = targetFileCount(head, targetBytes, s"compactSnapshot($path)")
     val headManifest = manifestOf(spark, path, headV)
     require(!headManifest.columns.contains("part"),

@@ -327,6 +327,30 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("whole-table OPTIMIZE (plain and ZORDER) keeps evolution-added column values") {
+    for (zorder <- Seq(false, true)) withStage("graft_r11_optevo_") { p =>
+      import spark.implicits._
+      val t = s"$p/t"
+      // many pre-evolution files, ONE evolved file: a plain
+      // (non-mergeSchema) multi-footer read could adopt a
+      // pre-evolution footer and the rewrite would null the column
+      snapshotWrite((1L to 80L).map(k => (k, k * 2)).toDF("k", "v"),
+        t, nFiles = 8, statsCols = Seq("k"), clusterBy = Some("k"))
+      snapshotAppend((81L to 100L).map(k => (k, k * 2, s"e$k"))
+        .toDF("k", "v", "extra"), t, nFiles = 1, statsCols = Seq("k"))
+      SqlSurface.withCatalog(spark, p) { cat =>
+        if (zorder) spark.sql(s"OPTIMIZE $cat.t ZORDER BY (k, v)")
+        else spark.sql(s"OPTIMIZE $cat.t")
+      }
+      val after = readSnapshot(spark, t, mergeSchema = true)
+      assert(after.columns.contains("extra"),
+        s"zorder=$zorder: evolved column dropped by the rewrite")
+      assert(after.filter(col("extra").isNotNull).count() == 20,
+        s"zorder=$zorder: evolved column values lost in the rewrite")
+      assert(after.count() == 100)
+    }
+  }
+
   test("sorted_rank: binary search equals the literal-array fold on ties and NULLs") {
     import graft.functions.SortedRank
     val cuts = Seq(1.0, 3.0, 3.0, 7.5).distinct.sorted // as the zorder path builds them
