@@ -104,6 +104,87 @@ object Bench {
   private def timesAt(spark: SparkSession, sfDir: String, ops: Seq[Op]): Report =
     run(spark, sfDir, ops, timedRuns = 1)
 
+  /** Per-verb wall-times for the lakehouse maintenance path (r11
+    * verdict task 4): OPTIMIZE, OPTIMIZE ZORDER (2- and 3-column),
+    * MERGE INTO, and DML DELETE each stage a fresh snapshot table
+    * (staging untimed) and time the VERB — the z rewrite pays three
+    * exact aggregation passes since its r11 derandomization, and that
+    * cost must be visible round-over-round, not just correct. Best of
+    * two runs each; the block records its own load sample. */
+  private def maintenanceBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Maintenance, SqlSurface}
+    val lb = loadAvg()
+    def staged(body: String => Double): Double = {
+      val stage = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mbench_${java.util.UUID.randomUUID().toString.take(8)}")
+      try body(stage.getAbsolutePath)
+      finally graft.sources.Sources.deleteRecursively(stage)
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def bestOf2(mk: () => Double): Double = math.min(mk(), mk())
+    def events = Tables.events(spark, sfDir)
+    def evProj = events.select(col("event_id"), (col("user_id") % 64).as("u"),
+      (col("event_id") % 64).as("e"), floor(col("value") * 10).cast("long").as("v"))
+    def liProj = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+      (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"),
+      col("l_quantity"))
+    val verbs: Seq[(String, () => Double)] = Seq(
+      "m_optimize" -> (() => staged { p =>
+        Maintenance.snapshotWrite(events, s"$p/t", nFiles = 64,
+          statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+        timed(Maintenance.compactSnapshot(spark, s"$p/t",
+          targetBytes = 128L << 20): Unit)
+      }),
+      "m_zorder" -> (() => staged { p =>
+        Maintenance.snapshotWrite(liProj, s"$p/t", nFiles = 8,
+          statsCols = Seq("x"), clusterBy = Some("x"))
+        timed(Maintenance.compactSnapshotZorder(spark, s"$p/t", "x", "y",
+          targetBytes = 128L << 20): Unit)
+      }),
+      "m_zorder3" -> (() => staged { p =>
+        Maintenance.snapshotWrite(evProj, s"$p/t", nFiles = 8,
+          statsCols = Seq("u"), clusterBy = Some("u"))
+        timed(Maintenance.compactSnapshotZorder(spark, s"$p/t",
+          Seq("u", "e", "v"), targetBytes = 128L << 20, bits = 8): Unit)
+      }),
+      "m_merge" -> (() => staged { p =>
+        val o = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        Maintenance.snapshotWrite(o, s"$p/t", nFiles = 8,
+          statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+        val v = s"graft_mbench_chg_${java.util.UUID.randomUUID().toString.take(8)}"
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + lit(100.0)).as("price"))
+          .createOrReplaceTempView(v)
+        try timed(SqlSurface.withCatalog(spark, p) { cat =>
+          spark.sql(s"MERGE INTO $cat.t t USING $v c " +
+            "ON t.o_orderkey = c.o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET o_totalprice = c.price " +
+            "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, " +
+            "o_totalprice) VALUES (c.o_orderkey, 'N', c.price)"): Unit
+        }) finally spark.catalog.dropTempView(v): Unit
+      }),
+      "m_delete" -> (() => staged { p =>
+        Maintenance.snapshotWrite(events, s"$p/t", nFiles = 8,
+          statsCols = Seq("event_id"), clusterBy = Some("event_id"))
+        timed(SqlSurface.withCatalog(spark, p) { cat =>
+          spark.sql(s"DELETE FROM $cat.t WHERE event_id BETWEEN 100 AND 4999"): Unit
+        })
+      }))
+    val entries = verbs.map { case (name, mk) =>
+      val t = try Right(bestOf2(mk)) catch {
+        case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(120))
+      }
+      Json.str(name) + ":" + t.fold(m => Json.str("err: " + m), fmt3)
+    }
+    val loadFrag = lb.map(l => s""""load_before":$l,""").getOrElse("")
+    s"{$loadFrag${entries.mkString(",")}}"
+  }
+
   /** The expected WARN flood classes (checkpoint-generation retirement,
     * large-broadcast notices) drown a real error in the artifact tail —
     * raise just those loggers to ERROR so anything visible is signal. */
@@ -141,23 +222,32 @@ object Bench {
     // decay (~e^{-45/60}), so the next sample mostly sees EXTERNAL
     // load. Every attempt's (load, total) stays in the artifact: a
     // contended bench is self-diagnosing, never silently averaged in.
-    def attemptOnce(): (Double, Report, Double) = {
-      val lb = loadAvg().getOrElse(0.0)
+    def attemptOnce(): (Option[Double], Report, Option[Double]) = {
+      val lb = loadAvg()
       val r = run(spark, sfDir, heads)
-      (lb, r, loadAvg().getOrElse(0.0))
+      (lb, r, loadAvg())
     }
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     val attempts = scala.collection.mutable.Buffer(attemptOnce())
-    while (attempts.size < maxAttempts && attempts.map(_._1).min > 2.0) {
+    // only a MEASURED load can declare the window dirty (or clean): an
+    // unreadable /proc/loadavg stays None — recorded as null, never as
+    // a fake perfectly-clean 0.0 — and stops the retry loop, since a
+    // blind retry can't know it found a better window
+    while (attempts.size < maxAttempts &&
+        attempts.forall(_._1.exists(_ > 2.0))) {
       Thread.sleep(45000)
       attempts += attemptOnce()
     }
-    val (loadB, rep, loadA) = attempts.minBy(_._1)
-    val loadBefore = Some(loadB)
-    val loadAfter = Some(loadA)
+    val (loadBefore, rep, loadAfter) =
+      attempts.minBy(_._1.getOrElse(Double.MaxValue))
+    def jload(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
     val attemptsJson = attempts.map { case (lb, r, la) =>
-      s"""{"load_before":$lb,"total":${r.total},"load_after":$la}"""
+      s"""{"load_before":${jload(lb)},"total":${r.total},"load_after":${jload(la)}}"""
     }.mkString("[", ",", "]")
+
+    // maintenance verbs, timed AFTER the primary point so their staged
+    // writes never contend with the headline attempt
+    val maintJson = maintenanceBench(spark, sfDir)
 
     // scale evidence: per-query times at the sibling scale factors
     // (single timed run each — the scaling EXPONENT is the signal;
@@ -217,6 +307,7 @@ object Bench {
     // defeat the point of a machine-readable bench line
     val fileLine = rep.json.dropRight(1) + s""","scaling":$scalingFull""" +
       s""","attempts":$attemptsJson""" +
+      s""","maintenance":$maintJson""" +
       (if (loads.nonEmpty) s",$loads}" else "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
@@ -230,6 +321,7 @@ object Bench {
         (if (extraTotals.nonEmpty) extraTotals.mkString(",", ",", "") else "") +
         (if (loads.nonEmpty) s",$loads" else "") +
         s""","attempts":$attemptsJson""" +
+        s""","maintenance":$maintJson""" +
         // r10 A/B root-cause pointer: load-sensitivity analysis of the
         // r8→r9 drift lives in PERF_r10.md (+ tools/ab_*.json)
         s""","perf_note":"PERF_r10.md","detail":${Json.str(outFile)}}"""

@@ -67,7 +67,7 @@ object Maintenance {
     val df = spark.read.parquet(inPath)
     val nOut = targetFileCount(df, targetBytes, s"compactParquet($inPath)")
     val shaped = clusterBy match {
-      case Some(k) => df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
+      case Some(k) => deterministicClusterShaper(df, col(k), nOut)(df)
       case None => df.repartition(nOut)
     }
     shaped.write.mode("overwrite").parquet(outPath)
@@ -384,21 +384,46 @@ object Maintenance {
       shape: Option[DataFrame => DataFrame] = None,
       rebaseCarry: Option[Long => DataFrame => DataFrame] = None): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    // the retry path below rebases FROM curBase.get — a carry factory
+    // without a pinned base would NPE-at-conflict instead of surfacing
+    // the actual conflict; fail the malformed call loudly at call time
+    require(base.isDefined || rebaseCarry.isEmpty,
+      "commitSnapshot: rebaseCarry requires a pinned base version")
     val spark = df.sparkSession
     val batch = s"b${java.util.UUID.randomUUID().toString.take(12)}"
+    // rows-in counter riding the write job itself (map side, below the
+    // layout shuffle — zero extra pass): compared after the write
+    // against Σ per-file n_rows of the just-written files, so ANY torn
+    // write — rows lost or duplicated between the scan and the durable
+    // parquet, whatever the cause (shuffle pathology, partial task
+    // output, filesystem lies) — is structurally un-committable and
+    // throws [[SnapshotTornWrite]] instead of publishing a silently
+    // wrong table. Both sides come from the SAME execution, so even a
+    // nondeterministic input cannot produce a spurious mismatch.
+    val obs = new org.apache.spark.sql.Observation(s"graft_commit_$batch")
+    val observed = df.observe(obs, count(lit(1)).as("rows_in"))
     // cluster the batch on the stats key when asked, so its per-file
-    // min/max ranges are disjoint (tight) rather than full-domain;
-    // `shape` overrides with a caller-owned layout (the deterministic
-    // z-order routing) — it must still produce ≤ nFiles partitions
-    val shaped = shape.map(_(df)).getOrElse(clusterBy match {
-      case Some(k) =>
-        df.withColumn("__cluster", k)
-          .repartitionByRange(nFiles, col("__cluster"))
-          .sortWithinPartitions("__cluster").drop("__cluster")
-      case None => df.repartition(nFiles)
+    // min/max ranges are disjoint (tight) rather than full-domain —
+    // via the exact-percentile deterministic layout (its aggregation
+    // passes run on the RAW frame, so the Observation above is consumed
+    // by the write job, not a planning pass); `shape` overrides with a
+    // caller-owned layout (the deterministic z-order routing) — it must
+    // still produce ≤ nFiles partitions and must be row-preserving
+    val shaped = shape.map(_(observed)).getOrElse(clusterBy match {
+      case Some(k) => deterministicClusterShaper(df, k, nFiles)(observed)
+      case None => observed.repartition(nFiles)
     })
     shaped.write.mode("overwrite").parquet(s"$path/data/$batch")
     val newFiles = writtenFileStats(spark, s"$path/data/$batch", s"$batch/", statsCols)
+    val rowsIn = obs.get("rows_in").asInstanceOf[Long]
+    val rowsWritten = newFiles.agg(coalesce(sum("n_rows"), lit(0L)))
+      .head().getLong(0)
+    if (rowsIn != rowsWritten)
+      throw new SnapshotTornWrite(
+        s"torn write at $path/data/$batch: the write job consumed " +
+          s"$rowsIn input rows but the durable files carry $rowsWritten " +
+          "— refusing to commit a silently wrong table (orphaned batch " +
+          "files are vacuum-collectable)")
     def attempt(b: Option[Long], carryFn: DataFrame => DataFrame): Long = {
       val next = b.map(_ + 1).getOrElse(
         snapshotVersions(spark, path).lastOption.getOrElse(0L) + 1)
@@ -887,13 +912,19 @@ object Maintenance {
       (if (rangeRow.isNullAt(loIdx)) 0.0 else rangeRow.getDouble(loIdx),
         if (rangeRow.isNullAt(hiIdx)) 0.0 else rangeRow.getDouble(hiIdx))
     }
-    // value → grid index in [0, grid): NULL stays NULL (bucket 0
-    // below); a constant (or all-NULL) column collapses to grid 0
+    // value → grid index in [0, grid): NULL stays NULL — it propagates
+    // through the percentile state (which skips NULLs, so NULL-heavy
+    // columns don't skew the cuts toward 0) and ranks into bucket 0 at
+    // the SortedRank stage; a constant (or all-NULL) column collapses
+    // to grid 0. The isNotNull gate matters in the non-degenerate
+    // branch too: least/greatest SKIP null arguments, so without it a
+    // NULL value would silently become grid 0 instead of staying NULL
     def gridded(c: String, lo: Double, hi: Double): Column =
       if (!(hi > lo)) when(qcol(c).isNotNull, lit(0))
-      else least(lit(grid - 1), greatest(lit(0),
-        floor((qcol(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(grid))
-          .cast("int")))
+      else when(qcol(c).isNotNull,
+        least(lit(grid - 1), greatest(lit(0),
+          floor((qcol(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(grid))
+            .cast("int"))))
     val gridExprs = resolved.zipWithIndex.map { case (c, j) =>
       val (lo, hi) = rng(j); gridded(c, lo, hi)
     }
@@ -948,8 +979,160 @@ object Maintenance {
         .drop("__zv", "__route")
     }
     val effStats = (manifestStatsCols(mf) ++ resolved).distinct
+    // diagnostic breadcrumb: the layout decisions of this rewrite, kept
+    // for the z-query content guards' failure message ([[Invariants]])
+    // — when a divergence fires in an environment we can't attach to
+    // (the driver's), the error text itself carries the cuts
+    lastZorderLayout =
+      s"""{"path":${graft.Json.str(path)},"cols":${resolved.mkString("[\"", "\",\"", "\"]")},""" +
+        s""""bits":$bits,"nOut":$nOut,"nParts":$nParts,""" +
+        s""""colCuts":[${resolved.indices.map(j => cutsOf(j).size).mkString(",")}],""" +
+        s""""zcuts":${zcuts.size},"zcutHead":[${zcuts.take(8).mkString(",")}],""" +
+        s""""ranges":[${resolved.indices.map { j => val (l, h) = rng(j); s"[$l,$h]" }.mkString(",")}]}"""
     commitSnapshot(head, path, nParts, identity, effStats, None, Some(headV),
       shape = Some(shaper))
+  }
+
+  /** Layout decisions of the LAST [[compactSnapshotZorder]] run in this
+    * JVM — a diagnostic breadcrumb the z-query content guards fold into
+    * their failure message. Volatile write-once-per-run metadata, not a
+    * correctness input. */
+  @volatile private[graft] var lastZorderLayout: String = "(no zorder run yet)"
+
+  /** Deterministic order-preserving numeric proxy of a cluster key —
+    * what the exact-percentile staging layout cuts on. Monotonic in the
+    * key's sort order for the types a cluster key realistically has
+    * (numerics, strings, dates/timestamps), so per-file key ranges stay
+    * disjoint and manifest min/max stats stay tight. Strings embed via
+    * their first 6 UTF-8 bytes as a big-endian integer (48 bits — exact
+    * in a double; lexicographic byte order == numeric order, and
+    * right-padding the hex with zeros aligns shorter strings low); keys
+    * that collide on the prefix simply share a bucket — disjointness is
+    * preserved because the embedding is monotonic. Types with no cheap
+    * order-preserving embedding fall back to a deterministic hash: the
+    * layout is then hash- not range-clustered (loose stats, same
+    * correctness) but still identical run to run. */
+  private def orderProxy(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => c.cast("double")
+      case BooleanType => c.cast("int").cast("double")
+      case DateType | TimestampType | TimestampNTZType =>
+        c.cast("timestamp").cast("double")
+      // strings are handled in [[deterministicClusterShaper]] itself
+      // (the proxy needs the key range's common prefix); anything else
+      // has no cheap order-preserving embedding — a deterministic hash
+      // keeps the layout stable run to run, just not range-clustered
+      case _ => xxhash64(c).cast("double")
+    }
+  }
+
+  /** Deterministic replacement for `repartitionByRange(nParts, key).
+    * sortWithinPartitions(key)` — the staging-write twin of
+    * [[compactSnapshotZorder]]'s exact layout mechanics, closing the
+    * LAST sampled layout stage in the snapshot pipeline (r11 verdict:
+    * `repartitionByRange`'s boundaries come from a per-run sample job,
+    * so the committed file layout — and through compression its byte
+    * sizes — varied run to run and with the environment's input
+    * partitioning; it is also the operator family whose sample-job /
+    * stage-retry interactions historically produced silent row loss).
+    *
+    * Mechanics: quantize the key's order proxy onto a 2^20 grid between
+    * its exact [min, max] (one aggregation), cut the grid values at
+    * exact percentiles (`percentile` — sort-based, merge-order
+    * independent, state bounded by the grid), rank each row among the
+    * cuts with the O(log n) codegen'd [[graft.functions.SortedRank]]
+    * expression, and route bucket b to physical partition b through the
+    * collision-free [[routingKeys]] murmur keys. Two bounded
+    * aggregation passes (each column-pruned to the key) replace
+    * `repartitionByRange`'s hidden sample pass; rows then sort within
+    * their file on the REAL key, so in-file order is exact even where
+    * the proxy collides. NULL keys rank 0 (first bucket) — the
+    * NULLS-FIRST placement `repartitionByRange` had — and are excluded
+    * from the percentile state.
+    *
+    * The aggregation passes run on `sample` (the caller's raw frame);
+    * the returned function applies the precomputed layout to any
+    * same-schema frame — so [[commitSnapshot]]'s rows-in Observation is
+    * consumed by the WRITE job itself, not by a planning pass. */
+  private[graft] def deterministicClusterShaper(sample: DataFrame,
+      key: Column, nParts: Int,
+      sortCols: Seq[Column] = Nil): DataFrame => DataFrame = {
+    val grid = 1 << 20
+    import org.apache.spark.sql.types.StringType
+    val dt = sample.select(key.as("__cluster")).schema.head.dataType
+    // (proxy expression, exact proxy [lo, hi]) — resolved with ONE
+    // bounded aggregation pass either way. Strings embed via the 6
+    // UTF-8 bytes AFTER the key range's common prefix (computed from
+    // the exact min/max strings, so "doc_000123"-style keys with a
+    // long shared prefix still spread over the full grid): 48 bits,
+    // exact in a double, unsigned-byte order == Spark's string order.
+    val resolved: Option[(Column, Double, Double)] =
+      if (nParts <= 1) None
+      else dt match {
+        case StringType =>
+          val r = sample.select(key.as("__cluster"))
+            .agg(min(col("__cluster")), max(col("__cluster"))).head()
+          if (r.isNullAt(0) || r.isNullAt(1)) None // empty or all-NULL
+          else {
+            val cs = java.nio.charset.StandardCharsets.UTF_8
+            val (bmin, bmax) = (r.getString(0).getBytes(cs),
+              r.getString(1).getBytes(cs))
+            var l = 0
+            while (l < bmin.length && l < bmax.length && bmin(l) == bmax(l))
+              l += 1
+            def slice(b: Array[Byte]): Double = {
+              var v = 0L; var i = 0
+              while (i < 6) {
+                v = (v << 8) | (if (l + i < b.length) b(l + i) & 0xffL else 0L)
+                i += 1
+              }
+              v.toDouble
+            }
+            val (lo, hi) = (slice(bmin), slice(bmax))
+            if (!(hi > lo)) None // constant key: one bucket
+            else Some((conv(rpad(hex(substring(
+              encode(col("__cluster"), "UTF-8"), l + 1, 6)), 12, "0"), 16, 10)
+              .cast("double"), lo, hi))
+          }
+        case _ =>
+          val p = orderProxy(col("__cluster"), dt)
+          val r = sample.select(key.as("__cluster")).agg(min(p), max(p)).head()
+          if (r.isNullAt(0) || r.isNullAt(1)) None
+          else {
+            val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+            if (!(hi > lo)) None else Some((p, lo, hi))
+          }
+      }
+    def gridOf(proxy: Column, lo: Double, hi: Double): Column =
+      when(col("__cluster").isNotNull,
+        least(lit(grid - 1), greatest(lit(0),
+          floor((proxy - lit(lo)) / lit(hi - lo) * lit(grid)).cast("int"))))
+    val cuts: Seq[Double] = resolved match {
+      case None => Nil
+      case Some((proxy, lo, hi)) =>
+        val qs = (1 until nParts).map(_.toDouble / nParts).toArray
+        val row = sample.select(key.as("__cluster"))
+          .select(gridOf(proxy, lo, hi).cast("double").as("__g"))
+          .agg(percentile(col("__g"), lit(qs))).head()
+        if (row.isNullAt(0)) Nil else row.getSeq[Double](0).distinct.sorted
+    }
+    val nB = cuts.size + 1
+    val routes: Seq[Int] = { val m = routingKeys(nB); (0 until nB).map(m) }
+    d => {
+      val bucket = resolved match {
+        case Some((proxy, lo, hi)) if cuts.nonEmpty =>
+          graft.functions.SortedRank.sortedRank(gridOf(proxy, lo, hi), cuts)
+        case _ => lit(0)
+      }
+      val sorts = if (sortCols.nonEmpty) sortCols else Seq(col("__cluster"))
+      d.withColumn("__cluster", key)
+        .withColumn("__route", element_at(typedLit(routes), bucket + lit(1)))
+        .repartition(nB, col("__route"))
+        .sortWithinPartitions(sorts: _*)
+        .drop("__cluster", "__route")
+    }
   }
 
   /** For each shuffle partition p in [0, n), an int key k with
@@ -2348,3 +2531,10 @@ object Maintenance {
   * [[Maintenance.commitSnapshot]] and rebase-retry; read-modify-rewrite
   * commits surface it — their derived content is stale. */
 class SnapshotCommitConflict(msg: String) extends IllegalStateException(msg)
+
+/** Thrown by [[Maintenance.commitSnapshot]] when the rows the write job
+  * consumed differ from the rows the durable files carry — a torn or
+  * duplicated write is structurally un-committable (r11 verdict task 2).
+  * The data-file batch is left orphaned (never referenced by a
+  * manifest), so vacuum collects it. */
+class SnapshotTornWrite(msg: String) extends IllegalStateException(msg)

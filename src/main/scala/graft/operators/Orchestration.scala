@@ -69,7 +69,11 @@ object Orchestration {
               runs += TaskRun(pos, id, attempt, "success", n, "")
               done = true
             } catch {
-              case e: Throwable =>
+              // NonFatal only: an OutOfMemoryError or interrupt must
+              // propagate, not be swallowed into a retry loop (and
+              // NonFatal already excludes InterruptedException, so the
+              // interrupt status survives — no sleep-after-interrupt)
+              case scala.util.control.NonFatal(e) =>
                 lastErr = s"${e.getClass.getSimpleName}: " +
                   Option(e.getMessage).getOrElse("").take(200)
                 if (attempt <= retries) {

@@ -375,14 +375,34 @@ object SqlSurface {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), (col("l_partkey") % 256).as("x"),
           (col("l_suppkey") % 256).as("y"), col("l_quantity"))
+      def diag = Invariants.snapshotDiagnostics(spark, s"$p/t")
       Maintenance.snapshotWrite(li, s"$p/t", nFiles = 8,
         statsCols = Seq("x"), clusterBy = Some("x"))
+      // loud in-query invariants (r11 verdict task 1): every stage of
+      // the chain is content-checked against the raw source, so a
+      // divergence ANYWHERE — including in environments we can't attach
+      // to — throws a stage-naming, state-carrying error instead of
+      // surfacing as a mute hash mismatch in the driver's artifact
+      Invariants.assertSameContent("zorder2/staging-write(v1 vs source)",
+        li, Maintenance.readSnapshot(spark, s"$p/t"), diag)
       withCatalog(spark, p) { cat =>
         spark.sql(s"OPTIMIZE $cat.t TARGET 134217728 BYTES ZORDER BY (x, y)")
-        spark.sql(
+        Invariants.assertSameContent("zorder2/rewrite(v2 vs source)",
+          li, Maintenance.readSnapshot(spark, s"$p/t"), diag)
+        Invariants.assertSameContent("zorder2/catalog-full-read",
+          li, spark.sql(s"SELECT * FROM $cat.t"), diag)
+        val ans = spark.sql(
           s"""SELECT x, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS qty
              |FROM $cat.t WHERE x BETWEEN 20 AND 99 AND y BETWEEN 0 AND 99
              |GROUP BY x ORDER BY x""".stripMargin)
+        val expected = li
+          .filter(col("x").between(20, 99) && col("y").between(0, 99))
+          .groupBy("x")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("bigint")).as("qty"))
+          .orderBy("x")
+        Invariants.assertSameAnswer("zorder2/pruned-catalog-read",
+          expected, ans, diag)
       }
     }
 
@@ -484,15 +504,32 @@ object SqlSurface {
         .select(col("event_id"), (col("user_id") % 64).as("u"),
           (col("event_id") % 64).as("e"),
           floor(col("value") * 10).cast("long").as("v"))
+      def diag = Invariants.snapshotDiagnostics(spark, s"$p/t")
       Maintenance.snapshotWrite(ev, s"$p/t", nFiles = 8,
         statsCols = Seq("u"), clusterBy = Some("u"))
+      // same loud invariant chain as [[sqlZorder]] — see the comment
+      // there; three columns exercise the N-column interleave
+      Invariants.assertSameContent("zorder3/staging-write(v1 vs source)",
+        ev, Maintenance.readSnapshot(spark, s"$p/t"), diag)
       withCatalog(spark, p) { cat =>
         spark.sql(s"OPTIMIZE $cat.t TARGET 134217728 BYTES ZORDER BY (u, e, v)")
-        spark.sql(
+        Invariants.assertSameContent("zorder3/rewrite(v2 vs source)",
+          ev, Maintenance.readSnapshot(spark, s"$p/t"), diag)
+        Invariants.assertSameContent("zorder3/catalog-full-read",
+          ev, spark.sql(s"SELECT * FROM $cat.t"), diag)
+        val ans = spark.sql(
           s"""SELECT u, COUNT(*) AS n, SUM(e) AS se, SUM(v) AS sv
              |FROM $cat.t
              |WHERE u BETWEEN 8 AND 39 AND e BETWEEN 0 AND 31 AND v >= 20
              |GROUP BY u ORDER BY u""".stripMargin)
+        val expected = ev
+          .filter(col("u").between(8, 39) && col("e").between(0, 31) &&
+            col("v") >= 20)
+          .groupBy("u")
+          .agg(count(lit(1)).as("n"), sum("e").as("se"), sum("v").as("sv"))
+          .orderBy("u")
+        Invariants.assertSameAnswer("zorder3/pruned-catalog-read",
+          expected, ans, diag)
       }
     }
 

@@ -177,9 +177,18 @@ object SnapshotDml {
     // (executor failure between the cardinality-check action and the
     // output action), silently shearing the dup check against the
     // pass-through/update selection
-    val withKey = Maintenance.readDataFiles(spark, path, touched, baseV)
-      .withColumn("__t_rowid", concat_ws("#",
+    val withKey = {
+      val dataRead = Maintenance.readDataFiles(spark, path, touched, baseV)
+      // the `_metadata` row identity exists only on a parquet-backed
+      // read; a ZERO-data-file table (the empty CREATE TABLE … then
+      // MERGE fill chain) falls back to a LocalRelation empty frame
+      // with no `_metadata` to resolve — and no rows to identify, so a
+      // typed NULL rowid is the correct identity there
+      if (touched.isEmpty && allFiles.isEmpty)
+        dataRead.withColumn("__t_rowid", lit(null).cast("string"))
+      else dataRead.withColumn("__t_rowid", concat_ws("#",
         col("_metadata.file_path"), col("_metadata.row_index")))
+    }
     val aligned = Maintenance.alignToSchema(withKey,
       Maintenance.tableSchema(spark, path, Some(baseV)))
     val baseCols = aligned.columns.filterNot(_ == "__t_rowid").toIndexedSeq

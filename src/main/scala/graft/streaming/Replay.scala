@@ -84,11 +84,13 @@ object Replay {
     val sentinel = Seq(Event(-1L,
       new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L), -1L,
       "sentinel", 0.0)).toDS()
-    // ts-ordered chunk files named in feed order: repartitionByRange
-    // keeps each file a contiguous ts slice; the lexicographically-last
-    // chunk index is the sentinel's own file
-    evs.repartitionByRange(chunks, $"ts", $"event_id")
-      .sortWithinPartitions($"ts", $"event_id")
+    // ts-ordered chunk files named in feed order: the deterministic
+    // exact-percentile layout keeps each file a contiguous ts slice
+    // (same mechanics as the snapshot staging writes — no sampled
+    // boundaries anywhere in the repo's layouts since r12); the
+    // lexicographically-last chunk index is the sentinel's own file
+    graft.operators.Maintenance.deterministicClusterShaper(
+        evs.toDF(), $"ts", chunks, Seq($"ts", $"event_id"))(evs.toDF())
       .write.mode("overwrite").parquet(stage.getAbsolutePath)
     // FileStreamSource feeds files in modification-time order, and the
     // write above lands every part file within the same millisecond —
