@@ -400,6 +400,11 @@ object Maintenance {
     // throws [[SnapshotTornWrite]] instead of publishing a silently
     // wrong table. Both sides come from the SAME execution, so even a
     // nondeterministic input cannot produce a spurious mismatch.
+    // Cluster note: observed metrics assume one successful attempt per
+    // task (spark.speculation=false, the default) — a speculative
+    // duplicate success could double-count into rows_in and trip the
+    // guard spuriously; that is a loud false ALARM, never a silent
+    // false pass, and the batch is simply rewritten on retry.
     val obs = new org.apache.spark.sql.Observation(s"graft_commit_$batch")
     val observed = df.observe(obs, count(lit(1)).as("rows_in"))
     // cluster the batch on the stats key when asked, so its per-file
