@@ -849,9 +849,14 @@ object Dedup {
     * executor loss. Same results, same retirement discipline
     * (spec-pinned in Round7Spec). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // r12 (guide §2.4): sym is joined on dst every round — persist it
+    // PRE-PARTITIONED on the join key so no round re-shuffles the 2|E|
+    // edge rows (the labels side still exchanges, but it is the small
+    // side; at 100 TB the edge list is the heavy one)
     val sym = graft.CacheScope.track(
       edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst"))
         .persist())
     // seed labels at min(self, min neighbor) — exactly the state a
     // first identity-seeded round would produce, for the same single
