@@ -37,9 +37,15 @@ object Relational {
         sumMoney(col("l_quantity")).as("sum_qty"),
         sumMoney(col("l_extendedprice")).as("sum_base_price"),
         // DuckDB's high-scale decimal→double cast is 1 ulp off the
-        // correctly-rounded value, so scale-10 sums get r4'd both sides
-        r4(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
-          (lit(1) - col("l_discount")).cast(DecimalType(9, 6)))
+        // correctly-rounded value, so scale-10 sums get r4'd both sides.
+        // Precisions sized so the product is decimal(10+7+1=18, 8) —
+        // Spark's compact-long multiply fast path — instead of the
+        // (28,10) BigDecimal path (r12, guide §1.2 per-task work). The
+        // money columns are exact 2-dp values (≤ 105k) and the rate is
+        // exact at 6 dp, so every product is the identical exact value
+        // and the sum (and the oracle) are bit-unchanged.
+        r4(sum(col("l_extendedprice").cast(DecimalType(10, 2)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(7, 6)))
           .cast(DoubleType)).as("sum_disc_price"),
         (sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType) /
           count(lit(1))).as("avg_qty"),
@@ -337,8 +343,9 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        r4(sum((col("l_extendedprice").cast(DecimalType(18, 4)) *
-          col("effective_rate").cast(DecimalType(9, 6))))
+        // compact-decimal product — see aggGroupBy's sum_disc_price note
+        r4(sum((col("l_extendedprice").cast(DecimalType(10, 2)) *
+          col("effective_rate").cast(DecimalType(7, 6))))
           .cast(DoubleType)).as("fee_total"),
       )
       .orderBy("l_returnflag")
