@@ -96,25 +96,37 @@ object SwitchbackPipeline {
     * — one row per test (the p_vals_switchback_tests upload). */
   def metricsAndPvals(augmented: DataFrame): DataFrame = {
     val d = DecimalType(28, 6)
-    val metrics = augmented.groupBy("test_name")
+    // ONE pass over the augmented events (r12, guide §2.4): the old
+    // shape aggregated `augmented` twice — the per-test metrics and the
+    // MWU rank table each re-ran the whole extract chain (events scan,
+    // regexp k-extraction, config join). The (test, value) grouping the
+    // rank table already needs can carry the metric sums too: per-group
+    // DECIMAL partial sums re-aggregate per test, and decimal addition
+    // is associative, so every total (and the oracle) is bit-identical.
+    // Both downstream branches consume the SAME groupBy exchange, which
+    // AQE stage reuse materializes once.
+    val counts = augmented.groupBy("test_name", "value")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("cnt_on"),
+        sum(when(col("on_or_off") === "On", col("value").cast(d))).as("sv_on"),
+        sum(when(col("on_or_off") === "Off", col("value").cast(d))).as("sv_off"),
+        sum(when(col("on_or_off") === "On", col("revenue_local").cast(d))).as("srev_on"),
+        sum(when(col("on_or_off") === "Off", col("revenue_local").cast(d))).as("srev_off"))
+
+    val metrics = counts.groupBy("test_name")
       .agg(
-        sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("n_on"),
-        sum(when(col("on_or_off") === "Off", 1L).otherwise(0L)).as("n_off"),
-        sum(when(col("on_or_off") === "On", col("value").cast(d))).cast(DoubleType).as("s_on"),
-        sum(when(col("on_or_off") === "Off", col("value").cast(d))).cast(DoubleType).as("s_off"),
-        sum(when(col("on_or_off") === "On", col("revenue_local").cast(d))).cast(DoubleType).as("rev_on"),
-        sum(when(col("on_or_off") === "Off", col("revenue_local").cast(d))).cast(DoubleType).as("rev_off"),
+        sum(col("cnt_on")).as("n_on"),
+        (sum(col("cnt")) - sum(col("cnt_on"))).as("n_off"),
+        sum(col("sv_on")).cast(DoubleType).as("s_on"),
+        sum(col("sv_off")).cast(DoubleType).as("s_off"),
+        sum(col("srev_on")).cast(DoubleType).as("rev_on"),
+        sum(col("srev_off")).cast(DoubleType).as("rev_off"),
       )
       .select(col("test_name"), col("n_on"), col("n_off"),
         r2(col("s_on") / col("n_on")).as("value_per_order_on"),
         r2(col("s_off") / col("n_off")).as("value_per_order_off"),
         r2(col("rev_on") / col("n_on")).as("revenue_per_order_on"),
         r2(col("rev_off") / col("n_off")).as("revenue_per_order_off"))
-
-    // MWU on value, On vs Off, per test (Stats.mwu shape, keyed by test)
-    val counts = augmented.groupBy("test_name", "value")
-      .agg(count(lit(1)).as("cnt"),
-        sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("cnt_on"))
     val w = Window.partitionBy("test_name").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = counts

@@ -99,6 +99,31 @@ object ProfileR12 {
     sampler.setDaemon(true)
     sampler.start()
 
+    if (names.contains("abdec")) {
+      // interleaved A/B: wide-decimal product (BigDecimal path) vs
+      // compact-precision product (long fast path) on the same scan
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      import graft.functions.Compat._
+      def base = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+      def wide = base.agg(r4(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(9, 6))).cast(DoubleType)).as("x"))
+      def compact = base.agg(r4(sum(col("l_extendedprice").cast(DecimalType(10, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(7, 6))).cast(DoubleType)).as("x"))
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      force(wide); force(compact)
+      (1 to 4).foreach { i =>
+        val t0 = System.nanoTime(); force(wide)
+        val t1 = System.nanoTime(); force(compact)
+        val t2 = System.nanoTime()
+        println(f"[abdec] #$i wide=${(t1 - t0) / 1e9}%.3f s compact=${(t2 - t1) / 1e9}%.3f s")
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("micro")) {
       // floor measurement: sequential tiny actions on a persisted frame
       val f = spark.range(100000).selectExpr("id", "id % 7 as k",
