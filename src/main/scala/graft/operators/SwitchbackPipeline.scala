@@ -103,15 +103,21 @@ object SwitchbackPipeline {
     // rank table already needs can carry the metric sums too: per-group
     // DECIMAL partial sums re-aggregate per test, and decimal addition
     // is associative, so every total (and the oracle) is bit-identical.
-    // Both downstream branches consume the SAME groupBy exchange, which
-    // AQE stage reuse materializes once.
-    val counts = augmented.groupBy("test_name", "value")
-      .agg(count(lit(1)).as("cnt"),
-        sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("cnt_on"),
-        sum(when(col("on_or_off") === "On", col("value").cast(d))).as("sv_on"),
-        sum(when(col("on_or_off") === "Off", col("value").cast(d))).as("sv_off"),
-        sum(when(col("on_or_off") === "On", col("revenue_local").cast(d))).as("srev_on"),
-        sum(when(col("on_or_off") === "Off", col("revenue_local").cast(d))).as("srev_off"))
+    // The grouped frame is persisted + eagerly materialized (the
+    // dedupMinhash candShingles discipline): column pruning narrows the
+    // two consumers differently, so their exchanges are NOT identical
+    // subtrees and AQE stage reuse cannot absorb the copy — without the
+    // cache the extract chain runs once per branch.
+    val counts = graft.CacheScope.track(
+      augmented.groupBy("test_name", "value")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("cnt_on"),
+          sum(when(col("on_or_off") === "On", col("value").cast(d))).as("sv_on"),
+          sum(when(col("on_or_off") === "Off", col("value").cast(d))).as("sv_off"),
+          sum(when(col("on_or_off") === "On", col("revenue_local").cast(d))).as("srev_on"),
+          sum(when(col("on_or_off") === "Off", col("revenue_local").cast(d))).as("srev_off"))
+        .persist())
+    counts.count()
 
     val metrics = counts.groupBy("test_name")
       .agg(
