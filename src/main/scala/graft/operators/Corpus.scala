@@ -580,16 +580,21 @@ object Corpus {
     * the DECIMAL sum, so the weight path is bit-reproducible. */
   private def trainLr(features: DataFrame): Array[Double] = {
     val dec = DecimalType(28, 6)
-    val n = features.count()
+    // n rides the FIRST gradient pass (r12): a separate count() job
+    // paid one more driver round-trip on a loop that is already
+    // job-latency-bound; the update w -= g/n only needs n alongside g.
+    var n = 0L
     var w = Array(0.0, 0.0, 0.0, 0.0)
-    for (_ <- 1 to lrIters) {
+    for (it <- 1 to lrIters) {
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
       val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
       val g = features.agg(
         sum(r6(err).cast(dec)).cast(DoubleType),
         sum(r6(err * col("x1")).cast(dec)).cast(DoubleType),
         sum(r6(err * col("x2")).cast(dec)).cast(DoubleType),
-        sum(r6(err * col("x3")).cast(dec)).cast(DoubleType)).head()
+        sum(r6(err * col("x3")).cast(dec)).cast(DoubleType),
+        count(lit(1))).head()
+      if (it == 1) n = g.getLong(4)
       w = Array.tabulate(4)(j => w(j) - g.getDouble(j) / n.toDouble)
     }
     w

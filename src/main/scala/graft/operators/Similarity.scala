@@ -515,10 +515,7 @@ object Similarity {
   def annServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val first8 = firstVectors(emb, 8)
-    val trained = IvfPqIndex(
-      trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2))),
-      trainPq(emb, M = 8, dsub = 8, K = 4,
-        Some(first8.filter(_._1 < 4).map(_._2))))
+    val trained = trainBoth(emb, first8)
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ann_index_${java.util.UUID.randomUUID().toString.take(8)}")
     // cleanup registered BEFORE the write: a mid-write throw must not
@@ -538,11 +535,24 @@ object Similarity {
     // vec_id < 4 — sliced BY ID, so sparse/offset id spaces still match
     // the oracle's `vec_id < k` init CTEs exactly
     val first8 = firstVectors(emb, 8)
-    ivfPqSearchWith(
-      IvfPqIndex(trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2))),
-        trainPq(emb, M = 8, dsub = 8, K = 4,
-          Some(first8.filter(_._1 < 4).map(_._2)))),
-      emb, isQuery)
+    ivfPqSearchWith(trainBoth(emb, first8), emb, isQuery)
+  }
+
+  /** Train the coarse and fine quantizers CONCURRENTLY (guide §2.6 —
+    * overlap independent jobs): the two trainers share only the init
+    * rows, and each is a chain of tiny, job-latency-bound aggregations,
+    * so running PQ's single Lloyd round on a second driver thread hides
+    * its round-trips behind IVF's two. Results are the trainers' own —
+    * scheduling overlap cannot change a decimal-exact aggregation. */
+  private def trainBoth(emb: DataFrame,
+      first8: Array[(Long, Seq[Double])]): IvfPqIndex = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val pqF = Future(trainPq(emb, M = 8, dsub = 8, K = 4,
+      Some(first8.filter(_._1 < 4).map(_._2))))
+    val ivf = trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2)))
+    IvfPqIndex(ivf, Await.result(pqF, Duration.Inf))
   }
 
   /** Trained IVF-PQ serving artifacts: `centroids(cluster)` is the
@@ -969,10 +979,7 @@ object Similarity {
   def annCoded(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val first8 = firstVectors(emb, 8)
-    val trained = IvfPqIndex(
-      trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2))),
-      trainPq(emb, M = 8, dsub = 8, K = 4,
-        Some(first8.filter(_._1 < 4).map(_._2))))
+    val trained = trainBoth(emb, first8)
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ann_coded_${java.util.UUID.randomUUID().toString.take(8)}")
     // cleanup registered BEFORE any write (the compactFiles ordering)
