@@ -124,6 +124,41 @@ object ProfileR12 {
       return
     }
 
+    if (names.contains("maint")) {
+      // profile the m_merge maintenance verb (bench maintenance block)
+      import graft.operators.{Maintenance, SqlSurface}
+      val stage = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_prof_maint_${java.util.UUID.randomUUID().toString.take(8)}")
+      val p = stage.getAbsolutePath
+      val o = graft.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Maintenance.snapshotWrite(o, s"$p/t", nFiles = 8,
+        statsCols = Seq("o_orderkey"), clusterBy = Some("o_orderkey"))
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + lit(100.0)).as("price"))
+        .createOrReplaceTempView("prof_chg")
+      stages.clear(); jobs.clear(); jobSpans.clear()
+      val t0 = System.nanoTime()
+      SqlSurface.withCatalog(spark, p) { cat =>
+        spark.sql(s"MERGE INTO $cat.t t USING prof_chg c " +
+          "ON t.o_orderkey = c.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET o_totalprice = c.price " +
+          "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, " +
+          "o_totalprice) VALUES (c.o_orderkey, 'N', c.price)"): Unit
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"\n### m_merge wall=$wall%.3f s jobs=${jobs.size} stages=${stages.size} " +
+        f"stageWallSum=${stages.map(_.wallMs).sum / 1000.0}%.3f s")
+      stages.sortBy(-_.wallMs).take(15).foreach { s =>
+        println(f"  stage wall=${s.wallMs}%5d ms run=${s.runMs}%6d tasks=${s.tasks}%3d " +
+          f"sr=${s.shufReadMB}%7.2fMB sw=${s.shufWriteMB}%7.2fMB  ${s.name}")
+      }
+      graft.sources.Sources.deleteRecursively(stage)
+      spark.stop()
+      return
+    }
+
     if (names.contains("micro")) {
       // floor measurement: sequential tiny actions on a persisted frame
       val f = spark.range(100000).selectExpr("id", "id % 7 as k",
