@@ -967,37 +967,26 @@ object Corpus {
         .agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1)
-      // ONE job per round (r8, the CC observe() discipline): the
-      // winning pair joins back as a broadcast 1-row side and the fuse
-      // runs in the SAME action that materializes the next generation;
-      // the driver reads the pair off the materialization via observe()
-      // instead of a separate collect round-trip. A dry vocabulary
-      // (top1 empty) leaves l NULL on every row — the LEFT join +
-      // otherwise(s) keep the generation intact (the oracle's LEFT JOIN
-      // ON TRUE + COALESCE guard) and the null observed pair stops the
-      // loop.
-      val obs = org.apache.spark.sql.Observation(s"bpe_round_${k}_${System.nanoTime()}")
-      val next = vocab
-        .join(broadcast(top1), lit(true), "left")
-        .select(
-          when(col("l").isNotNull, call_function("replace", col("s"),
-            concat(lit(" "), col("l"), lit("  "), col("r"), lit(" ")),
-            concat(lit(" "), col("l"), col("r"), lit(" "))))
-            .otherwise(col("s")).as("s"),
-          col("cnt"), col("l"), col("r"), col("c"))
-        .observe(obs, max(col("l")).as("l"), max(col("r")).as("r"), max(col("c")).as("c"))
-        .select("s", "cnt")
-        .graftCheckpoint()
-      val won = Option(obs.get("l")).map(l =>
-        (l.asInstanceOf[String], obs.get("r").asInstanceOf[String],
-          obs.get("c").asInstanceOf[Long]))
+      // r12: the winner comes to the driver as ONE dimension-bounded
+      // row (the IVF-centroid discipline) and the fuse applies it as
+      // plan LITERALS — the former broadcast-1-row left join + observe()
+      // machinery planned a join and an extra AQE broadcast stage into
+      // every generation for the same answer. Two actions per round
+      // (winner readout + generation checkpoint), simpler plans, and a
+      // dry vocabulary (no pairs anywhere) is just an empty readout —
+      // the next generation is never built, exactly the old early-exit.
+      val won = top1.collect().headOption.map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
       won match {
         case None =>
           // every word is down to one symbol: the (shorter) merge
           // table found so far IS the trained artifact
-          graft.CacheScope.freeCheckpoint(next)
           dry = true
         case Some((l, r, c)) =>
+          val next = vocab
+            .select(call_function("replace", col("s"),
+              lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
+            .graftCheckpoint()
           merges += ((k, l, r, l + r, c))
           graft.CacheScope.freeCheckpoint(vocab)
           vocab = next
