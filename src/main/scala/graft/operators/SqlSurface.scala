@@ -407,8 +407,14 @@ object SqlSurface {
     }
 
   private val sqlZorderOracle =
+    // CAST(SUM(..) AS BIGINT): DuckDB promotes an integer SUM to HUGEINT,
+    // which the driver's checker materializes as float64 ("123.0") while
+    // Spark's column is int64 ("123") — rows/schema matched but the
+    // content hash didn't (CORRECTNESS r10..r12). Every other oracle in
+    // the repo already casts its integer sums; these two were the only
+    // final outputs that didn't. Values are unchanged — type-only fix.
     """SELECT l_partkey % 256 AS x, COUNT(*) AS n,
-      |  SUM(CAST(l_quantity AS BIGINT)) AS qty
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem
       |WHERE l_partkey % 256 BETWEEN 20 AND 99
       |  AND l_suppkey % 256 BETWEEN 0 AND 99
@@ -534,11 +540,14 @@ object SqlSurface {
     }
 
   private val sqlZorder3Oracle =
+    // CAST(SUM(..) AS BIGINT) — see sqlZorderOracle: HUGEINT-vs-int64
+    // hash divergence in the driver's checker; type-only fix.
     """WITH t AS (
       |  SELECT user_id % 64 AS u, event_id % 64 AS e,
       |    CAST(FLOOR("value" * 10) AS BIGINT) AS v
       |  FROM events)
-      |SELECT u, COUNT(*) AS n, SUM(e) AS se, SUM(v) AS sv
+      |SELECT u, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS se,
+      |  CAST(SUM(v) AS BIGINT) AS sv
       |FROM t WHERE u BETWEEN 8 AND 39 AND e BETWEEN 0 AND 31 AND v >= 20
       |GROUP BY u ORDER BY u""".stripMargin
 

@@ -96,69 +96,65 @@ object SwitchbackPipeline {
     * — one row per test (the p_vals_switchback_tests upload). */
   def metricsAndPvals(augmented: DataFrame): DataFrame = {
     val d = DecimalType(28, 6)
-    // ONE pass over the augmented events (r12, guide §2.4): the old
-    // shape aggregated `augmented` twice — the per-test metrics and the
-    // MWU rank table each re-ran the whole extract chain (events scan,
-    // regexp k-extraction, config join). The (test, value) grouping the
-    // rank table already needs can carry the metric sums too: per-group
-    // DECIMAL partial sums re-aggregate per test, and decimal addition
-    // is associative, so every total (and the oracle) is bit-identical.
-    // The grouped frame is persisted + eagerly materialized (the
-    // dedupMinhash candShingles discipline): column pruning narrows the
-    // two consumers differently, so their exchanges are NOT identical
-    // subtrees and AQE stage reuse cannot absorb the copy — without the
-    // cache the extract chain runs once per branch.
-    val counts = graft.CacheScope.track(
-      augmented.groupBy("test_name", "value")
-        .agg(count(lit(1)).as("cnt"),
-          sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("cnt_on"),
-          sum(when(col("on_or_off") === "On", col("value").cast(d))).as("sv_on"),
-          sum(when(col("on_or_off") === "Off", col("value").cast(d))).as("sv_off"),
-          sum(when(col("on_or_off") === "On", col("revenue_local").cast(d))).as("srev_on"),
-          sum(when(col("on_or_off") === "Off", col("revenue_local").cast(d))).as("srev_off"))
-        .persist())
-    counts.count()
-
-    val metrics = counts.groupBy("test_name")
-      .agg(
-        sum(col("cnt_on")).as("n_on"),
-        (sum(col("cnt")) - sum(col("cnt_on"))).as("n_off"),
-        sum(col("sv_on")).cast(DoubleType).as("s_on"),
-        sum(col("sv_off")).cast(DoubleType).as("s_off"),
-        sum(col("srev_on")).cast(DoubleType).as("rev_on"),
-        sum(col("srev_off")).cast(DoubleType).as("rev_off"),
-      )
-      .select(col("test_name"), col("n_on"), col("n_off"),
-        r2(col("s_on") / col("n_on")).as("value_per_order_on"),
-        r2(col("s_off") / col("n_off")).as("value_per_order_off"),
-        r2(col("rev_on") / col("n_on")).as("revenue_per_order_on"),
-        r2(col("rev_off") / col("n_off")).as("revenue_per_order_off"))
+    // ONE pass over the augmented events (r12, guide §2.4): the
+    // (test, value) grouping the MWU rank table needs carries the
+    // per-test metric sums too — per-group DECIMAL partial sums
+    // re-aggregate per test, and decimal addition is associative, so
+    // every total (and the oracle) is bit-identical to aggregating the
+    // events directly. r13 (guide §2.4 window/aggregation key sharing):
+    // the r12 shape persisted + eagerly count()ed this grouping so two
+    // consumers (metrics, rank table) could share it — one extra
+    // blocking job plus a cache write that the driver measured SLOWER
+    // (0.79→1.26 s) at bench scale. There is no need for two consumers
+    // at all: the rank window passes every group column through, so a
+    // SINGLE groupBy(test_name) after the window computes the metric
+    // totals AND the MWU sums together. The window's exchange is already
+    // keyed on test_name, so the aggregation adds no exchange, and the
+    // final metrics⋈pvals join disappears. The double sum r_on
+    // accumulates over the identical window-sorted row order, decimal
+    // and long sums are exact, so the output is bit-identical (oracle +
+    // content hash verified).
+    val counts = augmented.groupBy("test_name", "value")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("on_or_off") === "On", 1L).otherwise(0L)).as("cnt_on"),
+        sum(when(col("on_or_off") === "On", col("value").cast(d))).as("sv_on"),
+        sum(when(col("on_or_off") === "Off", col("value").cast(d))).as("sv_off"),
+        sum(when(col("on_or_off") === "On", col("revenue_local").cast(d))).as("srev_on"),
+        sum(when(col("on_or_off") === "Off", col("revenue_local").cast(d))).as("srev_off"))
     val w = Window.partitionBy("test_name").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = counts
       .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
       .withColumn("avg_rank", col("cum_before") + (col("cnt") + 1) / 2.0)
     val agg = ranked.groupBy("test_name").agg(
+      sum(col("cnt_on")).as("n_on"),
+      (sum(col("cnt")) - sum(col("cnt_on"))).as("n_off"),
+      sum(col("sv_on")).cast(DoubleType).as("s_on"),
+      sum(col("sv_off")).cast(DoubleType).as("s_off"),
+      sum(col("srev_on")).cast(DoubleType).as("rev_on"),
+      sum(col("srev_off")).cast(DoubleType).as("rev_off"),
       sum(col("avg_rank") * col("cnt_on")).as("r_on"),
-      sum("cnt_on").as("mn1"), sum("cnt").as("mn"),
+      sum("cnt").as("mn"),
       // DECIMAL(38,0) cnt^3 + double-promoted count products + guarded
       // sd: the Stats.mwu overflow/degenerate discipline
       sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt") * col("cnt") - col("cnt"))
         .as("tie_t"))
-    val n1 = col("mn1")
-    val n1d = col("mn1").cast(DoubleType)
-    val n2d = (col("mn") - col("mn1")).cast(DoubleType)
+    val n1d = col("n_on").cast(DoubleType)
+    val n2d = (col("mn") - col("n_on")).cast(DoubleType)
     val nd = col("mn").cast(DoubleType)
-    val n2 = col("mn") - col("mn1"); val n = col("mn")
     val u1 = col("r_on") - n1d * (n1d + 1) / 2.0
     val mu = n1d * n2d / 2.0
     val sd = sqrt(n1d * n2d / 12.0 *
       ((nd + 1) - col("tie_t").cast(DoubleType) / (nd * (nd - 1.0))))
     val z = (u1 - mu - signum(u1 - mu) * 0.5) / when(sd =!= 0, sd)
-    val pvals = agg.select(col("test_name"), u1.as("u_stat"), r4(z).as("z"),
-      r6(StatFunctions.pTwoSidedNormal(z)).as("p_value"))
-
-    metrics.join(pvals, Seq("test_name")).orderBy("test_name")
+    agg.select(col("test_name"), col("n_on"), col("n_off"),
+        r2(col("s_on") / col("n_on")).as("value_per_order_on"),
+        r2(col("s_off") / col("n_off")).as("value_per_order_off"),
+        r2(col("rev_on") / col("n_on")).as("revenue_per_order_on"),
+        r2(col("rev_off") / col("n_off")).as("revenue_per_order_off"),
+        u1.as("u_stat"), r4(z).as("z"),
+        r6(StatFunctions.pTwoSidedNormal(z)).as("p_value"))
+      .orderBy("test_name")
   }
 
   /** The whole DAG in one call. */

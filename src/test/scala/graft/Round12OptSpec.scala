@@ -27,13 +27,19 @@ class Round12OptSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
-  test("switchback pipeline evaluates the extract chain once: grouped frame cached for both consumers") {
+  test("switchback pipeline evaluates the extract chain once: single fused aggregation, no cache, no join") {
     val qe = Registry.byName("q_sb_pipeline").fn(spark, sfDir).queryExecution
     val plan = qe.executedPlan.toString
-    val cacheReads = plan.sliding("InMemoryTableScan".length)
-      .count(_ == "InMemoryTableScan")
-    assert(cacheReads >= 2,
-      s"metrics AND rank table must read the cached (test,value) grouping, got $cacheReads cache reads")
+    // r13: metrics and the MWU rank table fused into ONE groupBy(test_name)
+    // after the window — events parquet is scanned exactly once, nothing is
+    // persisted (no cache lifecycle to manage), and the old metrics⋈pvals
+    // join is gone (the config dim's BroadcastNestedLoopJoin is the only
+    // join left)
+    def count(needle: String) = plan.sliding(needle.length).count(_ == needle)
+    assert(count("Scan parquet") == 1,
+      s"extract chain must run once: expected exactly 1 parquet scan, plan has ${count("Scan parquet")}")
+    assert(count("SortMergeJoin") == 0 && count("BroadcastHashJoin") == 0,
+      "the fused single-aggregation shape must not re-join metrics to pvals")
     CacheScope.releaseAll()
   }
 
