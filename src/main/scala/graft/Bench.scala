@@ -99,6 +99,37 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
     catch { case _: Throwable => None }
 
+  /** Aggregate cpu ticks from /proc/stat's first line:
+    * (user+nice+system+irq+softirq, idle+iowait, steal, total).
+    * Recorded per attempt (r12 verdict task 8) because the clean-window
+    * load gate cannot see hypervisor vCPU contention: five same-tree
+    * runs spanned 19.3–26.5 s at load ≤ 1.4. A per-attempt busy/total
+    * tick delta lets the NEXT round's PERF comparison normalize drift
+    * mechanically instead of adjudicating it from untouched-query
+    * gauges alone. Linux-only; None elsewhere (recorded as null). */
+  private def cpuTicks(): Option[(Long, Long, Long, Long)] =
+    try {
+      val cols = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator
+        .next().split("\\s+").drop(1).map(_.toLong)
+      // cpu line: user nice system idle iowait irq softirq steal ...
+      val busy = cols(0) + cols(1) + cols(2) + cols.lift(5).getOrElse(0L) +
+        cols.lift(6).getOrElse(0L)
+      val idle = cols(3) + cols.lift(4).getOrElse(0L)
+      val steal = cols.lift(7).getOrElse(0L)
+      Some((busy, idle, steal, cols.sum))
+    } catch { case _: Throwable => None }
+
+  /** JSON fragment of the tick deltas between two cpuTicks() samples. */
+  private def cpuDeltaJson(before: Option[(Long, Long, Long, Long)],
+      after: Option[(Long, Long, Long, Long)]): String =
+    (before, after) match {
+      case (Some((b1, i1, s1, t1)), Some((b2, i2, s2, t2))) =>
+        s""","cpu_busy_ticks":${b2 - b1},"cpu_idle_ticks":${i2 - i1},""" +
+          s""""cpu_steal_ticks":${s2 - s1},"cpu_total_ticks":${t2 - t1}"""
+      case _ => ""
+    }
+
   /** Per-query times (one untimed warmup + one timed run each) — the
     * cheap probe behind the scale readout. */
   private def timesAt(spark: SparkSession, sfDir: String, ops: Seq[Op]): Report =
@@ -222,10 +253,11 @@ object Bench {
     // decay (~e^{-45/60}), so the next sample mostly sees EXTERNAL
     // load. Every attempt's (load, total) stays in the artifact: a
     // contended bench is self-diagnosing, never silently averaged in.
-    def attemptOnce(): (Option[Double], Report, Option[Double]) = {
+    def attemptOnce(): (Option[Double], Report, Option[Double], String) = {
       val lb = loadAvg()
+      val t0 = cpuTicks()
       val r = run(spark, sfDir, heads)
-      (lb, r, loadAvg())
+      (lb, r, loadAvg(), cpuDeltaJson(t0, cpuTicks()))
     }
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     val attempts = scala.collection.mutable.Buffer(attemptOnce())
@@ -238,11 +270,11 @@ object Bench {
       Thread.sleep(45000)
       attempts += attemptOnce()
     }
-    val (loadBefore, rep, loadAfter) =
+    val (loadBefore, rep, loadAfter, _) =
       attempts.minBy(_._1.getOrElse(Double.MaxValue))
     def jload(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
-    val attemptsJson = attempts.map { case (lb, r, la) =>
-      s"""{"load_before":${jload(lb)},"total":${r.total},"load_after":${jload(la)}}"""
+    val attemptsJson = attempts.map { case (lb, r, la, cpu) =>
+      s"""{"load_before":${jload(lb)},"total":${r.total},"load_after":${jload(la)}$cpu}"""
     }.mkString("[", ",", "]")
 
     // maintenance verbs, timed AFTER the primary point so their staged

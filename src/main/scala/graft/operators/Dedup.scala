@@ -243,11 +243,14 @@ object Dedup {
     // Tracked in CacheScope: the cache must outlive this method (three
     // downstream branches read it) but not the operator RUN — the
     // runner (Verify/Bench/spec) frees it after forcing the result.
-    val cand = graft.CacheScope.track(bandCandidates(bands).persist())
-    // materialize the (LSH-pruned, tiny) pair set ONCE — the verify
+    // the (LSH-pruned, tiny) pair set materializes ONCE — the verify
     // phase below reads it from three branches, and at 100 TB nothing
-    // upstream of it (the full band shuffle) may ever re-run
-    cand.count()
+    // upstream of it (the full band shuffle) may ever re-run. r13: no
+    // separate eager count() — the candShingles materialization below
+    // reads `cand` through candIds on its one path, so that single job
+    // populates BOTH caches (one driver round-trip saved; the final
+    // join's three branches then read only caches, exactly as before)
+    val cand = graft.CacheScope.track(bandCandidates(bands).persist())
     // verify candidates with true Jaccard — shingle SETS built ONLY for
     // candidate docs (the semi-join runs BEFORE tokenization, so the
     // split/shingle kernels see candidate rows, not the corpus). The
@@ -852,11 +855,13 @@ object Dedup {
     // r12 (guide §2.4): sym is joined on dst every round — persist it
     // PRE-PARTITIONED on the join key so no round re-shuffles the 2|E|
     // edge rows (the labels side still exchanges, but it is the small
-    // side; at 100 TB the edge list is the heavy one)
+    // side; at 100 TB the edge list is the heavy one). r13: size-gated,
+    // see [[Adaptive.copartitionByKey]].
     val sym = graft.CacheScope.track(
-      edges.select(col("src"), col("dst"))
-        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("dst"))
+      Adaptive.copartitionByKey(
+        edges.select(col("src"), col("dst"))
+          .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))),
+        col("dst"))
         .persist())
     // seed labels at min(self, min neighbor) — exactly the state a
     // first identity-seeded round would produce, for the same single

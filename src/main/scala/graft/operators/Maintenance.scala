@@ -1640,11 +1640,21 @@ object Maintenance {
       // changeset carry them too — loud, instead of silent data loss)
       else spark.read.option("mergeSchema", "true")
         .parquet(touched.toIndexedSeq.sorted.map(f => s"$path/data/$f"): _*)
-    val merged = Relational.applyMerge(base, changes, key)
+    // r13 (guide §6 read-once, §5 cache-what-you-reuse): commitSnapshot
+    // consumes `merged` THREE times — the deterministic cluster shaper's
+    // min/max and percentile planning passes plus the write job itself —
+    // and each pass re-ran the touched-file scan AND the full-outer
+    // changeset join. Persisting the merged frame computes the join once
+    // (MEMORY_AND_DISK default spills gracefully at scale; the frame is
+    // O(touched + changeset), never O(table)); values, layout, and the
+    // torn-write observation are unchanged — the write job still counts
+    // the rows it consumes, now from the cache.
+    val merged = Relational.applyMerge(base, changes, key).persist()
     val carry: DataFrame => DataFrame = fresh =>
       mf.filter(!col("file").isin(touched.toSeq: _*)).unionByName(fresh)
-    commitSnapshot(merged, path, nFiles, carry, statsCols, Some(col(key)),
+    try commitSnapshot(merged, path, nFiles, carry, statsCols, Some(col(key)),
       Some(baseV))
+    finally merged.unpersist(blocking = false): Unit
   }
 
   /** MERGE INTO as a driver-visible query: stage orders as a versioned

@@ -551,7 +551,16 @@ object Similarity {
     import scala.concurrent.duration.Duration
     val pqF = Future(trainPq(emb, M = 8, dsub = 8, K = 4,
       Some(first8.filter(_._1 < 4).map(_._2))))
-    val ivf = trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2)))
+    // if IVF throws, still await the PQ future (bounded) so its Spark
+    // jobs can't keep running detached behind the propagated failure —
+    // and a PQ failure surfaces as soon as IVF is done either way
+    val ivf =
+      try trainIvf(emb, k = 8, iters = 2, Some(first8.map(_._2)))
+      catch { case t: Throwable =>
+        try Await.ready(pqF, scala.concurrent.duration.Duration(120, "s"))
+        catch { case _: Throwable => () }
+        throw t
+      }
     IvfPqIndex(ivf, Await.result(pqF, Duration.Inf))
   }
 

@@ -27,7 +27,7 @@ object ProfileR12 {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     // diagnostic conf overrides: -Dprofile.conf=key=value,key=value
     sys.props.get("profile.conf").toSeq.flatMap(_.split(',')).foreach { kv =>
-      val Array(k, v) = kv.split('=')
+      val Array(k, v) = kv.split("=", 2) // conf values may contain '='
       spark.conf.set(k, v)
       println(s"[profile] conf override: $k=$v")
     }
