@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
   * operator blocks at sf0.001. */
 class OperatorsSpec extends SparkSpec {
 
-  test("every registered operator returns rows") {
+  test("every registered operator returns rows", SlowTest) {
     Registry.ops.foreach { op =>
       val n = op.fn(spark, sfDir).count()
       assert(n > 0, s"${op.name} returned no rows")
@@ -31,7 +31,7 @@ class OperatorsSpec extends SparkSpec {
       s"leaked cached RDDs after release: ${live.values.map(_.toString).mkString("; ")}")
   }
 
-  test("every oracle-backed query is partitioning-invariant") {
+  test("every oracle-backed query is partitioning-invariant", SlowTest) {
     // The repo's core determinism claim: results do not depend on how
     // data is partitioned (decimal-exact sums, order-invariant
     // aggregates). Run the full oracle-backed surface under two shuffle
@@ -53,7 +53,7 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
-  test("registry names are unique and oracle columns align") {
+  test("registry names are unique and oracle columns align", SlowTest) {
     val names = Registry.ops.map(_.name)
     assert(names.distinct.size === names.size)
     // every oracle-backed op: spark result column set appears in the SQL text

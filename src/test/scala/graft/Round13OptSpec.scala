@@ -54,6 +54,20 @@ class Round13OptSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.copartition.minBytes")
   }
 
+  test("narrowed money casts stay inside decimal(10,2): data bound enforced loudly") {
+    // r12 narrowed the money product to decimal(10,2)×(7,6) for the
+    // compact-long multiply; cast overflow NULLs silently with ANSI off.
+    // This pins the data precondition (|price| < 10^8) on every SF the
+    // driver checks, so a future data change fails HERE, not as rows
+    // silently dropped from a sum (r12 verdict, "what's wrong" item 4).
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val mx = Tables.lineitem(spark, s"/root/testdata/$sf")
+        .agg(max(abs(col("l_extendedprice"))).cast("double")).head().getDouble(0)
+      assert(mx < 1e8, s"$sf: l_extendedprice $mx would overflow decimal(10,2)")
+    }
+  }
+
   test("dedup_minhash serves the verify joins from caches without a separate cand job") {
     val qe = Registry.byName("q_dedup_minhash").fn(spark, sfDir).queryExecution
     val plan = qe.executedPlan.toString
