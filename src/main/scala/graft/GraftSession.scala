@@ -41,6 +41,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r13: let AQE coalesce CACHED plans' output too (default false).
+      // The iterative operators persist their loop-invariant frames,
+      // and with the default every cache lands at the raw
+      // shuffle-partition count — each cache-reading stage per
+      // iteration then schedules that many tasks over KB-sized slices.
+      // Coalescing is advisory-size-driven (same policy as every other
+      // stage), so at 100 TB big caches keep their partition counts and
+      // their hash layout; only below-advisory caches shrink.
+      // Interleaved A/B at sf0.1 (tools/profile_r13_cachepart_ab.txt):
+      // q_pagerank 2.4-3.0 s → 1.5-1.8 s (tasks 345 → 35),
+      // q_dedup_clusters 2.8-3.2 → 2.0-2.2 (423 → 51), q_sql_merge
+      // 7.1-7.7 → 6.3-6.6 (370 → 138); values partition-invariant
+      // (oracle-pinned).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.plans.GraftExtensions)
 

@@ -144,6 +144,29 @@ object ProfileR13 {
       (1 to 3).foreach { _ => variantA(); variantB() }
     }
 
+    if (modes.contains("cachedcoalesce")) {
+      // A/B spark.sql.optimizer.canChangeCachedPlanOutputPartitioning:
+      // default false leaves every persisted frame at the raw
+      // shuffle-partition count (32 locally) — each cache-reading stage
+      // then schedules 32 tasks over KB-sized slices; true lets AQE
+      // coalesce the cached plan's output like any other stage.
+      val k = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+      val qs = Seq("q_dedup_minhash", "q_dedup_clusters", "q_sql_merge", "q_pagerank")
+      qs.foreach { q =>
+        spark.conf.set(k, "false"); runQ(q)
+        spark.conf.set(k, "true"); runQ(q)
+      }
+      (1 to 3).foreach { i =>
+        qs.foreach { q =>
+          spark.conf.set(k, "false")
+          counted(s"$q cachePart-fixed #$i")(runQ(q))
+          spark.conf.set(k, "true")
+          counted(s"$q cachePart-aqe   #$i")(runQ(q))
+        }
+      }
+      spark.conf.unset(k)
+    }
+
     val qnames = modes.filter(_.startsWith("q_"))
     if (qnames.nonEmpty) {
       qnames.foreach(runQ) // warmup
