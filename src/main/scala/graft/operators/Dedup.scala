@@ -243,6 +243,24 @@ object Dedup {
     // Tracked in CacheScope: the cache must outlive this method (three
     // downstream branches read it) but not the operator RUN — the
     // runner (Verify/Bench/spec) frees it after forcing the result.
+    // r13: this operator OPTS OUT of cached-plan AQE coalescing (back
+    // to the Spark default) for its own run. The coalescer is
+    // bytes-driven, and this cached subplan is the one in the engine
+    // whose cost is compute-dense per byte — the bucket→pair expansion
+    // and the array_intersect verify do quadratic-in-bucket work over a
+    // KB-sized frame, so coalescing its stages to one partition
+    // serializes real compute (interleaved 4-way A/B at sf0.1:
+    // 1.5–1.9 s with fixed cache partitioning vs 3.2–3.5 s coalesced,
+    // both count variants — tools/profile_r13_minhash_ab.txt). The conf
+    // restores at CacheScope release, i.e. after the runner forces the
+    // result — exactly this operator's lifetime.
+    val coalesceKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    graft.CacheScope.defer(() => prevCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    })
     // the (LSH-pruned, tiny) pair set materializes ONCE — the verify
     // phase below reads it from three branches, and at 100 TB nothing
     // upstream of it (the full band shuffle) may ever re-run. r13: no

@@ -144,6 +144,49 @@ object ProfileR13 {
       (1 to 3).foreach { _ => variantA(); variantB() }
     }
 
+    if (modes.contains("minhash")) {
+      // attribute the minhash regression: eager cand.count() vs letting
+      // the candShingles job materialize both caches transitively
+      import graft.operators.Dedup
+      import graft.functions.HashFunctions
+      def variant(eager: Boolean): Unit = {
+        val cand = graft.CacheScope.track(
+          Dedup.bandCandidates(Dedup.bandBuckets(Dedup.corpus(spark, sfDir))).persist())
+        if (eager) cand.count(): Unit
+        val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+        val candShingles = graft.CacheScope.track(
+          Dedup.corpus(spark, sfDir).join(candIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"),
+              HashFunctions.shingleHashes(split(col("text"), " ")).as("shs"))
+            .persist())
+        candShingles.count()
+        val out = cand
+          .join(candShingles.as("sa"), col("id_a") === col("sa.doc_id"))
+          .join(candShingles.as("sb"), col("id_b") === col("sb.doc_id"))
+          .withColumn("inter",
+            size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long"))
+          .withColumn("jaccard", graft.functions.Compat.r4(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter"))))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+        try force(out) finally graft.CacheScope.releaseAll()
+      }
+      val k = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+      def combo(eager: Boolean, aqe: Boolean): Unit = {
+        spark.conf.set(k, aqe.toString); variant(eager); spark.conf.unset(k)
+      }
+      combo(true, false); combo(false, true); runQ("q_dedup_minhash") // warmups
+      (1 to 3).foreach { i =>
+        spark.conf.set(k, "false")
+        counted(s"minhash eager+fixed #$i")(variant(true))
+        counted(s"minhash lazy+fixed  #$i")(variant(false))
+        spark.conf.unset(k)
+        counted(s"minhash registry    #$i")(runQ("q_dedup_minhash"))
+        counted(s"gauge q_mwu         #$i")(runQ("q_mwu"))
+      }
+    }
+
     if (modes.contains("cachedcoalesce")) {
       // A/B spark.sql.optimizer.canChangeCachedPlanOutputPartitioning:
       // default false leaves every persisted frame at the raw
