@@ -113,7 +113,7 @@ class PowerSpec extends SparkSpec {
     }
   }
 
-  test("solve-n chain lands on 80% exact power (statsmodels tt_ind_solve_power analog)") {
+  test("solve-n chain lands on 80% exact power (statsmodels tt_ind_solve_power analog)", SlowTest) {
     // replicate Stats.solveN's SQL chain (seed + 2 finite-diff Newton
     // steps) on literal effect sizes, then judge the result against the
     // independent integrator: power(d, n_req, n_req) must be 0.8

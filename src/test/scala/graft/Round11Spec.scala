@@ -71,7 +71,7 @@ class Round11Spec extends SparkSpec {
     t.filter(col("x").isin(3, 48, 96))
       .groupBy("x").agg(count(lit(1)).as("n")).orderBy("x").collect().toSeq)
 
-  test("z layouts never change an answer: 20 adversarial layouts, exact equality") {
+  test("z layouts never change an answer: 20 adversarial layouts, exact equality", SlowTest) {
     val expected = expectedAnswers
     val variants: Seq[(Int, Option[String], Int, Long)] =
       for {
