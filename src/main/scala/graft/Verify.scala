@@ -67,8 +67,11 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), metaJson)
     // best-effort repo-side twin (driver runs commit uncommitted files,
-    // so the driver environment's forensics become judge-readable)
-    try {
+    // so the driver environment's forensics become judge-readable).
+    // FULL runs only (r13): a name-filtered dev iteration must not
+    // overwrite the committed full-suite hash reference with a
+    // few-query meta — the twin is the round's canonical baseline.
+    if (nameFilter.isEmpty) try {
       val toolsDir = new java.io.File(sys.props("user.dir"), "tools")
       if (toolsDir.isDirectory)
         Files.writeString(
