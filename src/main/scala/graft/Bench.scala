@@ -253,28 +253,49 @@ object Bench {
     // decay (~e^{-45/60}), so the next sample mostly sees EXTERNAL
     // load. Every attempt's (load, total) stays in the artifact: a
     // contended bench is self-diagnosing, never silently averaged in.
-    def attemptOnce(): (Option[Double], Report, Option[Double], String) = {
+    final case class Attempt(lb: Option[Double], r: Report,
+        la: Option[Double], cpuJson: String, busy: Option[Long])
+    def attemptOnce(): Attempt = {
       val lb = loadAvg()
       val t0 = cpuTicks()
       val r = run(spark, sfDir, heads)
-      (lb, r, loadAvg(), cpuDeltaJson(t0, cpuTicks()))
+      val t1 = cpuTicks()
+      Attempt(lb, r, loadAvg(), cpuDeltaJson(t0, t1),
+        for (a <- t0; b <- t1) yield b._1 - a._1)
     }
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     val attempts = scala.collection.mutable.Buffer(attemptOnce())
-    // only a MEASURED load can declare the window dirty (or clean): an
-    // unreadable /proc/loadavg stays None — recorded as null, never as
-    // a fake perfectly-clean 0.0 — and stops the retry loop, since a
-    // blind retry can't know it found a better window
-    while (attempts.size < maxAttempts &&
-        attempts.forall(_._1.exists(_ > 2.0))) {
+    // Clean-window retry, tick-aware since r13. The r12 verdict (and
+    // this round's own runs) showed the 1-min load gate blind to
+    // hypervisor contention: identical suites burned 12.6k busy ticks
+    // in a clean window and 29-34k in degraded ones, all at load ≤ 1.9.
+    // Busy ticks for a FIXED workload are a direct contention gauge but
+    // need a same-workload reference, so (when tick sampling works and
+    // more than one attempt is allowed) a second attempt always runs,
+    // and further ones while the busy-tick spread says at least one
+    // window was contended. The load rule is kept as the fallback; only
+    // a MEASURED signal can declare the window dirty (or clean) — an
+    // unreadable /proc stays None/null, never a fake clean reading.
+    // The timed 19-query loop is untouched; every attempt stays in the
+    // artifact.
+    def allBusies = attempts.flatMap(_.busy)
+    def ticksWork = allBusies.size == attempts.size
+    while (attempts.size < maxAttempts && (
+        attempts.forall(_.lb.exists(_ > 2.0)) ||
+        (ticksWork && attempts.size < 2) ||
+        (ticksWork && allBusies.max.toDouble / allBusies.min.toDouble > 1.4))) {
       Thread.sleep(45000)
       attempts += attemptOnce()
     }
-    val (loadBefore, rep, loadAfter, _) =
-      attempts.minBy(_._1.getOrElse(Double.MaxValue))
+    // record the cleanest attempt: least busy ticks when every attempt
+    // has them (the direct gauge), else least load (the r10-r12 rule)
+    val best =
+      if (ticksWork && attempts.size > 1) attempts.minBy(_.busy.get)
+      else attempts.minBy(_.lb.getOrElse(Double.MaxValue))
+    val (loadBefore, rep, loadAfter) = (best.lb, best.r, best.la)
     def jload(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
-    val attemptsJson = attempts.map { case (lb, r, la, cpu) =>
-      s"""{"load_before":${jload(lb)},"total":${r.total},"load_after":${jload(la)}$cpu}"""
+    val attemptsJson = attempts.map { a =>
+      s"""{"load_before":${jload(a.lb)},"total":${a.r.total},"load_after":${jload(a.la)}${a.cpuJson}}"""
     }.mkString("[", ",", "]")
 
     // maintenance verbs, timed AFTER the primary point so their staged
